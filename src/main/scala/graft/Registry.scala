@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A declared operator query: the Spark implementation plus (when
+  * SQL-expressible) the equivalent ANSI SQL for the DuckDB oracle.
+  *
+  * The driver hash-compares the Spark result against DuckDB on the same
+  * parquet tables, sorting rows canonically and matching columns BY NAME —
+  * every computed column must carry the same alias on both sides.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    sql: Option[String]
+)
+
+object Q {
+  def apply(fn: (SparkSession, String) => DataFrame, sql: String): Q =
+    Q(fn, Some(sql))
+}
+
+/** Helpers shared by query modules.
+  *
+  * Exact-aggregation policy: double sums are order-dependent in the last
+  * few ulps, and the driver compares by hash. Routing sums through a
+  * decimal cast (`cast(sum(cast(x as decimal(p,s))) as double)`) makes the
+  * aggregate order-independent and bit-identical between Spark and DuckDB,
+  * while keeping the output schema DOUBLE. Derived stats (avg/var/corr)
+  * are then computed in double arithmetic from those exact pieces with the
+  * same formula on both sides.
+  */
+object Agg {
+  /** Exact, order-independent sum of a double column, fixed-point at
+    * `scale` decimals; result as double.
+    *
+    * `floor(x * 10^scale)` is computed in IEEE double arithmetic, which is
+    * bit-identical across engines (unlike double→decimal casts, whose
+    * rounding of shortest-representation ties differs between Spark and
+    * DuckDB). The integer parts are summed exactly as longs.
+    */
+  def dsum(c: Column, scale: Int = 4): Column = {
+    val p = math.pow(10, scale)
+    (sum(floor(c * lit(p))).cast(DoubleType) / lit(p))
+  }
+
+  /** SQL mirror of [[dsum]] for the DuckDB oracle. */
+  def dsumSql(e: String, scale: Int = 4): String = {
+    val p = s"1e$scale"
+    s"(CAST(sum(CAST(floor(($e) * $p) AS BIGINT)) AS DOUBLE) / $p)"
+  }
+
+  /** Exact mean: exact sum divided by exact count, one IEEE division. */
+  def davg(c: Column, scale: Int = 4): Column = dsum(c, scale) / count(c)
+  def davgSql(e: String, scale: Int = 4): String =
+    s"(${dsumSql(e, scale)} / count($e))"
+}
+
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` has been run already
+(or run with --run to invoke it). For each query result parquet under
+outDir, runs the matching oracle SQL from oracle_sql.json in DuckDB over the
+same testdata parquet tables, canonicalizes row order (sort by all columns,
+nulls first), and compares cell-by-cell exactly.
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(con, rel_sql):
+    df = con.execute(rel_sql).fetchdf()
+    cols = sorted(df.columns)
+    df = df[cols]
+    df = df.sort_values(by=cols, na_position="first").reset_index(drop=True)
+    return df
+
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            if a is None or b is None:
+                return (a is None) == (b is None)
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return a == b
+    except TypeError:
+        pass
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        a = list(a) if a is not None else None
+        b = list(b) if b is not None else None
+    import numpy as np
+    if isinstance(a, np.ndarray):
+        a = a.tolist()
+    if isinstance(b, np.ndarray):
+        b = b.tolist()
+    return a == b
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "target/verify_out")
+    if "--run" in sys.argv:
+        subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            check=True)
+
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = n_noracle = 0
+    results = sorted(p.name for p in out_dir.iterdir() if p.is_dir())
+    for name in results:
+        got = canon(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        if name not in oracle:
+            n_noracle += 1
+            print(f"  [no-oracle] {name}: {len(got)} rows")
+            continue
+        try:
+            exp = canon(con, oracle[name])
+        except Exception as e:
+            n_fail += 1
+            print(f"FAIL [oracle-error] {name}: {e}")
+            continue
+        if list(exp.columns) != list(got.columns):
+            n_fail += 1
+            print(f"FAIL [cols] {name}: oracle={list(exp.columns)} got={list(got.columns)}")
+            continue
+        if len(exp) != len(got):
+            n_fail += 1
+            print(f"FAIL [rows] {name}: oracle={len(exp)} got={len(got)}")
+            continue
+        bad = None
+        for ci, c in enumerate(exp.columns):
+            ev, gv = exp[c].tolist(), got[c].tolist()
+            for ri in range(len(ev)):
+                if not cell_eq(ev[ri], gv[ri]):
+                    bad = (c, ri, ev[ri], gv[ri])
+                    break
+            if bad:
+                break
+        if bad:
+            n_fail += 1
+            c, ri, e, g = bad
+            print(f"FAIL [cell] {name}: col={c} row={ri} oracle={e!r} got={g!r}")
+        else:
+            n_pass += 1
+            print(f"  pass {name} ({len(got)} rows)")
+    missing = set(oracle) - set(results)
+    for name in sorted(missing):
+        n_fail += 1
+        print(f"FAIL [missing-result] {name}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
