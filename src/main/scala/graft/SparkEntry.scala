@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Ndsh
+import graft.queries.{Aggregates, Ndsh, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All declared operator queries, keyed by SURVEY §2 inventory name. */
   def registry: Map[String, Q] =
-    Ndsh.queries
+    Ndsh.queries ++ Relational.queries ++ Aggregates.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.{Agg, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation inventory — SURVEY §2.4, the `aggregation.hpp:87-125` Kinds
+  * (reference: `cpp/include/cudf/groupby.hpp:187`, `reduction.hpp:81`).
+  *
+  * Exactness policy: SUM/MEAN/VARIANCE/STD/COVARIANCE/CORRELATION over
+  * doubles are derived from fixed-point sums ([[graft.Agg.dsum]]) so both
+  * engines compute identical IEEE doubles from identical exact inputs.
+  * Partial aggregation (map-side combine) stays fully effective: the
+  * fixed-point sum is still an ordinary associative long sum.
+  */
+object Aggregates {
+  import Agg._
+
+  /** SUM, MIN, MAX, MEAN, COUNT_VALID, COUNT_ALL (Kinds 87-93). */
+  private def basicStats(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(col("l_quantity")).as("count_valid"),
+        count(lit(1)).as("count_all"))
+
+  private val basicStatsSql =
+    s"""SELECT l_returnflag,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  min(l_quantity) AS min_qty,
+       |  max(l_quantity) AS max_qty,
+       |  ${davgSql("l_quantity")} AS avg_qty,
+       |  count(l_quantity) AS count_valid,
+       |  count(*) AS count_all
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** COUNT_VALID vs COUNT_ALL with real nulls (null_policy types.hpp:126). */
+  private def countNullPolicy(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        when(col("value") < 20, null).otherwise(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("v")).as("count_valid"),
+        count(lit(1)).as("count_all"),
+        dsum(col("v")).as("sum_v"))
+
+  private val countNullPolicySql =
+    s"""SELECT event_type,
+       |  count(v) AS count_valid, count(*) AS count_all,
+       |  ${dsumSql("v")} AS sum_v
+       |FROM (SELECT event_type,
+       |        CASE WHEN value < 20 THEN NULL ELSE value END AS v
+       |      FROM events)
+       |GROUP BY event_type""".stripMargin
+
+  /** NUNIQUE (count distinct) exact. */
+  private def countDistinct_(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nunique_part"),
+        countDistinct(col("l_suppkey")).as("nunique_supp"))
+
+  private val countDistinctSql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS nunique_part,
+      |  count(DISTINCT l_suppkey) AS nunique_supp
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** ANY / ALL (Kinds: ANY, ALL) via bool_or / bool_and. */
+  private def anyAll(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        bool_or(col("o_totalprice") > 400000).as("any_big"),
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"))
+
+  private val anyAllSql =
+    """SELECT o_orderstatus,
+      |  bool_or(o_totalprice > 400000) AS any_big,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** ARGMAX / ARGMIN via max_by / min_by. */
+  private def argMinMax(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("argmax_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("argmin_order"),
+        max(col("o_totalprice")).as("max_price"))
+
+  private val argMinMaxSql =
+    """SELECT o_orderstatus,
+      |  max_by(o_orderkey, o_totalprice) AS argmax_order,
+      |  min_by(o_orderkey, o_totalprice) AS argmin_order,
+      |  max(o_totalprice) AS max_price
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** SUM_OF_SQUARES, VARIANCE, STD (ddof=1 and 0) from exact pieces. */
+  private def varStd(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity") * col("l_quantity")).as("sum_sq"),
+        dsum(col("l_quantity")).as("s1"),
+        count(col("l_quantity")).as("n"))
+      .select(
+        col("l_linestatus"),
+        col("sum_sq"),
+        ((col("sum_sq") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("var_samp_qty"),
+        sqrt((col("sum_sq") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("std_samp_qty"),
+        ((col("sum_sq") - col("s1") * col("s1") / col("n")) / col("n"))
+          .as("var_pop_qty"))
+
+  private val varStdSql = {
+    val sq = dsumSql("l_quantity * l_quantity")
+    val s1 = dsumSql("l_quantity")
+    s"""SELECT l_linestatus, sum_sq,
+       |  ((sum_sq - s1 * s1 / n) / (n - 1)) AS var_samp_qty,
+       |  sqrt((sum_sq - s1 * s1 / n) / (n - 1)) AS std_samp_qty,
+       |  ((sum_sq - s1 * s1 / n) / n) AS var_pop_qty
+       |FROM (SELECT l_linestatus, $sq AS sum_sq, $s1 AS s1,
+       |        count(l_quantity) AS n
+       |      FROM lineitem GROUP BY l_linestatus)""".stripMargin
+  }
+
+  /** MEDIAN / QUANTILE with linear interpolation (types.hpp:192). */
+  private def medianQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(expr("percentile(c_acctbal, 0.5D)"), 6).as("median_bal"),
+        round(expr("percentile(c_acctbal, 0.9D)"), 6).as("p90_bal"))
+
+  private val medianQuantileSql =
+    """SELECT c_mktsegment,
+      |  round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+      |  round(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
+  /** NTH_ELEMENT (aggregation.hpp: NTH_ELEMENT): 2nd smallest per group
+    * via sorted collect — deterministic regardless of input order.
+    */
+  private def nthElement(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .supplier(s, dir)
+      .groupBy(col("s_nationkey"))
+      .agg(sort_array(collect_list(col("s_acctbal"))).as("sorted_bals"))
+      .select(
+        col("s_nationkey"),
+        try_element_at(col("sorted_bals"), lit(1)).as("nth_0"),
+        try_element_at(col("sorted_bals"), lit(2)).as("nth_1"))
+
+  private val nthElementSql =
+    """SELECT s_nationkey,
+      |  (list_sort(list(s_acctbal)))[1] AS nth_0,
+      |  (list_sort(list(s_acctbal)))[2] AS nth_1
+      |FROM supplier GROUP BY s_nationkey""".stripMargin
+
+  /** COLLECT_LIST / COLLECT_SET (canonically sorted for comparison). */
+  private def collectListSet(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_orderkey") < 300)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sort_array(collect_list(col("l_linenumber"))).as("lines"),
+        sort_array(collect_set(col("l_returnflag"))).as("flags"))
+
+  private val collectListSetSql =
+    """SELECT l_orderkey,
+      |  list_sort(list(l_linenumber)) AS lines,
+      |  list_sort(list(DISTINCT l_returnflag)) AS flags
+      |FROM lineitem WHERE l_orderkey < 300 GROUP BY l_orderkey""".stripMargin
+
+  /** COVARIANCE / CORRELATION from exact pieces. */
+  private def covarCorr(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_returnflag"),
+        col("l_quantity").as("x"),
+        (col("l_extendedprice") / 1000).as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("x")).as("sx"),
+        dsum(col("y"), 6).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y"), 6).as("syy"),
+        dsum(col("x") * col("y"), 6).as("sxy"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("covar_samp_qp"),
+        (((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")) /
+          (sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")) *
+            sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n"))))
+          .as("corr_qp"))
+
+  private val covarCorrSql = {
+    val sx = dsumSql("x")
+    val sy = dsumSql("y", 6)
+    val sxx = dsumSql("x * x")
+    val syy = dsumSql("y * y", 6)
+    val sxy = dsumSql("x * y", 6)
+    s"""SELECT l_returnflag,
+       |  ((sxy - sx * sy / n) / (n - 1)) AS covar_samp_qp,
+       |  (((sxy - sx * sy / n) / n) /
+       |    (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n)))
+       |    AS corr_qp
+       |FROM (
+       |  SELECT l_returnflag, $sx AS sx, $sy AS sy, $sxx AS sxx,
+       |         $syy AS syy, $sxy AS sxy, count(*) AS n
+       |  FROM (SELECT l_returnflag, l_quantity AS x,
+       |          l_extendedprice / 1000 AS y FROM lineitem)
+       |  GROUP BY l_returnflag)""".stripMargin
+  }
+
+  /** HISTOGRAM (aggregation.hpp:123): value→count map as rows. */
+  private def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_quantity"))
+      .agg(count(lit(1)).as("freq"))
+
+  private val histogramSql =
+    "SELECT l_quantity, count(*) AS freq FROM lineitem GROUP BY l_quantity"
+
+  /** Whole-column reduction (reduction.hpp:81): no grouping keys. */
+  private def reduceAll(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .agg(
+        dsum(col("l_extendedprice")).as("total_price"),
+        min(col("l_shipdate")).cast(DateType).as("first_ship"),
+        max(col("l_shipdate")).cast(DateType).as("last_ship"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  private val reduceAllSql =
+    s"""SELECT ${dsumSql("l_extendedprice")} AS total_price,
+       |  CAST(min(l_shipdate) AS DATE) AS first_ship,
+       |  CAST(max(l_shipdate) AS DATE) AS last_ship,
+       |  count(DISTINCT l_orderkey) AS n_orders
+       |FROM lineitem""".stripMargin
+
+  /** approx distinct (NUNIQUE approx → HLL). Sketches differ across
+    * engines, so no SQL oracle — driver records the rows-only check; the
+    * ScalaTest suite asserts the estimate is within 5% of exact.
+    */
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+
+  /** grouping sets / rollup — capability bonus over the reference
+    * (absent in cuDF, SURVEY §2.4).
+    */
+  private def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  private val rollupAggSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "agg_basic_stats" -> Q(basicStats _, basicStatsSql),
+    "agg_count_null_policy" -> Q(countNullPolicy _, countNullPolicySql),
+    "agg_count_distinct" -> Q(countDistinct_ _, countDistinctSql),
+    "agg_any_all" -> Q(anyAll _, anyAllSql),
+    "agg_argminmax" -> Q(argMinMax _, argMinMaxSql),
+    "agg_var_std" -> Q(varStd _, varStdSql),
+    "agg_median_quantile" -> Q(medianQuantile _, medianQuantileSql),
+    "agg_nth_element" -> Q(nthElement _, nthElementSql),
+    "agg_collect_list_set" -> Q(collectListSet _, collectListSetSql),
+    "agg_covar_corr" -> Q(covarCorr _, covarCorrSql),
+    "agg_histogram" -> Q(histogram _, histogramSql),
+    "agg_reduce_all" -> Q(reduceAll _, reduceAllSql),
+    "agg_approx_distinct" -> Q(approxDistinct _, None),
+    "agg_rollup" -> Q(rollupAgg _, rollupAggSql)
+  )
+}

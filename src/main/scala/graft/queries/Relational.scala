@@ -1,0 +1,544 @@
+package graft.queries
+
+import graft.{Agg, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator inventory — SURVEY §2.2 (row selection), §2.3
+  * (joins), §2.6 (sorts/top-k), §2.7 (set ops / dedup / reshape).
+  *
+  * Reference surface being re-expressed (file:line in /root/reference):
+  *   - filters/selection: `cpp/include/cudf/stream_compaction.hpp:73-340`,
+  *     `copying.hpp:461-806`, `filling.hpp:60-238`
+  *   - joins: `cpp/include/cudf/join.hpp:99-1034`
+  *   - sorts: `cpp/include/cudf/sorting.hpp:52-338`, `quantiles.hpp:97`
+  *   - set/dedup/reshape: `concatenate.hpp:64`, `stream_compaction.hpp:223`,
+  *     `lists/explode.hpp:72-208`, `python/cudf/cudf/core/reshape.py`
+  *
+  * Every query is partition-parallel (no collect, no driver state) and its
+  * join sides are broadcast only when dimension-sized.
+  */
+object Relational {
+  import Agg._
+
+  // ---------------------------------------------------------------- §2.2
+
+  /** apply_boolean_mask (stream_compaction.hpp:214) + fused projection. */
+  private def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(
+        col("l_quantity") > 30 && col("l_discount") < 0.05 &&
+          col("l_returnflag") =!= "A")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+
+  private val filterProjectSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_quantity > 30 AND l_discount < 0.05 AND l_returnflag <> 'A'
+      |""".stripMargin
+
+  /** drop_nulls with keep_threshold (stream_compaction.hpp:107): keep rows
+    * with >= 1 non-null among two derived nullable columns.
+    */
+  private def dropNulls(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        when(col("event_type") === "click", null).otherwise(col("event_type")).as("et"),
+        when(col("value") < 10, null).otherwise(col("value")).as("v"))
+      .na.drop(1, Seq("et", "v"))
+
+  private val dropNullsSql =
+    """SELECT * FROM (
+      |  SELECT event_id,
+      |    CASE WHEN event_type = 'click' THEN NULL ELSE event_type END AS et,
+      |    CASE WHEN value < 10 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |WHERE ((et IS NOT NULL)::INT + (v IS NOT NULL)::INT) >= 1
+      |""".stripMargin
+
+  /** copy_if_else (copying.hpp:626) / scatter-by-mask as when/otherwise. */
+  private def copyIfElse(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(col("o_totalprice") * 1.1).as("adj_price"),
+        when(col("o_totalprice") > 100000, lit("big"))
+          .when(col("o_totalprice") > 10000, lit("mid"))
+          .otherwise(lit("small")).as("bucket"))
+
+  private val copyIfElseSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+      |       ELSE o_totalprice * 1.1 END AS adj_price,
+      |  CASE WHEN o_totalprice > 100000 THEN 'big'
+      |       WHEN o_totalprice > 10000 THEN 'mid'
+      |       ELSE 'small' END AS bucket
+      |FROM orders
+      |""".stripMargin
+
+  /** slice/split (copying.hpp:461): deterministic offset+limit page. */
+  private def sliceOffsetLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).orderBy(col("o_orderkey")).offset(100).limit(50)
+
+  private val sliceOffsetLimitSql =
+    "SELECT * FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100"
+
+  /** sequence (filling.hpp:180): generated range with derived columns. */
+  private def sequenceRange(s: SparkSession, dir: String): DataFrame =
+    s.range(1, 1001)
+      .select(
+        col("id"),
+        (col("id") * 2).as("twice"),
+        (col("id") % 7).as("mod7"))
+
+  private val sequenceRangeSql =
+    """SELECT range AS id, range * 2 AS twice, range % 7 AS mod7
+      |FROM range(1, 1001)""".stripMargin
+
+  /** repeat rows n times (filling.hpp:125) via explode(sequence). */
+  private def repeatRows(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .nation(s, dir)
+      .select(
+        col("n_nationkey"),
+        col("n_name"),
+        explode(sequence(lit(1), col("n_nationkey") % 3 + 1)).as("rep_i"))
+
+  private val repeatRowsSql =
+    """SELECT n_nationkey, n_name, u.i AS rep_i
+      |FROM nation, unnest(range(1, n_nationkey % 3 + 2)) AS u(i)
+      |""".stripMargin
+
+  /** tile (reshape.hpp:77): whole-table repetition via crossJoin(range). */
+  private def tileRows(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .region(s, dir)
+      .crossJoin(s.range(3).select(col("id").as("copy_i")))
+
+  private val tileRowsSql =
+    """SELECT r_regionkey, r_name, u.i AS copy_i
+      |FROM region, unnest(range(0, 3)) AS u(i)""".stripMargin
+
+  // ---------------------------------------------------------------- §2.3
+
+  /** inner_join (join.hpp:99) — shuffle hash/SMJ on the big pair. */
+  private def joinInner(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey"),
+        col("c_custkey"),
+        col("c_mktsegment"),
+        col("o_totalprice"))
+
+  private val joinInnerSql =
+    """SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** left_join (join.hpp:141): preserves left rows with null right side. */
+  private def joinLeft(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders =
+      Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    Tables
+      .customer(s, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  private val joinLeftSql =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      |ON c_custkey = o_custkey""".stripMargin
+
+  /** full_join (join.hpp:182): unmatched rows survive on both sides. */
+  private def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val suppNations = Tables
+      .supplier(s, dir)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    Tables
+      .nation(s, dir)
+      .join(suppNations, col("n_nationkey") === col("s_nationkey"), "full")
+      .select(col("n_nationkey"), col("n_name"), col("s_nationkey"), col("n_suppliers"))
+  }
+
+  private val joinFullSql =
+    """SELECT n_nationkey, n_name, s_nationkey, n_suppliers
+      |FROM nation FULL JOIN (
+      |  SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      |ON n_nationkey = s_nationkey""".stripMargin
+
+  /** left_semi_join (join.hpp:213): EXISTS. */
+  private def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val bigLines = Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
+    Tables
+      .orders(s, dir)
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  private val joinSemiSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin
+
+  /** left_anti_join (join.hpp:246): NOT EXISTS. */
+  private def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val rLines = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    Tables
+      .orders(s, dir)
+      .join(rLines, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  private val joinAntiSql =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')""".stripMargin
+
+  /** cross_join (join.hpp:276). */
+  private def joinCross(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .region(s, dir)
+      .crossJoin(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")))
+
+  private val joinCrossSql =
+    """SELECT r_regionkey, r_name, n_nationkey, n_name
+      |FROM region CROSS JOIN nation""".stripMargin
+
+  /** conditional (theta / nested-loop) join on a pure inequality
+    * (join.hpp:579, conditional_join.cu) → BroadcastNestedLoopJoin.
+    */
+  private def joinTheta(s: SparkSession, dir: String): DataFrame = {
+    val s1 = Tables.supplier(s, dir).select(col("s_suppkey").as("a_key"), col("s_acctbal").as("a_bal"))
+    val s2 = Tables.supplier(s, dir).select(col("s_suppkey").as("b_key"), col("s_acctbal").as("b_bal"))
+    s1.join(s2, col("a_bal") < col("b_bal") - 1000)
+      .select(col("a_key"), col("b_key"), (col("b_bal") - col("a_bal")).as("gap"))
+  }
+
+  private val joinThetaSql =
+    """SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+      |  b.s_acctbal - a.s_acctbal AS gap
+      |FROM supplier a JOIN supplier b ON a.s_acctbal < b.s_acctbal - 1000
+      |""".stripMargin
+
+  /** mixed join: equi keys AND residual condition (join.hpp:808) —
+    * Catalyst extracts the equi part for the hash join automatically.
+    */
+  private def joinMixed(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .join(
+        Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_extendedprice") > col("o_totalprice") * 0.5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("o_totalprice"))
+
+  private val joinMixedSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
+      |FROM lineitem JOIN orders
+      |ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice * 0.5
+      |""".stripMargin
+
+  /** null_equality EQUAL join (types.hpp:151) via null-safe `<=>`. */
+  private def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), when(col("c_nationkey") === 3, null).otherwise(col("c_nationkey")).as("cn"))
+    val n = Tables
+      .nation(s, dir)
+      .select(when(col("n_nationkey") === 3, null).otherwise(col("n_nationkey")).as("nn"), col("n_name"))
+    c.join(n, col("cn") <=> col("nn")).select(col("c_custkey"), col("cn"), col("n_name"))
+  }
+
+  private val joinNullSafeSql =
+    """SELECT c_custkey, cn, n_name FROM
+      |  (SELECT c_custkey,
+      |     CASE WHEN c_nationkey = 3 THEN NULL ELSE c_nationkey END AS cn
+      |   FROM customer) c
+      |JOIN
+      |  (SELECT CASE WHEN n_nationkey = 3 THEN NULL ELSE n_nationkey END AS nn,
+      |     n_name FROM nation) n
+      |ON cn IS NOT DISTINCT FROM nn""".stripMargin
+
+  // ---------------------------------------------------------------- §2.6
+
+  /** sort with explicit null ordering (sorting.hpp:111, null_order) +
+    * sorted_order/argsort as row_number.
+    */
+  private def sortRankNulls(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, null).otherwise(col("c_acctbal")).as("bal"))
+    val w = Window.orderBy(col("bal").asc_nulls_first, col("c_custkey"))
+    c.withColumn("sorted_order", row_number().over(w))
+  }
+
+  private val sortRankNullsSql =
+    """SELECT c_custkey, bal,
+      |  row_number() OVER (ORDER BY bal ASC NULLS FIRST, c_custkey) AS sorted_order
+      |FROM (SELECT c_custkey,
+      |   CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      | FROM customer)""".stripMargin
+
+  /** top-k (nlargest; sort+slice idiom) → TakeOrderedAndProject. */
+  private def topK(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  private val topKSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+      |""".stripMargin
+
+  /** quantiles at explicit points (quantiles.hpp:97), grouped. */
+  private def quantilePoints(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(
+          "transform(percentile(l_quantity, array(0.0D, 0.25D, 0.5D, 0.75D, 1.0D)), x -> round(x, 6))")
+          .as("qty_quantiles"))
+
+  private val quantilePointsSql =
+    """SELECT l_returnflag,
+      |  list_transform(quantile_cont(l_quantity, [0.0, 0.25, 0.5, 0.75, 1.0]),
+      |                 x -> round(x, 6)) AS qty_quantiles
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- §2.7
+
+  /** concatenate (concatenate.hpp:64) = UNION ALL with provenance tag. */
+  private def unionAll(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .customer(s, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"), lit("customer").as("side"))
+    val p = Tables
+      .supplier(s, dir)
+      .select(col("s_suppkey").as("key"), col("s_acctbal").as("bal"), lit("supplier").as("side"))
+    c.unionByName(p)
+  }
+
+  private val unionAllSql =
+    """SELECT c_custkey AS key, c_acctbal AS bal, 'customer' AS side FROM customer
+      |UNION ALL
+      |SELECT s_suppkey, s_acctbal, 'supplier' FROM supplier""".stripMargin
+
+  /** INTERSECT (distinct) — capability bonus vs reference (§2.7). */
+  private def intersectKeys(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+
+  private val intersectKeysSql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier""".stripMargin
+
+  /** EXCEPT (distinct). */
+  private def exceptKeys(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .nation(s, dir)
+      .select(col("n_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+
+  private val exceptKeysSql =
+    """SELECT n_nationkey AS nationkey FROM nation
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier""".stripMargin
+
+  /** distinct (stream_compaction.hpp:223, keep ANY on full row). */
+  private def distinctRows(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+
+  private val distinctRowsSql =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  /** distinct keep FIRST (duplicate_keep_option::KEEP_FIRST): one row per
+    * orderkey, ordered by linenumber.
+    */
+  private def dedupKeepFirst(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // l_linenumber can tie within an orderkey in this generator, so the
+    // "first" ordering carries a full tiebreak to stay deterministic.
+    val w = Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    Tables
+      .lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+  }
+
+  private val dedupKeepFirstSql =
+    """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+      |QUALIFY row_number() OVER (PARTITION BY l_orderkey
+      |  ORDER BY l_linenumber, l_partkey, l_suppkey) = 1
+      |""".stripMargin
+
+  /** distinct keep NONE: only keys that appear exactly once survive. */
+  private def dedupKeepNone(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") === 1)
+      .select(col("l_orderkey"))
+
+  private val dedupKeepNoneSql =
+    """SELECT l_orderkey FROM lineitem
+      |GROUP BY l_orderkey HAVING count(*) = 1""".stripMargin
+
+  /** explode + position (lists/explode.hpp:72,118) over tokenized text. */
+  private def explodePos(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+
+  private val explodePosSql =
+    """SELECT doc_id, u.i - 1 AS pos, (string_split(text, ' '))[u.i] AS tok
+      |FROM documents, unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(i)
+      |WHERE doc_id < 200""".stripMargin
+
+  /** explode_outer (lists/explode.hpp:162): empty lists keep their row. */
+  private def explodeOuter(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        when(col("n_chars") < 200, array().cast(ArrayType(StringType)))
+          .otherwise(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+
+  private val explodeOuterSql =
+    """SELECT doc_id, toks[u.i] AS tok FROM
+      |  (SELECT doc_id,
+      |     CASE WHEN n_chars < 200 THEN [] ELSE string_split(text, ' ') END AS toks
+      |   FROM documents WHERE doc_id < 200) d,
+      |  unnest(range(1, greatest(len(toks), 1) + 1)) AS u(i)""".stripMargin
+
+  /** melt / unpivot (core/reshape.py:547). */
+  private def meltUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey").cast(DoubleType).as("c_nationkey_d"))
+      .unpivot(
+        Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nationkey_d")),
+        "variable",
+        "value")
+
+  private val meltUnpivotSql =
+    """SELECT c_custkey, 'c_acctbal' AS variable, c_acctbal AS value FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 'c_nationkey_d', CAST(c_nationkey AS DOUBLE) FROM customer
+      |""".stripMargin
+
+  /** pivot / pivot_table (core/reshape.py:1061) with exact sums. */
+  private def pivotWide(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+
+  private val pivotWideSql =
+    """SELECT l_returnflag,
+      |  (CAST(sum(CAST(floor(l_quantity * 1e4) AS BIGINT))
+      |     FILTER (l_linestatus = 'F') AS DOUBLE) / 1e4) AS F,
+      |  (CAST(sum(CAST(floor(l_quantity * 1e4) AS BIGINT))
+      |     FILTER (l_linestatus = 'O') AS DOUBLE) / 1e4) AS O
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** get_dummies / one_hot_encode (transform.hpp:182). */
+  private def oneHot(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val base = Tables.customer(s, dir)
+    segs.foldLeft(base.select(col("c_custkey"), col("c_mktsegment"))) { (df, seg) =>
+      df.withColumn(s"is_${seg.toLowerCase}", (col("c_mktsegment") === seg).cast(IntegerType))
+    }.drop("c_mktsegment")
+  }
+
+  private val oneHotSql = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val cols = segs
+      .map(s => s"CASE WHEN c_mktsegment = '$s' THEN 1 ELSE 0 END AS is_${s.toLowerCase}")
+      .mkString(",\n  ")
+    s"SELECT c_custkey,\n  $cols\nFROM customer"
+  }
+
+  /** cut / label_bins (labeling/label_bins.hpp:71): fixed-width buckets,
+    * computed arithmetically (same IEEE ops both engines).
+    */
+  private def cutBins(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey"),
+        least(greatest(floor(col("c_acctbal") / 1000).cast(IntegerType), lit(0)), lit(9))
+          .as("bal_bin"))
+
+  private val cutBinsSql =
+    """SELECT c_custkey,
+      |  least(greatest(CAST(floor(c_acctbal / 1000) AS INT), 0), 9) AS bal_bin
+      |FROM customer""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "filter_project" -> Q(filterProject _, filterProjectSql),
+    "drop_nulls" -> Q(dropNulls _, dropNullsSql),
+    "copy_if_else" -> Q(copyIfElse _, copyIfElseSql),
+    "slice_offset_limit" -> Q(sliceOffsetLimit _, sliceOffsetLimitSql),
+    "sequence_range" -> Q(sequenceRange _, sequenceRangeSql),
+    "repeat_rows" -> Q(repeatRows _, repeatRowsSql),
+    "tile_rows" -> Q(tileRows _, tileRowsSql),
+    "join_inner" -> Q(joinInner _, joinInnerSql),
+    "join_left" -> Q(joinLeft _, joinLeftSql),
+    "join_full" -> Q(joinFull _, joinFullSql),
+    "join_semi" -> Q(joinSemi _, joinSemiSql),
+    "join_anti" -> Q(joinAnti _, joinAntiSql),
+    "join_cross" -> Q(joinCross _, joinCrossSql),
+    "join_theta" -> Q(joinTheta _, joinThetaSql),
+    "join_mixed" -> Q(joinMixed _, joinMixedSql),
+    "join_null_safe" -> Q(joinNullSafe _, joinNullSafeSql),
+    "sort_rank_nulls" -> Q(sortRankNulls _, sortRankNullsSql),
+    "top_k" -> Q(topK _, topKSql),
+    "quantile_points" -> Q(quantilePoints _, quantilePointsSql),
+    "union_all" -> Q(unionAll _, unionAllSql),
+    "intersect_keys" -> Q(intersectKeys _, intersectKeysSql),
+    "except_keys" -> Q(exceptKeys _, exceptKeysSql),
+    "distinct_rows" -> Q(distinctRows _, distinctRowsSql),
+    "dedup_keep_first" -> Q(dedupKeepFirst _, dedupKeepFirstSql),
+    "dedup_keep_none" -> Q(dedupKeepNone _, dedupKeepNoneSql),
+    "explode_pos" -> Q(explodePos _, explodePosSql),
+    "explode_outer" -> Q(explodeOuter _, explodeOuterSql),
+    "melt_unpivot" -> Q(meltUnpivot _, meltUnpivotSql),
+    "pivot_wide" -> Q(pivotWide _, pivotWideSql),
+    "one_hot" -> Q(oneHot _, oneHotSql),
+    "cut_bins" -> Q(cutBins _, cutBinsSql)
+  )
+}

@@ -27,6 +27,12 @@ def canon(con, rel_sql):
     df = con.execute(rel_sql).fetchdf()
     cols = sorted(df.columns)
     df = df[cols]
+    import numpy as np
+    for c in cols:
+        if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist() if isinstance(v, np.ndarray) else v)
+                if v is not None else None)
     df = df.sort_values(by=cols, na_position="first").reset_index(drop=True)
     return df
 
