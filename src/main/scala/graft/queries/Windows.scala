@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.{Agg, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window-function inventory — SURVEY §2.5 (reference:
+  * `cpp/include/cudf/rolling.hpp:172-539`, `cpp/src/rolling/`, Python
+  * `cudf/core/window/rolling.py:49`, `core/resample.py:37`) plus the
+  * group-wise scan/shift/ffill transforms of `groupby.hpp:243-373`.
+  *
+  * Rolling sums use the fixed-point policy (sum of floor-scaled longs over
+  * the frame) so frames hash-match the oracle exactly. Every window is
+  * partitioned — no global single-partition windows at scale.
+  */
+object Windows {
+
+  /** Fixed rolling window, rows frame, with min_periods (rolling.hpp:172):
+    * 3-row moving sum/avg of `value` per user, ordered by event time.
+    */
+  private def rollingRows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 0)
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        (sum(floor(col("value") * 1e4)).over(w).cast(DoubleType) / 1e4)
+          .as("roll_sum_raw"),
+        count(lit(1)).over(w).as("n_in_frame"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        when(col("n_in_frame") >= 3, col("roll_sum_raw")).as("roll_sum"),
+        col("n_in_frame"))
+  }
+
+  private val rollingRowsSql =
+    """SELECT user_id, event_id,
+      |  CASE WHEN n_in_frame >= 3 THEN roll_sum_raw END AS roll_sum,
+      |  n_in_frame
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    (CAST(sum(CAST(floor(value * 1e4) AS BIGINT)) OVER w AS DOUBLE) / 1e4)
+      |      AS roll_sum_raw,
+      |    count(*) OVER w AS n_in_frame
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+      |""".stripMargin
+
+  /** Range (order-by-value) window: "3 days preceding"
+    * (grouped_range_rolling_window, rolling.hpp:539) over order dates per
+    * customer, expressed on an epoch-seconds orderBy.
+    */
+  private def rangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-3L * 86400, 0)
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        count(lit(1)).over(w).as("orders_3d"),
+        (sum(floor(col("o_totalprice") * 1e4)).over(w).cast(DoubleType) / 1e4)
+          .as("spend_3d"))
+  }
+
+  private val rangeWindowSql =
+    """SELECT o_custkey, o_orderkey,
+      |  count(*) OVER w AS orders_3d,
+      |  (CAST(sum(CAST(floor(o_totalprice * 1e4) AS BIGINT)) OVER w AS DOUBLE)
+      |     / 1e4) AS spend_3d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY epoch_us(o_orderdate) // 1000000
+      |             RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** LEAD / LAG with defaults (aggregation.hpp LEAD/LAG; copying.hpp:423
+    * shift): per supplier over ship dates.
+    */
+  private def leadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_suppkey"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        lag(col("l_quantity"), 1, -1d).over(w).as("prev_qty"),
+        lead(col("l_quantity"), 2).over(w).as("next2_qty"))
+  }
+
+  private val leadLagSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  coalesce(lag(l_quantity, 1) OVER w, -1) AS prev_qty,
+      |  lead(l_quantity, 2) OVER w AS next2_qty
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin
+
+  /** RANK family (sorting.hpp:203 rank_method; aggregation.hpp RANK):
+    * rank/dense_rank/percent_rank/row_number/ntile in one pass.
+    */
+  private def rankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    val wTie = Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables
+      .customer(s, dir)
+      .select(
+        col("c_mktsegment"),
+        col("c_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("dense_rnk"),
+        percent_rank().over(w).as("pct_rnk"),
+        row_number().over(wTie).as("row_num"),
+        ntile(4).over(wTie).as("quartile"))
+  }
+
+  private val rankFamilySql =
+    """SELECT c_mktsegment, c_custkey,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS dense_rnk,
+      |  percent_rank() OVER w AS pct_rnk,
+      |  row_number() OVER wt AS row_num,
+      |  ntile(4) OVER wt AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal),
+      |       wt AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |""".stripMargin
+
+  /** Group-wise scan (groupby::scan, groupby.hpp:243): running cumsum /
+    * cummax / running count per user over time.
+    */
+  private def groupScan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        (sum(floor(col("value") * 1e4)).over(w).cast(DoubleType) / 1e4)
+          .as("cum_value"),
+        max(col("value")).over(w).as("cum_max"),
+        count(lit(1)).over(w).as("cum_n"))
+  }
+
+  private val groupScanSql =
+    """SELECT user_id, event_id,
+      |  (CAST(sum(CAST(floor(value * 1e4) AS BIGINT)) OVER w AS DOUBLE) / 1e4)
+      |    AS cum_value,
+      |  max(value) OVER w AS cum_max,
+      |  count(*) OVER w AS cum_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Group-wise forward-fill (groupby::replace_nulls FORWARD,
+    * groupby.hpp:373) via last(ignoreNulls) over an asymmetric frame.
+    */
+  private def groupFfill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts"),
+        when(col("value") < 30, null).otherwise(col("value")).as("v"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("v"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+  }
+
+  private val groupFfillSql =
+    """SELECT user_id, event_id, v,
+      |  last_value(v IGNORE NULLS) OVER w AS v_ffill
+      |FROM (SELECT user_id, event_id, ts,
+      |        CASE WHEN value < 30 THEN NULL ELSE value END AS v
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Resample / time-bucket groupby (`df.resample('3T')`,
+    * core/resample.py:37): 3-minute tumbling buckets via integer µs
+    * arithmetic (identical in both engines; also the batch twin of the
+    * streaming tumbling window in graft.streaming).
+    */
+  private def resample3min(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        expr("unix_micros(ts) div 180000000").as("bucket"),
+        col("value"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), Agg.dsum(col("value")).as("sum_value"))
+      .select(
+        col("bucket"),
+        (col("bucket") * 180).as("bucket_start_s"),
+        col("n_events"),
+        col("sum_value"))
+
+  private val resample3minSql =
+    s"""SELECT bucket, bucket * 180 AS bucket_start_s,
+       |  count(*) AS n_events,
+       |  ${Agg.dsumSql("value")} AS sum_value
+       |FROM (SELECT epoch_us(ts) // 180000000 AS bucket, value FROM events)
+       |GROUP BY bucket""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "win_rolling_rows" -> Q(rollingRows _, rollingRowsSql),
+    "win_range_days" -> Q(rangeWindow _, rangeWindowSql),
+    "win_lead_lag" -> Q(leadLag _, leadLagSql),
+    "win_rank_family" -> Q(rankFamily _, rankFamilySql),
+    "win_group_scan" -> Q(groupScan _, groupScanSql),
+    "win_group_ffill" -> Q(groupFfill _, groupFfillSql),
+    "win_resample_3min" -> Q(resample3min _, resample3minSql)
+  )
+}
