@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-data-pipeline operators (the engine's north-star extensions,
+  * BASELINE.json): deduplication (exact, MinHash+LSH, SimHash, n-gram
+  * jaccard — cf. nvtext minhash.hpp:72, jaccard.hpp:73), similarity
+  * search over embeddings (brute-force cosine + LSH-bucketed ANN), and
+  * multimodal binary-column plumbing.
+  *
+  * 100 TB posture: every pipeline is blocked/bucketed — candidate pairs
+  * come from LSH band buckets or blocking keys, never a full cross join;
+  * signatures are fixed-width arrays computed per-row (map-side only);
+  * bucket joins shuffle on compact keys.
+  */
+object LlmOps {
+
+  // ------------------------------------------------------------- dedup
+
+  /** Exact dedup via content digest (hash-groupBy): keeper + dup count
+    * per distinct text.
+    */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .groupBy(md5(col("text").cast(BinaryType)).as("sig"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS sig, min(doc_id) AS keeper_doc_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** MinHash signature (minhash.hpp:72): k=16 permutations approximated
+    * by xxhash64 with distinct seeds over the token set; pure Spark
+    * expressions, evaluated per-row (no shuffle).
+    */
+  private[graft] def minhashSig(k: Int): Column = {
+    val hashes = (0 until k).map { i =>
+      s"array_min(transform(tk, t -> xxhash64(t, ${i}L)))"
+    }
+    expr(s"array(${hashes.mkString(",")})")
+  }
+
+  /** Distinct word-3-gram shingles — the discriminative unit for MinHash
+    * (unigram token sets are near-identical under a small vocabulary).
+    */
+  private[graft] def shingles3(textCol: String): Column =
+    array_distinct(expr(
+      s"""transform(sequence(1, greatest(size(split($textCol, ' ')) - 2, 0)),
+         |  i -> concat(split($textCol, ' ')[i - 1], '_',
+         |              split($textCol, ' ')[i], '_',
+         |              split($textCol, ' ')[i + 1]))""".stripMargin))
+
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), shingles3("text").as("tk"))
+      .select(col("doc_id"), minhashSig(16).as("minhash"))
+
+  /** MinHash-LSH near-dup candidate pairs: 4 bands × 4 rows; docs sharing
+    * any band bucket become candidates; est. jaccard = matching minhash
+    * fraction. Scales as O(n · bands) shuffle on band keys.
+    */
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), shingles3("text").as("tk"))
+      .select(col("doc_id"), minhashSig(16).as("mh"))
+    val banded = sigs
+      .select(
+        col("doc_id"),
+        col("mh"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> xxhash64(mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]))"))
+          .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("mh").as("mh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) / CAST(16 AS DOUBLE)")
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.75)
+  }
+
+  /** SimHash-style 64-bit signature from token hashes — bit b of the
+    * signature is the majority vote of bit b across token xxhash64 values.
+    */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), shingles3("text").as("tk"))
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(
+            |  sequence(0, 63),
+            |  CAST(0 AS BIGINT),
+            |  (acc, b) -> acc | (CASE WHEN
+            |     size(filter(tk, t -> (shiftright(xxhash64(t), b) & 1) = 1)) * 2 > size(tk)
+            |   THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END))
+            |""".stripMargin).as("simhash"))
+
+  /** n-gram jaccard dedup (blocked): token-3-gram-set jaccard for pairs
+    * blocked on (lang, length bucket) — the exact-verify stage a MinHash
+    * pipeline feeds into.
+    */
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        (col("n_chars") / 100).cast(IntegerType).as("len_bucket"),
+        array_distinct(expr(
+          """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+            |  i -> concat(split(text, ' ')[i - 1], '_', split(text, ' ')[i], '_', split(text, ' ')[i + 1]))
+            |""".stripMargin)).as("g3"))
+    val a = grams.select(col("lang"), col("len_bucket"), col("doc_id").as("id_a"), col("g3").as("ga"))
+    val b = grams.select(col("lang"), col("len_bucket"), col("doc_id").as("id_b"), col("g3").as("gb"))
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
+          size(array_union(col("ga"), col("gb")))).as("jaccard3"))
+      .filter(col("jaccard3") >= 0.2)
+  }
+
+  private val dedupNgramJaccardSql =
+    """WITH grams AS (
+      |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS len_bucket,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |      i -> concat(string_split(text, ' ')[i], '_',
+      |                  string_split(text, ' ')[i + 1], '_',
+      |                  string_split(text, ' ')[i + 2]))) AS g3
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE) /
+      |    len(list_distinct(a.g3 || b.g3)) AS jaccard3
+      |FROM grams a JOIN grams b
+      |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+      | AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE) /
+      |    len(list_distinct(a.g3 || b.g3)) >= 0.2""".stripMargin
+
+  // -------------------------------------------------------- similarity
+
+  private def embDouble: Column =
+    expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+
+  /** Brute-force cosine top-k against a query vector (vec_id = 0) —
+    * the correctness baseline for ANN. The query side is a 1-row
+    * broadcast; scoring is a single map-side pass + TakeOrdered(k).
+    */
+  private def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    emb
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        (expr("aggregate(zip_with(e, qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
+          (sqrt(expr("aggregate(e, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(qe, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine_6dp"))
+  }
+
+  private val simCosineTopkSql =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(e) + 1), i -> e[i] * qe[i])),
+      |      (a, v) -> a + v) /
+      |    (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(e, x -> x * x)), (a, v) -> a + v)) *
+      |     sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(qe, x -> x * x)), (a, v) -> a + v))) AS cosine
+      |  FROM e, q WHERE vec_id <> 0)
+      |SELECT vec_id, round(cosine, 6) AS cosine_6dp
+      |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** LSH-bucketed ANN scale path: 8 signed random hyperplanes (derived
+    * deterministically from xxhash64 of (plane, dim)) → 8-bit bucket;
+    * neighbors are sought only within a bucket. Output: bucket sizes —
+    * the candidate-set statistics of the ANN index.
+    */
+  private def simAnnLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    // plane p, dim j weight = ±1 from bit 0 of xxhash64(p * 1024 + j)
+    val bucketExpr =
+      """aggregate(sequence(0, 7), 0,
+        |  (acc, p) -> acc | (CASE WHEN
+        |     aggregate(sequence(0, size(e) - 1), CAST(0.0 AS DOUBLE),
+        |       (a, j) -> a + e[j] * (CASE WHEN (xxhash64(p * 1024 + j) & 1) = 1
+        |                             THEN 1.0 ELSE -1.0 END)) > 0
+        |   THEN CAST(shiftleft(1, p) AS INT) ELSE 0 END))""".stripMargin
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), embDouble.as("e"))
+      .select(col("vec_id"), expr(bucketExpr).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+  }
+
+  // -------------------------------------------------------- multimodal
+
+  /** Multimodal binary columns: opaque payload + typed metadata struct.
+    * Decode/feature-extract is stubbed (no image/audio libs in this
+    * container) behind [[graft.multimodal.Multimodal]]; the Spark-side
+    * plumbing (binary column, metadata struct, deterministic digest,
+    * partition-parallel batch shape) is real and oracle-checked here.
+    */
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(col("source").as("origin"), col("lang").as("language"))
+          .as("meta"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        col("meta.origin").as("origin"),
+        col("meta.language").as("language"))
+
+  private val multimodalMetaSql =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS digest,
+      |  source AS origin, lang AS language
+      |FROM documents""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "dedup_exact" -> Q(dedupExact _, dedupExactSql),
+    "dedup_minhash_sig" -> Q(minhashSignatures _, None),
+    "dedup_minhash_lsh" -> Q(dedupMinhashLsh _, None),
+    "dedup_simhash" -> Q(dedupSimhash _, None),
+    "dedup_ngram_jaccard" -> Q(dedupNgramJaccard _, dedupNgramJaccardSql),
+    "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
+    "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, None),
+    "multimodal_meta" -> Q(multimodalMeta _, multimodalMetaSql)
+  )
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.{Agg, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analytics — SURVEY §2.8 nvtext (`cpp/src/text`, headers
+  * `cpp/include/nvtext/`): tokenize/count_tokens (tokenize.hpp:61,97),
+  * character n-grams (generate_ngrams.hpp:89), jaccard_index
+  * (jaccard.hpp:73), edit_distance (edit_distance.hpp:62), plus the
+  * large-scale pipeline text analyses (language id, quality scoring,
+  * document fingerprinting) this engine adds for LLM data work.
+  *
+  * Everything here is per-row or blocked-pairwise — no O(n²) against the
+  * full corpus; pairings are key-local so the joins shuffle on small keys.
+  */
+object TextOps {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** tokenize + count_tokens (tokenize.hpp:61,97). */
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_tokens"),
+        size(array_distinct(toks(col("text")))).as("n_unique_tokens"),
+        length(col("text")).as("n_chars_computed"))
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+      |  length(text) AS n_chars_computed
+      |FROM documents""".stripMargin
+
+  /** generate_character_ngrams (generate_ngrams.hpp:89): distinct char
+    * 3-grams per document (over a bounded prefix).
+    */
+  private def charNgrams(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("t"))
+      .select(
+        col("doc_id"),
+        expr(
+          "size(array_distinct(transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))))")
+          .as("n_distinct_3grams"),
+        expr("transform(sequence(1, 3), i -> substring(t, i, 3))").as("first_3grams"))
+
+  private val charNgramsSql =
+    """SELECT doc_id,
+      |  len(list_distinct(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+      |      i -> substring(t, i, 3)))) AS n_distinct_3grams,
+      |  list_transform(range(1, 4), i -> substring(t, i, 3)) AS first_3grams
+      |FROM (SELECT doc_id, substring(text, 1, 80) AS t FROM documents)
+      |""".stripMargin
+
+  /** word n-grams (generate_ngrams.hpp:59 / ngrams_tokenize.hpp:80):
+    * bigrams of the first tokens, joined with '_'.
+    */
+  private def wordNgrams(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), slice(toks(col("text")), 1, 12).as("tk"))
+      .select(
+        col("doc_id"),
+        expr(
+          "transform(sequence(1, greatest(size(tk) - 1, 0)), i -> concat(tk[i - 1], '_', tk[i]))")
+          .as("bigrams"))
+
+  private val wordNgramsSql =
+    """SELECT doc_id,
+      |  list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+      |                 i -> concat(tk[i], '_', tk[i + 1])) AS bigrams
+      |FROM (SELECT doc_id, (string_split(text, ' '))[1:12] AS tk
+      |      FROM documents)""".stripMargin
+
+  /** document fingerprint (rolling polynomial hash over a bounded prefix;
+    * cf. hash_character_ngrams generate_ngrams.hpp:125) — pure integer
+    * fold, bit-identical in any engine.
+    */
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("t"))
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))),
+            |  CAST(0 AS BIGINT),
+            |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin)
+          .as("fingerprint"))
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(t) + 1),
+      |                     i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+      |FROM (SELECT doc_id, substring(text, 1, 64) AS t FROM documents)
+      |""".stripMargin
+
+  /** quality scoring for LLM pipelines: length/stopword/char-class ratios
+    * and a composite score (integer counts + one IEEE formula).
+    */
+  private def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        expr(s"size(filter(tk, t -> t IN (${stop.map("'" + _ + "'").mkString(",")})))")
+          .as("n_stopwords"),
+        expr("size(filter(tk, t -> length(t) <= 2))").as("n_short_tokens"),
+        (col("n_chars").cast(DoubleType) / size(col("tk"))).as("avg_token_len"))
+      .withColumn(
+        "quality",
+        (col("n_stopwords").cast(DoubleType) / col("n_tokens")) * 0.5 +
+          (lit(1d) - col("n_short_tokens").cast(DoubleType) / col("n_tokens")) * 0.5)
+  }
+
+  private val qualityScoreSql = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+      .map("'" + _ + "'").mkString(",")
+    s"""SELECT doc_id, n_tokens, n_stopwords, n_short_tokens, avg_token_len,
+       |  (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.5 +
+       |  (1.0 - CAST(n_short_tokens AS DOUBLE) / n_tokens) * 0.5 AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    len(tk) AS n_tokens,
+       |    len(list_filter(tk, t -> t IN ($stop))) AS n_stopwords,
+       |    len(list_filter(tk, t -> length(t) <= 2)) AS n_short_tokens,
+       |    CAST(n_chars AS DOUBLE) / len(tk) AS avg_token_len
+       |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+       |        FROM documents))""".stripMargin
+  }
+
+  /** language-id heuristic (stopword-profile scoring — the n-gram
+    * heuristic of large-scale pipeline langid, deterministic integer
+    * scores + fixed tie-break order).
+    */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+      "de" -> Seq("der", "und", "die", "das", "ein", "ist", "nicht"))
+    val base = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+    val scored = profiles.foldLeft(base) { case (df, (code, words)) =>
+      df.withColumn(
+        s"score_$code",
+        expr(s"size(filter(tk, t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"))
+    }
+    scored.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      col("score_en"),
+      col("score_fr"),
+      col("score_de"),
+      when(col("score_en") >= col("score_fr") && col("score_en") >= col("score_de"), "en")
+        .when(col("score_fr") >= col("score_de"), "fr")
+        .otherwise("de").as("predicted_lang"))
+  }
+
+  private val langIdSql = {
+    def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(",")
+    val en = inList(Seq("the", "a", "of", "and", "to", "in", "is"))
+    val fr = inList(Seq("le", "la", "et", "les", "des", "un", "est"))
+    val de = inList(Seq("der", "und", "die", "das", "ein", "ist", "nicht"))
+    s"""SELECT doc_id, lang AS labeled_lang, score_en, score_fr, score_de,
+       |  CASE WHEN score_en >= score_fr AND score_en >= score_de THEN 'en'
+       |       WHEN score_fr >= score_de THEN 'fr'
+       |       ELSE 'de' END AS predicted_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(tk, t -> t IN ($en))) AS score_en,
+       |    len(list_filter(tk, t -> t IN ($fr))) AS score_fr,
+       |    len(list_filter(tk, t -> t IN ($de))) AS score_de
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+       |        FROM documents))""".stripMargin
+  }
+
+  /** edit_distance (edit_distance.hpp:62) on adjacent-id doc pairs —
+    * blocked pairing, not an O(n²) matrix.
+    */
+  private def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val a = d.select(col("doc_id").as("id_a"), substring(col("text"), 1, 40).as("ta"))
+    val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      substring(col("text"), 1, 40).as("tb"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"), levenshtein(col("ta"), col("tb")).as("edit_dist"))
+  }
+
+  private val editDistancePairsSql =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40))
+      |    AS edit_dist
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin
+
+  /** jaccard_index (jaccard.hpp:73) on token sets of adjacent-id pairs. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val a = d.select(col("doc_id").as("id_a"), toks(col("text")).as("ta"))
+    val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      toks(col("text")).as("tb"))
+    a.join(b, "id_a")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("ta"), col("tb"))).cast(DoubleType) /
+          size(array_union(col("ta"), col("tb")))).as("jaccard"))
+  }
+
+  private val jaccardPairsSql =
+    """SELECT id_a, id_b,
+      |  CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+      |    len(list_distinct(ta || tb)) AS jaccard
+      |FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    string_split(a.text, ' ') AS ta, string_split(b.text, ' ') AS tb
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+      |""".stripMargin
+
+  /** normalize_spaces (normalize.hpp:55) + token filtering
+    * (replace.hpp:136): drop short tokens, rebuild the string.
+    */
+  private def normalizeFilterTokens(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("normalized"))
+      .select(
+        col("doc_id"),
+        expr("array_join(filter(split(normalized, ' '), t -> length(t) > 2), ' ')")
+          .as("filtered_text"))
+
+  private val normalizeFilterTokensSql =
+    """SELECT doc_id,
+      |  array_to_string(
+      |    list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+      |                t -> length(t) > 2), ' ') AS filtered_text
+      |FROM documents""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "text_token_count" -> Q(tokenCount _, tokenCountSql),
+    "text_char_ngrams" -> Q(charNgrams _, charNgramsSql),
+    "text_word_ngrams" -> Q(wordNgrams _, wordNgramsSql),
+    "text_fingerprint" -> Q(fingerprint _, fingerprintSql),
+    "text_quality_score" -> Q(qualityScore _, qualityScoreSql),
+    "text_lang_id" -> Q(langId _, langIdSql),
+    "text_edit_distance" -> Q(editDistancePairs _, editDistancePairsSql),
+    "text_jaccard_pairs" -> Q(jaccardPairs _, jaccardPairsSql),
+    "text_normalize_filter" -> Q(normalizeFilterTokens _, normalizeFilterTokensSql)
+  )
+}
