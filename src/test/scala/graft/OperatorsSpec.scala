@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden/property tests for the operators whose queries have no SQL
+  * oracle (driver records rows-only): sketches, Spark-native hashes,
+  * MinHash/SimHash/ANN. Mirrors the reference's per-operator test style
+  * (`cpp/tests/<op>/`, `python/cudf/cudf/tests/`).
+  */
+class OperatorsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("approx_count_distinct is within 10% of exact") {
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
+    val exact = queries.Aggregates
+      .queries("agg_count_distinct")
+      .fn(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("nunique_part"))
+      .toMap
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val ex = exact(flag).toDouble
+      assert(math.abs(approx - ex) / ex < 0.10, s"flag=$flag approx=$approx exact=$ex")
+    }
+  }
+
+  test("spark-native hashes are deterministic and distinct per input") {
+    val a = SparkEntry.queries("hash_spark_native")(spark, sf).collect()
+    val b = SparkEntry.queries("hash_spark_native")(spark, sf).collect()
+    assert(a.map(_.toSeq).sameElements(b.map(_.toSeq)))
+    val xxh = a.map(_.getAs[Long]("xxh64"))
+    assert(xxh.distinct.length > xxh.length / 2)
+  }
+
+  test("minhash signatures are a pure function of the text") {
+    // same text through two plan shapes (direct vs re-shuffled) must yield
+    // byte-identical signatures — no plan-dependent nondeterminism
+    val direct = SparkEntry.queries("dedup_minhash_sig")(spark, sf)
+    val reshuffled = Tables
+      .documents(spark, sf)
+      .repartition(7, col("source"))
+      .select(col("doc_id"), queries.LlmOps.shingles3("text").as("tk"))
+      .select(col("doc_id"), queries.LlmOps.minhashSig(16).as("minhash2"))
+    val diff = direct
+      .join(reshuffled, "doc_id")
+      .filter(col("minhash") =!= col("minhash2"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("minhash-LSH candidates have genuinely high exact shingle jaccard") {
+    val cands = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+    assert(cands.nonEmpty, "LSH should find near-dup candidates")
+    val shingleMap = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), queries.LlmOps.shingles3("text").as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .toMap
+    val exacts = cands.map { r =>
+      val (a, b) = (shingleMap(r.getLong(0)), shingleMap(r.getLong(1)))
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    // every >=0.75-estimated pair should be a true near-dup
+    assert(exacts.forall(_ >= 0.5), s"min exact jaccard = ${exacts.min}")
+  }
+
+  test("ann lsh buckets partition all vectors into <=256 buckets") {
+    val rows = SparkEntry.queries("sim_ann_lsh_buckets")(spark, sf).collect()
+    assert(rows.length <= 256)
+    val total = rows.map(_.getAs[Long]("n_vectors")).sum
+    assert(total == Tables.embeddings(spark, sf).count())
+  }
+
+  test("cosine top-k matches a driver-side brute force on sf0.001") {
+    val got = SparkEntry
+      .queries("sim_cosine_topk")(spark, sf)
+      .collect()
+      .map(_.getLong(0))
+    val all = Tables.embeddings(spark, sf).collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = all
+      .filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10)
+      .map(_._1)
+    assert(got.sameElements(expected))
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val sh = SparkEntry.queries("dedup_simhash")(spark, sf)
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val joined = pairs
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .collect()
+    assert(joined.nonEmpty)
+    val avgHamming = joined.map(_.getAs[Int]("hamming").toDouble).sum / joined.length
+    assert(avgHamming <= 16, s"avg hamming $avgHamming")
+  }
+}
