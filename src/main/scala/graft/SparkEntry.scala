@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Aggregates, Functions, LlmOps, Ndsh, Relational, TextOps, Windows}
+import graft.queries.{Aggregates, CustomExprs, Functions, LlmOps, Ndsh, Relational, TextOps, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   def registry: Map[String, Q] =
     Ndsh.queries ++ Relational.queries ++ Aggregates.queries ++
       Windows.queries ++ Functions.queries ++ TextOps.queries ++
-      LlmOps.queries
+      LlmOps.queries ++ CustomExprs.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

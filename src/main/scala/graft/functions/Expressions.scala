@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the reference operators Spark lacks
+  * (SURVEY §2.8 gap list). Each is a native `Expression` (evaluated on
+  * UTF8String/primitive values inside the codegen pipeline via
+  * CodegenFallback) — faster than a Scala UDF: no row boxing, null
+  * handling from `nullSafeEval`, usable from SQL via registration in
+  * [[GraftFunctions.register]].
+  */
+object ExprUtil {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def col(e: Expression): Column = ColumnBridge.column(e)
+  def expr(c: Column): Expression = ColumnBridge.expression(c)
+}
+
+/** swapcase (reference `cpp/include/cudf/strings/case.hpp:83`). */
+case class SwapCase(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      out.append(
+        if (Character.isUpperCase(c)) Character.toLowerCase(c)
+        else if (Character.isLowerCase(c)) Character.toUpperCase(c)
+        else c)
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): SwapCase = copy(c)
+}
+
+/** is_title (reference `strings/capitalize.hpp:123`): every alpha-run
+  * starts uppercase and continues lowercase.
+  */
+case class IsTitle(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var sawCased = false
+    var inWord = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        if (!inWord) {
+          if (!Character.isUpperCase(c)) return false
+          sawCased = true
+        } else if (!Character.isLowerCase(c)) return false
+        inWord = true
+      } else inWord = false
+      i += 1
+    }
+    sawCased
+  }
+  override protected def withNewChildInternal(c: Expression): IsTitle = copy(c)
+}
+
+/** xxhash_32 (reference `cpp/include/cudf/hashing.hpp:183`, seed-able).
+  * Standard XXH32 over the string's UTF-8 bytes.
+  */
+case class XxHash32Expr(child: Expression, seed: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    XxHash32Expr.hash(bytes, seed)
+  }
+  override protected def withNewChildInternal(c: Expression): XxHash32Expr =
+    copy(child = c)
+}
+
+object XxHash32Expr {
+  private val P1 = -1640531535 // 2654435761
+  private val P2 = -2048144777 // 2246822519
+  private val P3 = -1028477379 // 3266489917
+  private val P4 = 668265263
+  private val P5 = 374761393
+
+  /** Reference XXH32 (xxhash.h algorithm, public domain spec). */
+  def hash(data: Array[Byte], seed: Int): Int = {
+    val len = data.length
+    var idx = 0
+    var h: Int =
+      if (len >= 16) {
+        var v1 = seed + P1 + P2
+        var v2 = seed + P2
+        var v3 = seed
+        var v4 = seed - P1
+        while (idx <= len - 16) {
+          v1 = round(v1, getInt(data, idx)); idx += 4
+          v2 = round(v2, getInt(data, idx)); idx += 4
+          v3 = round(v3, getInt(data, idx)); idx += 4
+          v4 = round(v4, getInt(data, idx)); idx += 4
+        }
+        Integer.rotateLeft(v1, 1) + Integer.rotateLeft(v2, 7) +
+          Integer.rotateLeft(v3, 12) + Integer.rotateLeft(v4, 18)
+      } else seed + P5
+    h += len
+    while (idx <= len - 4) {
+      h += getInt(data, idx) * P3
+      h = Integer.rotateLeft(h, 17) * P4
+      idx += 4
+    }
+    while (idx < len) {
+      h += (data(idx) & 0xff) * P5
+      h = Integer.rotateLeft(h, 11) * P1
+      idx += 1
+    }
+    h ^= h >>> 15
+    h *= P2
+    h ^= h >>> 13
+    h *= P3
+    h ^= h >>> 16
+    h
+  }
+  private def round(acc: Int, input: Int): Int =
+    Integer.rotateLeft(acc + input * P2, 13) * P1
+  private def getInt(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+}
+
+/** rsplit (reference `strings/split/split.hpp:84`): split from the right
+  * with at most `maxSplits` splits, like Python `str.rsplit(sep, n)`.
+  */
+case class RSplit(left: Expression, right: Expression, maxSplits: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(str: Any, sep: Any): Any = {
+    val s = str.asInstanceOf[UTF8String].toString
+    val d = sep.asInstanceOf[UTF8String].toString
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rest = s
+    var splits = 0
+    while ((maxSplits < 0 || splits < maxSplits) && {
+        val i = rest.lastIndexOf(d); i >= 0
+      }) {
+      val i = rest.lastIndexOf(d)
+      parts += rest.substring(i + d.length)
+      rest = rest.substring(0, i)
+      splits += 1
+    }
+    parts += rest
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      parts.reverse.map(UTF8String.fromString).toArray)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RSplit =
+    copy(left = l, right = r)
+}
+
+/** porter_stemmer_measure (reference `cpp/include/nvtext/stemmer.hpp:80`):
+  * the number of VC sequences in the word's CV pattern ('y' is a vowel
+  * after a consonant).
+  */
+case class PorterMeasure(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+    var measure = 0
+    var prevVowel = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isVowel = "aeiou".indexOf(c) >= 0 || (c == 'y' && i > 0 && !prevVowel)
+      if (!isVowel && prevVowel) measure += 1
+      prevVowel = isVowel
+      i += 1
+    }
+    measure
+  }
+  override protected def withNewChildInternal(c: Expression): PorterMeasure = copy(c)
+}
+
+/** Column-API + SQL registration for the custom expressions. */
+object GraftFunctions {
+  import ExprUtil.col
+
+  import ExprUtil.expr
+
+  def swapcase(c: Column): Column = col(SwapCase(expr(c)))
+  def is_title(c: Column): Column = col(IsTitle(expr(c)))
+  def xxhash32(c: Column, seed: Int = 0): Column = col(XxHash32Expr(expr(c), seed))
+  def rsplit(c: Column, sep: Column, maxSplits: Int = -1): Column =
+    col(RSplit(expr(c), expr(sep), maxSplits))
+  def porter_measure(c: Column): Column = col(PorterMeasure(expr(c)))
+
+  /** Register all custom functions for SQL use (`SELECT swapcase(x) …`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("swapcase", es => SwapCase(es.head), "built-in")
+    reg.createOrReplaceTempFunction("is_title", es => IsTitle(es.head), "built-in")
+    reg.createOrReplaceTempFunction("xxhash32", es => XxHash32Expr(es.head, 0), "built-in")
+    reg.createOrReplaceTempFunction("porter_measure", es => PorterMeasure(es.head), "built-in")
+  }
+}

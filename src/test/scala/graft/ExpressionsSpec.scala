@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.{GraftFunctions, XxHash32Expr}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for custom Catalyst expressions (reference per-operator
+  * style: `cpp/tests/strings/`, `cpp/tests/text/`).
+  */
+class ExpressionsSpec extends AnyFunSuite {
+  import TestSpark._
+  import GraftFunctions._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c.as("v")).head().getAs[T]("v")
+
+  test("swapcase golden") {
+    assert(one[String](swapcase(lit("Hello World 123"))) == "hELLO wORLD 123")
+    assert(one[String](swapcase(lit(""))) == "")
+    assert(one[String](swapcase(lit("ABC def"))) == "abc DEF")
+  }
+
+  test("is_title golden") {
+    assert(one[Boolean](is_title(lit("Hello World"))))
+    assert(!one[Boolean](is_title(lit("Hello world"))))
+    assert(!one[Boolean](is_title(lit("hello World"))))
+    assert(!one[Boolean](is_title(lit("HELLO"))))
+    assert(!one[Boolean](is_title(lit("123"))))
+    // digits break the alpha run: 'b' starts a new run lowercase (matches
+    // Python str.istitle)
+    assert(!one[Boolean](is_title(lit("A1b Ok"))))
+    assert(one[Boolean](is_title(lit("A1B Ok"))))
+  }
+
+  test("xxhash32 matches the XXH32 reference vectors") {
+    // canonical vectors from the xxHash spec (github.com/Cyan4973/xxHash)
+    assert(XxHash32Expr.hash(Array.emptyByteArray, 0) == 0x02cc5d05)
+    assert(XxHash32Expr.hash("a".getBytes("UTF-8"), 0) == 0x550d7456)
+    assert(XxHash32Expr.hash("abc".getBytes("UTF-8"), 0) == 0x32d153ff)
+    assert(one[Int](xxhash32(lit("abc"))) == 0x32d153ff)
+  }
+
+  test("rsplit golden (python str.rsplit semantics)") {
+    def rs(s: String, sep: String, n: Int): Seq[String] =
+      one[scala.collection.Seq[String]](rsplit(lit(s), lit(sep), n)).toSeq
+    assert(rs("a b c d", " ", 1) == Seq("a b c", "d"))
+    assert(rs("a b c d", " ", 2) == Seq("a b", "c", "d"))
+    assert(rs("a b c", " ", -1) == Seq("a", "b", "c"))
+    assert(rs("abc", " ", 1) == Seq("abc"))
+    assert(rs("x--y--z", "--", 1) == Seq("x--y", "z"))
+  }
+
+  test("porter measure golden (m of CV pattern)") {
+    // examples from the Porter stemmer paper: tr=0, ee=0, tree=0, by=0,
+    // trouble=1, oats=1, trees=1, ivy=1, troubles=2, private=2
+    val cases = Map(
+      "tr" -> 0, "ee" -> 0, "tree" -> 0, "by" -> 0,
+      "trouble" -> 1, "oats" -> 1, "trees" -> 1, "ivy" -> 1,
+      "troubles" -> 2, "private" -> 2, "oaten" -> 2)
+    cases.foreach { case (w, m) =>
+      assert(one[Int](porter_measure(lit(w))) == m, s"word=$w")
+    }
+  }
+
+  test("custom expressions run distributed over the part table") {
+    val rows = SparkEntry.queries("custom_string_exprs")(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val swapped = r.getAs[String]("swapped")
+      assert(swapped == swapped.toUpperCase || r.getAs[Boolean]("title_after_initcap"))
+    }
+  }
+
+  test("sql registration exposes the functions") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT swapcase('aB') AS s, xxhash32('abc') AS h, " +
+      "is_title('Ok Then') AS t, porter_measure('trouble') AS m").head()
+    assert(r.getAs[String]("s") == "Ab")
+    assert(r.getAs[Int]("h") == 0x32d153ff)
+    assert(r.getAs[Boolean]("t"))
+    assert(r.getAs[Int]("m") == 1)
+  }
+
+  test("ewma aggregator matches hand-computed recurrence") {
+    val e = agg.Ewma(0.5)
+    val df = spark
+      .createDataFrame(Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0)))
+      .toDF("k", "o", "v")
+    val got = df.groupBy(col("k")).agg(e(col("o"), col("v")).as("ewma")).head().getAs[Double]("ewma")
+    // adjust=true: (3 + 2*0.5 + 1*0.25) / (1 + 0.5 + 0.25) = 4.25/1.75
+    assert(math.abs(got - 4.25 / 1.75) < 1e-12)
+  }
+
+  test("ewma is order-insensitive on input (sorts by order key)") {
+    val e = agg.Ewma(0.5)
+    val df = spark
+      .createDataFrame(Seq((1L, 3L, 3.0), (1L, 1L, 1.0), (1L, 2L, 2.0)))
+      .repartition(3)
+      .toDF("k", "o", "v")
+    val got = df.groupBy(col("k")).agg(e(col("o"), col("v")).as("ewma")).head().getAs[Double]("ewma")
+    assert(math.abs(got - 4.25 / 1.75) < 1e-12)
+  }
+}
