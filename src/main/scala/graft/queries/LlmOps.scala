@@ -45,20 +45,34 @@ object LlmOps {
     expr(s"array(${hashes.mkString(",")})")
   }
 
-  /** Distinct word-3-gram shingles — the discriminative unit for MinHash
-    * (unigram token sets are near-identical under a small vocabulary).
+  /** Distinct word-3-gram shingles over an already-materialized token
+    * array column — the discriminative unit for MinHash (unigram token
+    * sets are near-identical under a small vocabulary).
+    *
+    * Callers must project the tokens into their own column first
+    * (see [[withShingles]]): referencing `split(text)` inside the lambda
+    * would re-split the text per element — O(tokens²) per document,
+    * measured ~20× slower at sf0.1. A multi-referenced alias survives
+    * CollapseProject, so the split really runs once per row.
     */
+  private[graft] def shinglesOfToks(toks: Column): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+        i => concat_ws("_", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+
+  /** documents → (doc_id, tk = distinct 3-gram shingles), split run once. */
+  private[graft] def withShingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shinglesOfToks(col("toks")).as("tk"))
+
+  /** Back-compat helper for specs: shingles of a text column (two-step). */
   private[graft] def shingles3(textCol: String): Column =
-    array_distinct(expr(
-      s"""transform(sequence(1, greatest(size(split($textCol, ' ')) - 2, 0)),
-         |  i -> concat(split($textCol, ' ')[i - 1], '_',
-         |              split($textCol, ' ')[i], '_',
-         |              split($textCol, ' ')[i + 1]))""".stripMargin))
+    shinglesOfToks(split(col(textCol), " "))
 
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(s, dir)
-      .select(col("doc_id"), shingles3("text").as("tk"))
+    withShingles(Tables.documents(s, dir))
       .select(col("doc_id"), minhashSig(16).as("minhash"))
 
   /** MinHash-LSH near-dup candidate pairs: 4 bands × 4 rows; docs sharing
@@ -66,9 +80,7 @@ object LlmOps {
     * fraction. Scales as O(n · bands) shuffle on band keys.
     */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables
-      .documents(s, dir)
-      .select(col("doc_id"), shingles3("text").as("tk"))
+    val sigs = withShingles(Tables.documents(s, dir))
       .select(col("doc_id"), minhashSig(16).as("mh"))
     val banded = sigs
       .select(
@@ -94,7 +106,7 @@ object LlmOps {
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
-      .select(col("doc_id"), shingles3("text").as("tk"))
+      .transform(withShingles)
       .select(
         col("doc_id"),
         expr(
@@ -117,10 +129,12 @@ object LlmOps {
         col("doc_id"),
         col("lang"),
         (col("n_chars") / 100).cast(IntegerType).as("len_bucket"),
-        array_distinct(expr(
-          """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
-            |  i -> concat(split(text, ' ')[i - 1], '_', split(text, ' ')[i], '_', split(text, ' ')[i + 1]))
-            |""".stripMargin)).as("g3"))
+        split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("len_bucket"),
+        shinglesOfToks(col("toks")).as("g3"))
     val a = grams.select(col("lang"), col("len_bucket"), col("doc_id").as("id_a"), col("g3").as("ga"))
     val b = grams.select(col("lang"), col("len_bucket"), col("doc_id").as("id_b"), col("g3").as("gb"))
     a.join(b, Seq("lang", "len_bucket"))
