@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** String↔value conversions and remaining §2.8 surface
+  * (`cpp/include/cudf/strings/convert/convert_{booleans,floats,integers,
+  * ipv4,urls}.hpp`, `combine.hpp:77`, `find_multiple.hpp:58`,
+  * `translate.hpp:55`; datetime ceil/round `datetime.hpp:268-302`;
+  * dictionary encode `transform.hpp:149` / `dictionary/encode.hpp:59`).
+  */
+object Conversions {
+
+  /** to/from integers, floats, booleans + try-cast validators
+    * (convert_integers.hpp, convert_floats.hpp, convert_booleans.hpp,
+    * is_* validators → try_cast IS NOT NULL).
+    */
+  private def castRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").cast(StringType).as("key_str"),
+        col("o_orderkey").cast(StringType).cast(LongType).as("key_back"),
+        col("o_totalprice").cast(StringType).cast(DoubleType).as("price_back"),
+        when(col("o_orderstatus") === "F", "true").otherwise("false")
+          .cast(BooleanType).as("bool_from_str"),
+        try_to_number(concat(lit("12"), col("o_orderkey").cast(StringType)), lit("999999999"))
+          .cast(LongType).as("parsed_num"),
+        expr("try_cast(o_orderpriority AS INT)").isNotNull.as("is_numeric"))
+
+  private val castRoundtripSql =
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey AS VARCHAR) AS key_str,
+      |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+      |  CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price_back,
+      |  CAST(CASE WHEN o_orderstatus = 'F' THEN 'true' ELSE 'false' END
+      |    AS BOOLEAN) AS bool_from_str,
+      |  try_cast('12' || CAST(o_orderkey AS VARCHAR) AS BIGINT) AS parsed_num,
+      |  try_cast(o_orderpriority AS INT) IS NOT NULL AS is_numeric
+      |FROM orders""".stripMargin
+
+  /** integers ↔ IPv4 dotted-quad (convert_ipv4.hpp) via pure integer
+    * arithmetic — portable to any engine.
+    */
+  private def ipv4Conv(s: SparkSession, dir: String): DataFrame = {
+    val ip = col("c_custkey") * 2654435761L % 4294967296L
+    Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), ip.as("ip_int"))
+      .select(
+        col("c_custkey"),
+        col("ip_int"),
+        concat_ws(".",
+          (col("ip_int") / 16777216).cast(LongType),
+          (col("ip_int") / 65536 % 256).cast(LongType),
+          (col("ip_int") / 256 % 256).cast(LongType),
+          (col("ip_int") % 256).cast(LongType)).as("ip_str"))
+  }
+
+  private val ipv4ConvSql =
+    """SELECT c_custkey, ip_int,
+      |  concat_ws('.', CAST(ip_int // 16777216 AS BIGINT),
+      |                 CAST(ip_int // 65536 % 256 AS BIGINT),
+      |                 CAST(ip_int // 256 % 256 AS BIGINT),
+      |                 CAST(ip_int % 256 AS BIGINT)) AS ip_str
+      |FROM (SELECT c_custkey,
+      |        c_custkey * 2654435761 % 4294967296 AS ip_int
+      |      FROM customer)""".stripMargin
+
+  /** URL component extraction (convert_urls.hpp / parse_url) via
+    * dialect-neutral regex.
+    */
+  private def urlParse(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id").cast(StringType), lit("?lang="), col("lang")).as("url"))
+      .select(
+        col("doc_id"),
+        col("url"),
+        regexp_extract(col("url"), "^([a-z]+)://", 1).as("scheme"),
+        regexp_extract(col("url"), "://([^/]+)/", 1).as("host"),
+        regexp_extract(col("url"), "://[^/]+(/[^?]*)", 1).as("path"),
+        regexp_extract(col("url"), "\\?lang=([a-z]+)", 1).as("query_lang"))
+
+  private val urlParseSql =
+    """SELECT doc_id, url,
+      |  regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+      |  regexp_extract(url, '://([^/]+)/', 1) AS host,
+      |  regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+      |  regexp_extract(url, '\?lang=([a-z]+)', 1) AS query_lang
+      |FROM (SELECT doc_id,
+      |        'https://' || source || '.example.com/docs/' ||
+      |        CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      |      FROM documents)""".stripMargin
+
+  /** join_strings (combine.hpp:77: column → one string per group) +
+    * translate (translate.hpp:55) + find_multiple (find_multiple.hpp:58).
+    */
+  private def combineFind(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        array_join(sort_array(collect_set(col("source"))), ",").as("sources_joined"),
+        count(lit(1)).as("n_docs"))
+
+  private val combineFindSql =
+    """SELECT lang,
+      |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources_joined,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY lang""".stripMargin
+
+  private def translateFilter(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(s, dir)
+      .select(
+        col("p_partkey"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("translated"),
+        regexp_replace(col("p_name"), "[^a-z]", "").as("letters_only"),
+        expr("transform(array('a', 'e', 'gear'), sub -> instr(p_name, sub))")
+          .as("find_positions"))
+
+  private val translateFilterSql =
+    """SELECT p_partkey,
+      |  translate(p_name, 'aeiou', 'AEIOU') AS translated,
+      |  regexp_replace(p_name, '[^a-z]', '', 'g') AS letters_only,
+      |  list_transform(['a', 'e', 'gear'], sub -> instr(p_name, sub))
+      |    AS find_positions
+      |FROM part""".stripMargin
+
+  /** datetime ceil/floor/round to month (datetime.hpp:268-302): floor =
+    * date_trunc; ceil = floor + 1 month unless already aligned; round by
+    * mid-month comparison — identical CASE logic in both engines.
+    */
+  private def dtCeilRound(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("floor_month"),
+        when(date_trunc("month", col("o_orderdate")) === col("o_orderdate"),
+          col("o_orderdate"))
+          .otherwise(add_months(date_trunc("month", col("o_orderdate")), 1))
+          .cast(DateType).as("ceil_month"),
+        when(dayofmonth(col("o_orderdate")) <= 15,
+          date_trunc("month", col("o_orderdate")))
+          .otherwise(add_months(date_trunc("month", col("o_orderdate")), 1))
+          .cast(DateType).as("round_month"))
+
+  private val dtCeilRoundSql =
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS floor_month,
+      |  CAST(CASE WHEN date_trunc('month', o_orderdate) = o_orderdate
+      |       THEN o_orderdate
+      |       ELSE date_trunc('month', o_orderdate) + INTERVAL 1 MONTH
+      |       END AS DATE) AS ceil_month,
+      |  CAST(CASE WHEN day(o_orderdate) <= 15
+      |       THEN date_trunc('month', o_orderdate)
+      |       ELSE date_trunc('month', o_orderdate) + INTERVAL 1 MONTH
+      |       END AS DATE) AS round_month
+      |FROM orders""".stripMargin
+
+  /** dictionary encode (transform.hpp:149, dictionary/encode.hpp:59):
+    * value → dense integer code via a ranked dimension table join —
+    * the distributed form of dictionary encoding.
+    */
+  private def dictEncode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = Tables
+      .part(s, dir)
+      .select(col("p_type")).distinct()
+      .withColumn("type_code",
+        row_number().over(Window.orderBy(col("p_type"))) - 1)
+    Tables
+      .part(s, dir)
+      .join(broadcast(dict), "p_type")
+      .select(col("p_partkey"), col("p_type"), col("type_code"))
+  }
+
+  private val dictEncodeSql =
+    """SELECT p_partkey, p_type, type_code
+      |FROM part JOIN (
+      |  SELECT p_type, row_number() OVER (ORDER BY p_type) - 1 AS type_code
+      |  FROM (SELECT DISTINCT p_type FROM part)) d
+      |USING (p_type)""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "conv_cast_roundtrip" -> Q(castRoundtrip _, castRoundtripSql),
+    "conv_ipv4" -> Q(ipv4Conv _, ipv4ConvSql),
+    "conv_url_parse" -> Q(urlParse _, urlParseSql),
+    "str_join_strings" -> Q(combineFind _, combineFindSql),
+    "str_translate_find" -> Q(translateFilter _, translateFilterSql),
+    "dt_ceil_round" -> Q(dtCeilRound _, dtCeilRoundSql),
+    "dict_encode" -> Q(dictEncode _, dictEncodeSql)
+  )
+}

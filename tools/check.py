@@ -77,7 +77,12 @@ def main():
     n_pass = n_fail = n_noracle = 0
     results = sorted(p.name for p in out_dir.iterdir() if p.is_dir())
     for name in results:
-        got = canon(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        try:
+            got = canon(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        except Exception as e:
+            n_fail += 1
+            print(f"FAIL [result-unreadable] {name}: {e}")
+            continue
         if name not in oracle:
             n_noracle += 1
             print(f"  [no-oracle] {name}: {len(got)} rows")
