@@ -196,6 +196,8 @@ object GraftFunctions {
   def rsplit(c: Column, sep: Column, maxSplits: Int = -1): Column =
     col(RSplit(expr(c), expr(sep), maxSplits))
   def porter_measure(c: Column): Column = col(PorterMeasure(expr(c)))
+  def murmur3_128(c: Column, seed: Long = 0L): Column =
+    col(Murmur3x64_128(expr(c), seed))
 
   /** Register all custom functions for SQL use (`SELECT swapcase(x) …`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -204,5 +206,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("is_title", es => IsTitle(es.head), "built-in")
     reg.createOrReplaceTempFunction("xxhash32", es => XxHash32Expr(es.head, 0), "built-in")
     reg.createOrReplaceTempFunction("porter_measure", es => PorterMeasure(es.head), "built-in")
+    reg.createOrReplaceTempFunction("murmur3_128", es => Murmur3x64_128(es.head, 0L), "built-in")
   }
 }

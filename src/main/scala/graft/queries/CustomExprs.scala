@@ -22,7 +22,8 @@ object CustomExprs {
         is_title(col("p_name")).as("title_raw"),
         xxhash32(col("p_name")).as("xxh32"),
         rsplit(col("p_name"), lit(" "), 1).as("rsplit_1"),
-        porter_measure(element_at(split(col("p_name"), " "), 1)).as("porter_m"))
+        porter_measure(element_at(split(col("p_name"), " "), 1)).as("porter_m"),
+        murmur3_128(col("p_name")).as("murmur128"))
 
   private def ewmaPerUser(s: SparkSession, dir: String): DataFrame = {
     val e = graft.agg.Ewma(0.2)

@@ -62,6 +62,25 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("murmur3_x64_128 matches independent-implementation vectors") {
+    // cross-checked against a separate Python implementation of the
+    // public MurmurHash3 spec (also matches the known mmh3 'hello'
+    // vector cbd8a7b341bd9b02/5b1e906a48ae1d19)
+    import graft.functions.Murmur3x64_128
+    assert(Murmur3x64_128.hash(Array.emptyByteArray, 0) == (0L, 0L))
+    assert(Murmur3x64_128.hash("hello".getBytes("UTF-8"), 0) ==
+      (0xcbd8a7b341bd9b02L, 0x5b1e906a48ae1d19L))
+    assert(Murmur3x64_128.hash("cudf".getBytes("UTF-8"), 0) ==
+      (6391769515072433929L, 6698223493866126805L))
+    assert(Murmur3x64_128.hash(
+      "The quick brown fox jumps over the lazy dog".getBytes("UTF-8"), 0) ==
+      (-2068352364225029268L, 8809951995912426311L))
+    assert(Murmur3x64_128.hash("a" * 16 getBytes "UTF-8", 0) ==
+      (-954455200256842034L, 7707615007234734402L))
+    val viaCol = one[scala.collection.Seq[Long]](murmur3_128(lit("cudf"))).toSeq
+    assert(viaCol == Seq(6391769515072433929L, 6698223493866126805L))
+  }
+
   test("custom expressions run distributed over the part table") {
     val rows = SparkEntry.queries("custom_string_exprs")(spark, sf).collect()
     assert(rows.length > 0)
