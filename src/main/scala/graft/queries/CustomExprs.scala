@@ -33,8 +33,35 @@ object CustomExprs {
       .agg(e(unix_micros(col("ts")), col("value")).as("ewma_value"))
   }
 
+  /** wordpiece subword tokenization (wordpiece_tokenize.hpp:114) with a
+    * corpus-derived broadcast vocab; rows-only (vocab is data-derived).
+    */
+  private def wordpieceTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = graft.functions.Wordpiece.buildVocab(docs, minFreq = 50)
+    graft.functions.Wordpiece
+      .tokenize(s, docs, vocab)
+      .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+        slice(col("pieces"), 1, 5).as("head_pieces"))
+  }
+
+  /** percentile_approx — the engine's t-digest stand-in (TDIGEST Kind,
+    * aggregation.hpp:121; Spark's GK sketch, tolerance documented).
+    */
+  private def percentileApprox(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+          .as("approx_p99_price"))
+
   def queries: Map[String, Q] = Map(
     "custom_string_exprs" -> Q(customStrings _, None),
-    "agg_ewma" -> Q(ewmaPerUser _, None)
+    "agg_ewma" -> Q(ewmaPerUser _, None),
+    "text_wordpiece" -> Q(wordpieceTokens _, None),
+    "agg_percentile_approx" -> Q(percentileApprox _, None)
   )
 }
