@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity-search library surface: brute-force cosine (correctness
+  * baseline), and an IVF (inverted-file) index as the 100 TB scale path —
+  * complementing the hyperplane-LSH bucketing in LlmOps.
+  *
+  * IVF: k centroids are chosen deterministically from the data (strided
+  * sample), broadcast, and every vector is assigned to its nearest
+  * centroid map-side. A query probes only the nProbe nearest cells —
+  * candidate set shrinks by ~k/nProbe without any full-corpus pass.
+  */
+object Similarity {
+
+  private def toDouble(c: Column): Column =
+    transform(c, x => x.cast(DoubleType))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0d), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k against one query vector (map-side score +
+    * TakeOrdered; zero shuffle of the corpus).
+    */
+  def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val q = e.filter(col("vec_id") === queryVecId).select(col("e").as("qe"))
+    e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("e"), col("qe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic IVF centroids: strided pick of nCells vectors. */
+  def centroids(emb: DataFrame, nCells: Int): DataFrame = {
+    val n = emb.count()
+    val stride = math.max(n / nCells, 1L)
+    emb
+      .filter(col("vec_id") % stride === 0)
+      .orderBy(col("vec_id"))
+      .limit(nCells)
+      .select(
+        (col("vec_id") / stride).cast(IntegerType).as("cell_id"),
+        toDouble(col("embedding")).as("centroid"))
+  }
+
+  /** Assign every vector to its nearest centroid (broadcast centroids,
+    * map-side argmax — one pass, no shuffle).
+    */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cell_id"),
+        cosine(col("e"), col("centroid")).as("sim"))
+      .withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cell_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell_id"), col("e"))
+  }
+
+  /** IVF query: probe the nProbe cells nearest to the query vector and
+    * rank candidates only within them.
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      assigned: DataFrame,
+      cents: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val q = assigned
+      .filter(col("vec_id") === queryVecId)
+      .select(col("e").as("qe"))
+    val probeCells = cents
+      .crossJoin(broadcast(q))
+      .select(col("cell_id"), cosine(col("centroid"), col("qe")).as("sim"))
+      .orderBy(col("sim").desc, col("cell_id"))
+      .limit(nProbe)
+      .select(col("cell_id"))
+    assigned
+      .filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probeCells), "cell_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("e"), col("qe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+}

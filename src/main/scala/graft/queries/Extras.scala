@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.{Agg, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Remaining inventory items: k-way sorted merge (merge.hpp:104),
+  * interleave_columns (reshape.hpp:53), crosstab (core/reshape.py:1398),
+  * backward fill (replace_policy::FOLLOWING), MERGE_LISTS
+  * (aggregation.hpp), sample (copying.hpp:848), reverse (copying.hpp:106).
+  */
+object Extras {
+
+  /** sorted k-way merge: union of pre-sorted slices, re-ordered on the
+    * merge key (Spark SMJ exploits existing order where it can).
+    */
+  private def mergeSorted(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val parts = Seq("F", "O", "P").map(st =>
+      o.filter(col("o_orderstatus") === st)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+    parts.reduce(_ unionByName _).orderBy(col("o_orderkey"))
+  }
+
+  private val mergeSortedSql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderstatus IN ('F', 'O', 'P')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** interleave_columns: row-wise interleave of N columns into one. */
+  private def interleave(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey"),
+        posexplode(array(col("c_acctbal"), col("c_nationkey").cast(DoubleType),
+          col("c_custkey").cast(DoubleType))).as(Seq("src_col", "val")))
+
+  private val interleaveSql =
+    """SELECT c_custkey, u.i - 1 AS src_col,
+      |  ([c_acctbal, CAST(c_nationkey AS DOUBLE), CAST(c_custkey AS DOUBLE)])[u.i]
+      |    AS val
+      |FROM customer, unnest(range(1, 4)) AS u(i)""".stripMargin
+
+  /** crosstab: counts contingency table (returnflag × linestatus). */
+  private def crosstabCounts(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+
+  private val crosstabCountsSql =
+    """SELECT l_returnflag,
+      |  coalesce(count(*) FILTER (l_linestatus = 'F'), 0) AS F,
+      |  coalesce(count(*) FILTER (l_linestatus = 'O'), 0) AS O
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** group-wise backward fill (groupby::replace_nulls FOLLOWING,
+    * replace_policy) via first(ignoreNulls) over the following frame.
+    */
+  private def groupBfill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts"),
+        when(col("value") < 30, null).otherwise(col("value")).as("v"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("v"),
+        first(col("v"), ignoreNulls = true).over(w).as("v_bfill"))
+  }
+
+  private val groupBfillSql =
+    """SELECT user_id, event_id, v,
+      |  first_value(v IGNORE NULLS) OVER w AS v_bfill
+      |FROM (SELECT user_id, event_id, ts,
+      |        CASE WHEN value < 30 THEN NULL ELSE value END AS v
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  /** MERGE_LISTS / MERGE_SETS: per-order token lists merged across a
+    * two-level aggregation (partial lists → flatten → final).
+    */
+  private def mergeLists(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_orderkey") < 200)
+      .groupBy(col("l_orderkey"), col("l_returnflag"))
+      .agg(collect_list(col("l_linenumber")).as("part_lists"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sort_array(flatten(collect_list(col("part_lists")))).as("merged_list"),
+        sort_array(array_distinct(flatten(collect_list(col("part_lists")))))
+          .as("merged_set"))
+
+  private val mergeListsSql =
+    """SELECT l_orderkey,
+      |  list_sort(flatten(list(part_lists))) AS merged_list,
+      |  list_sort(list_distinct(flatten(list(part_lists)))) AS merged_set
+      |FROM (SELECT l_orderkey, l_returnflag,
+      |        list(l_linenumber) AS part_lists
+      |      FROM lineitem WHERE l_orderkey < 200
+      |      GROUP BY l_orderkey, l_returnflag)
+      |GROUP BY l_orderkey""".stripMargin
+
+  /** sample (copying.hpp:848): seeded Bernoulli sample — engines use
+    * different RNGs, so the oracle is rows-only; determinism within the
+    * engine is what matters (asserted in spec).
+    */
+  private def sampleRows(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).sample(withReplacement = false, 0.1, seed = 42)
+
+  /** reverse (copying.hpp:106): last 100 rows in reverse key order. */
+  private def reverseRows(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .orderBy(col("o_orderkey").desc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  private val reverseRowsSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "merge_sorted" -> Q(mergeSorted _, mergeSortedSql),
+    "interleave_columns" -> Q(interleave _, interleaveSql),
+    "crosstab_counts" -> Q(crosstabCounts _, crosstabCountsSql),
+    "win_group_bfill" -> Q(groupBfill _, groupBfillSql),
+    "agg_merge_lists" -> Q(mergeLists _, mergeListsSql),
+    "sample_rows" -> Q(sampleRows _, None),
+    "reverse_rows" -> Q(reverseRows _, reverseRowsSql)
+  )
+}

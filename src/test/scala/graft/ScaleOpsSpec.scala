@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Similarity, Skew}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-path operators: salted join correctness, IVF ANN recall vs the
+  * brute-force baseline, partitioning surface.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    val plain = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+    val salted = Skew
+      .saltedJoin(li, o, "l_orderkey", "o_orderkey",
+        leftIdCols = Seq("l_orderkey", "l_linenumber", "l_partkey"),
+        buckets = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted join spreads a hot key over buckets") {
+    val li = Tables.lineitem(spark, sf)
+    val salts = li
+      .select(Skew.salt(Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")), 8).as("s"))
+      .groupBy(col("s")).count().collect()
+    assert(salts.length == 8)
+    val counts = salts.map(_.getLong(1).toDouble)
+    assert(counts.max / counts.min < 2.0, s"salt imbalance: ${counts.mkString(",")}")
+  }
+
+  test("IVF top-k has high recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val cents = Similarity.centroids(emb, 16).cache()
+    val assigned = Similarity.assignCells(emb, cents).cache()
+    assert(assigned.count() == emb.count())
+    val ivf = Similarity
+      .ivfTopK(spark, assigned, cents, 0L, 10, nProbe = 6)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall (ivf=$ivf brute=$brute)")
+  }
+
+  test("partitioning surface: hash, range, round-robin") {
+    val o = Tables.orders(spark, sf)
+    val hashed = o.repartition(8, col("o_custkey"))
+    assert(hashed.rdd.getNumPartitions == 8)
+    // same key → same partition
+    val perKey = hashed
+      .select(col("o_custkey"), spark_partition_id().as("pid"))
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("pid")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(perKey == 1)
+
+    val ranged = o.repartitionByRange(8, col("o_orderkey"))
+    // ranges are non-overlapping: per-partition max < next partition min
+    val bounds = ranged
+      .select(spark_partition_id().as("pid"), col("o_orderkey"))
+      .groupBy(col("pid"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .orderBy(col("lo"))
+      .collect()
+    bounds.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"))
+      case _ =>
+    }
+
+    val rr = o.repartition(8)
+    val sizes = rr
+      .groupBy(spark_partition_id()).count().collect().map(_.getLong(1).toDouble)
+    assert(sizes.max / sizes.min < 1.5)
+  }
+}
