@@ -7,11 +7,11 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the reference operators Spark lacks
-  * (SURVEY §2.8 gap list). Each is a native `Expression` (evaluated on
-  * UTF8String/primitive values inside the codegen pipeline via
-  * CodegenFallback) — faster than a Scala UDF: no row boxing, null
-  * handling from `nullSafeEval`, usable from SQL via registration in
-  * [[GraftFunctions.register]].
+  * (SURVEY §2.8 gap list). Scalar ones are codegen-native (`doGenCode`
+  * emits a static call inside whole-stage codegen — no row boxing, no
+  * codegen fences); array-returning ones use CodegenFallback. Null
+  * handling comes from `nullSafeEval`/`defineCodeGen`; all are usable
+  * from SQL via [[GraftFunctions.register]].
   */
 object ExprUtil {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -19,12 +19,23 @@ object ExprUtil {
   def expr(c: Column): Expression = ColumnBridge.expression(c)
 }
 
-/** swapcase (reference `cpp/include/cudf/strings/case.hpp:83`). */
-case class SwapCase(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** swapcase (reference `cpp/include/cudf/strings/case.hpp:83`).
+  * Codegen-native: emits a static call inside whole-stage codegen.
+  */
+case class SwapCase(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(v: Any): Any =
+    SwapCase.swap(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SwapCase.swap($c)")
+  override protected def withNewChildInternal(c: Expression): SwapCase = copy(c)
+}
+
+object SwapCase {
+  def swap(u: UTF8String): UTF8String = {
+    val s = u.toString
     val out = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -37,17 +48,25 @@ case class SwapCase(child: Expression)
     }
     UTF8String.fromString(out.toString)
   }
-  override protected def withNewChildInternal(c: Expression): SwapCase = copy(c)
 }
 
 /** is_title (reference `strings/capitalize.hpp:123`): every alpha-run
   * starts uppercase and continues lowercase.
   */
-case class IsTitle(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class IsTitle(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(v: Any): Any =
+    IsTitle.check(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.IsTitle.check($c)")
+  override protected def withNewChildInternal(c: Expression): IsTitle = copy(c)
+}
+
+object IsTitle {
+  def check(u: UTF8String): Boolean = {
+    val s = u.toString
     var sawCased = false
     var inWord = false
     var i = 0
@@ -64,19 +83,23 @@ case class IsTitle(child: Expression)
     }
     sawCased
   }
-  override protected def withNewChildInternal(c: Expression): IsTitle = copy(c)
 }
 
 /** xxhash_32 (reference `cpp/include/cudf/hashing.hpp:183`, seed-able).
   * Standard XXH32 over the string's UTF-8 bytes.
   */
 case class XxHash32Expr(child: Expression, seed: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes
     XxHash32Expr.hash(bytes, seed)
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.XxHash32Expr.hash($c.getBytes(), $seed)")
   override protected def withNewChildInternal(c: Expression): XxHash32Expr =
     copy(child = c)
 }
@@ -164,11 +187,20 @@ case class RSplit(left: Expression, right: Expression, maxSplits: Int)
   * the number of VC sequences in the word's CV pattern ('y' is a vowel
   * after a consonant).
   */
-case class PorterMeasure(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class PorterMeasure(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PorterMeasure.measure($c)")
+  override def nullSafeEval(v: Any): Any =
+    PorterMeasure.measure(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): PorterMeasure = copy(c)
+}
+
+object PorterMeasure {
+  def measure(u: UTF8String): Int = {
+    val s = u.toString.toLowerCase
     var measure = 0
     var prevVowel = false
     var i = 0
@@ -181,7 +213,6 @@ case class PorterMeasure(child: Expression)
     }
     measure
   }
-  override protected def withNewChildInternal(c: Expression): PorterMeasure = copy(c)
 }
 
 /** Column-API + SQL registration for the custom expressions. */
