@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** minhash64 (reference `cpp/include/nvtext/minhash.hpp:119`,
+  * `minhash_ngrams` :166): k-permutation MinHash signature of a string
+  * set, one pass per row.
+  *
+  * Each element is hashed ONCE (Spark's XXH64 over its UTF-8 bytes,
+  * seed 42); the k permutations derive from that base hash by a
+  * golden-ratio XOR + finalizer mix — O(n + n·k_cheap) instead of k full
+  * re-hashes, and no intermediate arrays (the composed
+  * `transform`/`array_min` formulation allocates k arrays per row).
+  */
+case class MinHash64(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val base = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var j = 0
+        while (j < k) {
+          val h = MinHash64.mix(base ^ (j * 0x9e3779b97f4a7c15L))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHash64 =
+    copy(child = c)
+}
+
+object MinHash64 {
+  /** xxhash-style avalanche finalizer (public xxHash spec). */
+  def mix(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33
+    x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  def minhash64(c: Column, k: Int): Column =
+    ExprUtil.col(MinHash64(ExprUtil.expr(c), k))
+}

@@ -34,16 +34,13 @@ object LlmOps {
       |  count(*) AS n_copies
       |FROM documents GROUP BY md5(text)""".stripMargin
 
-  /** MinHash signature (minhash.hpp:72): k=16 permutations approximated
-    * by xxhash64 with distinct seeds over the token set; pure Spark
-    * expressions, evaluated per-row (no shuffle).
+  /** MinHash signature (minhash.hpp:72): k permutations in a single pass
+    * via the native [[graft.functions.MinHash64]] expression (one XXH64
+    * per shingle + cheap per-permutation mixing; no per-row temporary
+    * arrays, unlike the composed transform/array_min formulation).
     */
-  private[graft] def minhashSig(k: Int): Column = {
-    val hashes = (0 until k).map { i =>
-      s"array_min(transform(tk, t -> xxhash64(t, ${i}L)))"
-    }
-    expr(s"array(${hashes.mkString(",")})")
-  }
+  private[graft] def minhashSig(k: Int): Column =
+    graft.functions.MinHash64.minhash64(col("tk"), k)
 
   /** Distinct word-3-gram shingles over an already-materialized token
     * array column — the discriminative unit for MinHash (unigram token
