@@ -1,0 +1,164 @@
+package graft.engine
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Thin cudf/pandas-flavored façade over DataFrame (SURVEY §7.1
+  * `engine/Frame.scala`) — the migration surface for a reference user:
+  * familiar verbs (`merge`, `query`, `assign`, `dropDuplicates` with
+  * keep, `fillna`/`ffill`, `rolling`, `resample`, `valueCounts`,
+  * `nlargest`, `explode`, `melt`, `pivot`, `getDummies`, `cut`) that
+  * each lower to the idiomatic Catalyst plan (nothing eager, no driver
+  * state; every method returns a lazy Frame).
+  *
+  * Reference API being mirrored: `python/cudf/cudf/core/dataframe.py`
+  * (merge :4100s, query, assign, drop_duplicates, fillna, nlargest),
+  * `core/window/rolling.py:49`, `core/resample.py:37`,
+  * `core/reshape.py:547,721,1061`, `core/cut.py:16`.
+  */
+final case class Frame(df: DataFrame) {
+  import Frame._
+
+  // --- projection / filter -------------------------------------------
+  def select(cols: String*): Frame = Frame(df.select(cols.map(col): _*))
+  def query(cond: String): Frame = Frame(df.filter(expr(cond)))
+  def filter(c: Column): Frame = Frame(df.filter(c))
+  def assign(name: String, c: Column): Frame = Frame(df.withColumn(name, c))
+  def drop(cols: String*): Frame = Frame(df.drop(cols: _*))
+  def rename(from: String, to: String): Frame =
+    Frame(df.withColumnRenamed(from, to))
+  def head(n: Int): Frame = Frame(df.limit(n))
+
+  // --- joins ----------------------------------------------------------
+  /** pandas/cudf merge: how ∈ inner/left/right/outer/cross/semi/anti. */
+  def merge(other: Frame, on: Seq[String], how: String = "inner"): Frame = {
+    val mapped = how match {
+      case "outer" => "full"
+      case "semi" => "left_semi"
+      case "anti" => "left_anti"
+      case h => h
+    }
+    if (mapped == "cross") Frame(df.crossJoin(other.df))
+    else Frame(df.join(other.df, on, mapped))
+  }
+
+  // --- dedup ----------------------------------------------------------
+  /** drop_duplicates with cudf keep semantics (ANY/FIRST/LAST/NONE,
+    * stream_compaction.hpp:223); FIRST/LAST need an explicit order.
+    */
+  def dropDuplicates(subset: Seq[String], keep: String = "any",
+      orderBy: Seq[Column] = Nil): Frame = keep match {
+    case "any" => Frame(df.dropDuplicates(subset))
+    case "first" | "last" =>
+      require(orderBy.nonEmpty, "keep=first/last needs an ordering")
+      val ord = if (keep == "first") orderBy else orderBy.map(_.desc)
+      val w = Window.partitionBy(subset.map(col): _*).orderBy(ord: _*)
+      Frame(df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
+    case "none" =>
+      val w = Window.partitionBy(subset.map(col): _*)
+      Frame(df.withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") === 1).drop("__n"))
+  }
+
+  // --- nulls ----------------------------------------------------------
+  def fillna(value: Any, cols: Seq[String] = Nil): Frame = {
+    val target = if (cols.isEmpty) df.columns.toSeq else cols
+    Frame(value match {
+      case d: Double => df.na.fill(d, target)
+      case l: Long => df.na.fill(l, target)
+      case s: String => df.na.fill(s, target)
+      case other => df.na.fill(Map(target.map(_ -> other): _*))
+    })
+  }
+
+  def dropna(minNonNulls: Int, cols: Seq[String]): Frame =
+    Frame(df.na.drop(minNonNulls, cols))
+
+  /** group-wise forward fill (groupby.hpp:373 replace_nulls FORWARD). */
+  def ffill(valueCol: String, partitionBy: Seq[String], orderBy: Seq[Column]): Frame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Frame(df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w)))
+  }
+
+  // --- aggregation helpers -------------------------------------------
+  def groupby(keys: String*): GroupedFrame = GroupedFrame(df, keys)
+
+  def valueCounts(c: String): Frame =
+    Frame(df.groupBy(col(c)).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(c)))
+
+  def nlargest(n: Int, c: String, tiebreak: Seq[String] = Nil): Frame =
+    Frame(df.orderBy((col(c).desc +: tiebreak.map(col(_).asc)): _*).limit(n))
+
+  def nsmallest(n: Int, c: String, tiebreak: Seq[String] = Nil): Frame =
+    Frame(df.orderBy((col(c).asc +: tiebreak.map(col(_).asc)): _*).limit(n))
+
+  // --- reshape --------------------------------------------------------
+  def explodeCol(c: String, out: String): Frame =
+    Frame(df.withColumn(out, explode(col(c))).drop(c))
+
+  def melt(ids: Seq[String], values: Seq[String]): Frame =
+    Frame(df.unpivot(ids.map(col).toArray, values.map(col).toArray,
+      "variable", "value"))
+
+  def pivot(key: String, pivotCol: String, values: Seq[String], agg: Column): Frame =
+    Frame(df.groupBy(col(key)).pivot(pivotCol, values).agg(agg))
+
+  def getDummies(c: String, values: Seq[String]): Frame =
+    Frame(values.foldLeft(df)((d, v) =>
+      d.withColumn(s"${c}_$v", (col(c) === v).cast(IntegerType))))
+
+  def cut(c: String, lo: Double, hi: Double, bins: Int, out: String): Frame =
+    Frame(df.withColumn(out,
+      least(greatest(floor((col(c) - lo) / ((hi - lo) / bins)).cast(IntegerType),
+        lit(0)), lit(bins - 1))))
+
+  // --- windows --------------------------------------------------------
+  /** rolling(window=n, min_periods) aggregate per group, ordered. */
+  def rolling(n: Int, minPeriods: Int, valueCol: String,
+      partitionBy: Seq[String], orderBy: Seq[Column],
+      aggFn: Column => Column, out: String): Frame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*)
+      .orderBy(orderBy: _*).rowsBetween(-(n - 1), 0)
+    val cnt = count(lit(1)).over(w)
+    Frame(df.withColumn(out,
+      when(cnt >= minPeriods, aggFn(col(valueCol)).over(w))))
+  }
+
+  /** resample into fixed time buckets (core/resample.py). */
+  def resample(tsCol: String, seconds: Long): GroupedFrame = {
+    val bucketed = df.withColumn("__bucket",
+      expr(s"unix_micros($tsCol) div ${seconds * 1000000L}") * seconds)
+    GroupedFrame(bucketed, Seq("__bucket"))
+  }
+
+  // --- text namespace (nvtext ops) -----------------------------------
+  def strSwapcase(c: String, out: String): Frame =
+    Frame(df.withColumn(out, GraftFunctions.swapcase(col(c))))
+  def tokenize(c: String, out: String): Frame =
+    Frame(df.withColumn(out, split(col(c), "\\s+")))
+}
+
+final case class GroupedFrame(df: DataFrame, keys: Seq[String]) {
+  def agg(exprs: (String, Column)*): Frame =
+    Frame(df.groupBy(keys.map(col): _*)
+      .agg(exprs.head._2.as(exprs.head._1),
+        exprs.tail.map { case (n, c) => c.as(n) }: _*))
+  def size(): Frame =
+    Frame(df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("size")))
+}
+
+object Frame {
+  def readParquet(spark: SparkSession, path: String): Frame =
+    Frame(spark.read.parquet(path))
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true): Frame =
+    Frame(spark.read.option("header", header.toString)
+      .option("inferSchema", "true").csv(path))
+  def readJson(spark: SparkSession, path: String): Frame =
+    Frame(spark.read.json(path))
+}
