@@ -15,6 +15,9 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // AQE hides codegen annotations until execution; plans are audited
+      // pre-execution, so disable it here (Bench/Verify keep it on)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -27,8 +30,9 @@ object Explain {
       println(plan)
       val smells = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "no-WholeStageCodegen" -> !plan.contains("WholeStageCodegen"),
-        "SortMergeJoin-on-dim" -> false).collect { case (s, true) => s }
+        // FormattedMode marks whole-stage spans as "[codegen id : N]"
+        "no-WholeStageCodegen" -> !plan.contains("codegen id")
+      ).collect { case (s, true) => s }
       if (smells.nonEmpty) println(s"!! smells: ${smells.mkString(", ")}")
     }
     spark.stop()
