@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.{Murmur3x64_128, XxHash32Expr}
+import graft.queries.LlmOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests (SURVEY §5: improvement over the reference's
+  * near-absent property coverage) for the engine's algebraic contracts.
+  * Uses ScalaCheck generators with a fixed seed (only scalacheck core is
+  * on the classpath, no scalatestplus bridge).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Sample `n` values from the generator and check each. */
+  private def forAll[A](gen: Gen[A], n: Int = 100)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    var checked = 0
+    while (i < n * 5 && checked < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach { a => f(a); checked += 1 }
+      seed = seed.next
+      i += 1
+    }
+    assert(checked > n / 2, s"generator too sparse: $checked/$n")
+  }
+
+  test("fixed-point dsum contract: scaling then summing is order-free") {
+    forAll(Gen.listOfN(50, Gen.chooseNum(-1e6, 1e6))) { (xs: List[Double]) =>
+      val scaled = xs.map(x => math.floor(x * 1e4).toLong)
+      assert(scaled.sum == scala.util.Random.shuffle(scaled).sum)
+      val asDouble = scaled.sum.toDouble / 1e4
+      assert(math.abs(asDouble - xs.sum) <= xs.length * 1e-4 + 1e-9)
+    }
+  }
+
+  test("xxhash32: deterministic, seed-sensitive, avalanche-ish") {
+    forAll(Gen.alphaNumStr) { (s: String) =>
+      val b = s.getBytes("UTF-8")
+      assert(XxHash32Expr.hash(b, 0) == XxHash32Expr.hash(b, 0))
+      if (s.nonEmpty) {
+        assert(XxHash32Expr.hash(b, 0) != XxHash32Expr.hash(b, 1) ||
+          XxHash32Expr.hash(b, 0) != XxHash32Expr.hash(b, 2))
+      }
+    }
+  }
+
+  test("murmur3_128 halves are independent-ish and deterministic") {
+    forAll(Gen.zip(Gen.alphaStr, Gen.alphaStr)) { case (a: String, b: String) =>
+      val ha = Murmur3x64_128.hash(a.getBytes("UTF-8"), 0)
+      assert(ha == Murmur3x64_128.hash(a.getBytes("UTF-8"), 0))
+      if (a != b) {
+        val hb = Murmur3x64_128.hash(b.getBytes("UTF-8"), 0)
+        assert(ha != hb)
+      }
+    }
+  }
+
+  test("porter measure is bounded by word length / 2 + 1") {
+    forAll(Gen.alphaLowerStr.suchThat(_.length < 50)) { (w: String) =>
+      if (w.nonEmpty) {
+        val m = graft.functions.PorterMeasure.measure(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w))
+        assert(m >= 0 && m <= w.length / 2 + 1)
+      }
+    }
+  }
+
+  test("wordpiece re-joins to the original word when vocab has all chars") {
+    val gen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    forAll(gen) { (w: String) =>
+      val vocab = Set("a", "b", "c", "##a", "##b", "##c")
+      val pieces = graft.functions.Wordpiece.tokenizeWord(w, vocab)
+      assert(pieces.map(_.stripPrefix("##")).mkString == w)
+    }
+  }
+
+  test("rsplit concatenation round-trips") {
+    val gen = for {
+      parts <- Gen.nonEmptyListOf(Gen.alphaNumStr)
+      n <- Gen.chooseNum(-1, 5)
+    } yield (parts.mkString(","), n)
+    forAll(gen) { case (s: String, n: Int) =>
+      val spark = TestSpark.spark
+      val out = spark.range(1)
+        .select(graft.functions.GraftFunctions.rsplit(lit(s), lit(","), n).as("r"))
+        .head().getAs[scala.collection.Seq[String]]("r")
+      assert(out.mkString(",") == s)
+      if (n >= 0) assert(out.length <= n + 1)
+    }
+  }
+}
