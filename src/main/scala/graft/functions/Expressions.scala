@@ -215,6 +215,38 @@ object PorterMeasure {
   }
 }
 
+/** wrap (reference `cpp/include/cudf/strings/wrap.hpp:65`): greedy
+  * word-wrap at `width` — spaces at wrap points become newlines; words
+  * longer than the width stay unbroken on their own line.
+  */
+case class WrapText(child: Expression, width: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    WrapText.wrap(v.asInstanceOf[UTF8String], width)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WrapText.wrap($c, $width)")
+  override protected def withNewChildInternal(c: Expression): WrapText =
+    copy(child = c)
+}
+
+object WrapText {
+  def wrap(u: UTF8String, width: Int): UTF8String = {
+    val words = u.toString.split(" ", -1)
+    val out = new java.lang.StringBuilder(u.numBytes + 8)
+    var lineLen = 0
+    var first = true
+    words.foreach { w =>
+      if (first) { out.append(w); lineLen = w.length; first = false }
+      else if (lineLen + 1 + w.length <= width) {
+        out.append(' ').append(w); lineLen += 1 + w.length
+      } else { out.append('\n').append(w); lineLen = w.length }
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
 /** Column-API + SQL registration for the custom expressions. */
 object GraftFunctions {
   import ExprUtil.col
@@ -229,6 +261,7 @@ object GraftFunctions {
   def porter_measure(c: Column): Column = col(PorterMeasure(expr(c)))
   def murmur3_128(c: Column, seed: Long = 0L): Column =
     col(Murmur3x64_128(expr(c), seed))
+  def wrap_text(c: Column, width: Int): Column = col(WrapText(expr(c), width))
 
   /** Register all custom functions for SQL use (`SELECT swapcase(x) …`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -81,6 +81,15 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaCol == Seq(6391769515072433929L, 6698223493866126805L))
   }
 
+  test("wrap golden (strings/wrap.hpp greedy word-wrap)") {
+    assert(one[String](wrap_text(lit("the quick brown fox"), 10)) ==
+      "the quick\nbrown fox")
+    assert(one[String](wrap_text(lit("a bb ccc"), 4)) == "a bb\nccc")
+    assert(one[String](wrap_text(lit("superlongword ok"), 5)) ==
+      "superlongword\nok")
+    assert(one[String](wrap_text(lit("short"), 10)) == "short")
+  }
+
   test("custom expressions run distributed over the part table") {
     val rows = SparkEntry.queries("custom_string_exprs")(spark, sf).collect()
     assert(rows.length > 0)
