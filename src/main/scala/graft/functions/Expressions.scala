@@ -247,6 +247,32 @@ object WrapText {
   }
 }
 
+/** normalize_characters (reference `cpp/include/nvtext/normalize.hpp:216`):
+  * unicode NFD decomposition, combining-mark (accent) removal, and
+  * optional lowercasing — the text-pipeline normalization pass.
+  */
+case class NormalizeChars(child: Expression, toLower: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    NormalizeChars.normalize(v.asInstanceOf[UTF8String], toLower)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NormalizeChars.normalize($c, $toLower)")
+  override protected def withNewChildInternal(c: Expression): NormalizeChars =
+    copy(child = c)
+}
+
+object NormalizeChars {
+  def normalize(u: UTF8String, toLower: Boolean): UTF8String = {
+    val nfd = java.text.Normalizer.normalize(u.toString, java.text.Normalizer.Form.NFD)
+    val stripped = nfd.replaceAll("\\p{M}+", "")
+    UTF8String.fromString(if (toLower) stripped.toLowerCase else stripped)
+  }
+}
+
 /** Column-API + SQL registration for the custom expressions. */
 object GraftFunctions {
   import ExprUtil.col
@@ -262,6 +288,8 @@ object GraftFunctions {
   def murmur3_128(c: Column, seed: Long = 0L): Column =
     col(Murmur3x64_128(expr(c), seed))
   def wrap_text(c: Column, width: Int): Column = col(WrapText(expr(c), width))
+  def normalize_chars(c: Column, toLower: Boolean = true): Column =
+    col(NormalizeChars(expr(c), toLower))
 
   /** Register all custom functions for SQL use (`SELECT swapcase(x) …`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

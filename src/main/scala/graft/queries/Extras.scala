@@ -134,7 +134,45 @@ object Extras {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin
 
+  /** extract_all_record (strings/extract.hpp:97) / findall (findall.hpp:63). */
+  private def extractAll(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .filter(col("doc_id") < 300)
+      .select(
+        col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\b[a-z]{5}\\b"), lit(0))
+          .as("five_letter_words"),
+        size(regexp_extract_all(col("text"), lit("qu[a-z]+"), lit(0)))
+          .as("n_qu_words"))
+
+  private val extractAllSql =
+    """SELECT doc_id,
+      |  regexp_extract_all(text, '\b[a-z]{5}\b') AS five_letter_words,
+      |  len(regexp_extract_all(text, 'qu[a-z]+')) AS n_qu_words
+      |FROM documents WHERE doc_id < 300""".stripMargin
+
+  /** distinct keep LAST (duplicate_keep_option::KEEP_LAST). */
+  private def dedupKeepLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").desc, col("l_partkey").desc, col("l_suppkey").desc)
+    Tables
+      .lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+  }
+
+  private val dedupKeepLastSql =
+    """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+      |QUALIFY row_number() OVER (PARTITION BY l_orderkey
+      |  ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC) = 1
+      |""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "str_extract_all" -> Q(extractAll _, extractAllSql),
+    "dedup_keep_last" -> Q(dedupKeepLast _, dedupKeepLastSql),
     "merge_sorted" -> Q(mergeSorted _, mergeSortedSql),
     "interleave_columns" -> Q(interleave _, interleaveSql),
     "crosstab_counts" -> Q(crosstabCounts _, crosstabCountsSql),

@@ -90,6 +90,14 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(one[String](wrap_text(lit("short"), 10)) == "short")
   }
 
+  test("normalize_chars strips accents (nvtext normalize.hpp:216)") {
+    assert(one[String](normalize_chars(lit("héllo Wörld"))) == "hello world")
+    assert(one[String](normalize_chars(lit("Ça va déjà"), toLower = false)) ==
+      "Ca va deja")
+    assert(one[String](normalize_chars(lit("naïve café"))) == "naive cafe")
+    assert(one[String](normalize_chars(lit("plain"))) == "plain")
+  }
+
   test("custom expressions run distributed over the part table") {
     val rows = SparkEntry.queries("custom_string_exprs")(spark, sf).collect()
     assert(rows.length > 0)

@@ -48,6 +48,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall (ivf=$ivf brute=$brute)")
   }
 
+  test("segmented sort: sortWithinPartitions orders inside each range") {
+    val sorted = Tables
+      .orders(spark, sf)
+      .repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"), col("o_orderkey"))
+    val violations = sorted
+      .select(col("o_custkey"), col("o_orderkey"))
+      .mapPartitions { it =>
+        var bad = 0L
+        var prev: (Long, Long) = null
+        it.foreach { r =>
+          val cur = (r.getLong(0), r.getLong(1))
+          if (prev != null && Ordering[(Long, Long)].gt(prev, cur)) bad += 1
+          prev = cur
+        }
+        Iterator(bad)
+      }(org.apache.spark.sql.Encoders.scalaLong)
+      .reduce(_ + _)
+    assert(violations == 0)
+  }
+
   test("partitioning surface: hash, range, round-robin") {
     val o = Tables.orders(spark, sf)
     val hashed = o.repartition(8, col("o_custkey"))
