@@ -95,6 +95,16 @@ object Streams {
       .toDF("user_id", "last_n_mean", "n_in_window")
   }
 
+  /** Streaming exact dedup with bounded state: drop duplicate event ids,
+    * keeping state only within the watermark horizon — the streaming twin
+    * of the batch dedup pipeline (state store size is bounded by the
+    * watermark window, not the stream length).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming query to completion against a static replay dir and
     * return the in-memory sink table (used by tests and demos;
     * checkpointing exercised via the checkpointLocation option).

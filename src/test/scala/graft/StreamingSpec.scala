@@ -70,6 +70,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalPerUser.length.toLong == users)
   }
 
+  test("streaming dedup drops duplicate event ids with bounded state") {
+    // replay the events twice (duplicated input) through the dedup stream
+    val dupDir = Files.createTempDirectory("graft-dup").toString
+    val ev = Tables.events(spark, sf)
+    ev.union(ev).repartition(4).write.mode("overwrite").parquet(dupDir)
+    val stream = Streams.readEventStream(spark, dupDir)
+    val out = Streams.runToCompletion(
+      spark, Streams.dedupStream(stream), "t_dedup", "append")
+    assert(out.count() == ev.count())
+    assert(out.select(countDistinct(col("event_id"))).head().getLong(0) == ev.count())
+  }
+
   test("checkpointed query recovers without reprocessing") {
     // memory sink can't recover from a checkpoint — use a file sink, the
     // production shape (readStream → transform → writeStream.parquet)
