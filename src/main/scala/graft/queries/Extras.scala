@@ -170,7 +170,79 @@ object Extras {
       |  ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC) = 1
       |""".stripMargin
 
+  /** batch sessionization: session = cumsum of (gap > 5 min) per user —
+    * the batch twin of streaming session windows (session_window).
+    */
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 300000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000L).as("duration_s"))
+  }
+
+  private val sessionizeSql =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  (max(us) - min(us)) / 1000000 AS duration_s
+      |FROM (
+      |  SELECT user_id, event_id, us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, us,
+      |      CASE WHEN gap_us IS NULL OR gap_us > 300000000 THEN 1 ELSE 0 END
+      |        AS new_sess
+      |    FROM (
+      |      SELECT user_id, event_id, us,
+      |        us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |          AS gap_us
+      |      FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events))))
+      |GROUP BY user_id, session_id""".stripMargin
+
+  /** quantile interpolation modes (interpolation enum types.hpp:192:
+    * LOWER/HIGHER/NEAREST/MIDPOINT vs LINEAR) via sorted-array indexing.
+    */
+  private def quantileModes(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .supplier(s, dir)
+      .groupBy(col("s_nationkey"))
+      .agg(sort_array(collect_list(col("s_acctbal"))).as("v"), count(lit(1)).as("n"))
+      .select(
+        col("s_nationkey"),
+        element_at(col("v"), (floor((col("n") - 1) * 0.25) + 1).cast(IntegerType))
+          .as("q25_lower"),
+        element_at(col("v"), (ceil((col("n") - 1) * 0.25) + 1).cast(IntegerType))
+          .as("q25_higher"),
+        element_at(col("v"), (round((col("n") - 1) * 0.25, 0) + 1).cast(IntegerType))
+          .as("q25_nearest"),
+        ((element_at(col("v"), (floor((col("n") - 1) * 0.25) + 1).cast(IntegerType)) +
+          element_at(col("v"), (ceil((col("n") - 1) * 0.25) + 1).cast(IntegerType))) / 2)
+          .as("q25_midpoint"))
+
+  private val quantileModesSql =
+    """SELECT s_nationkey,
+      |  v[CAST(floor((n - 1) * 0.25) + 1 AS INT)] AS q25_lower,
+      |  v[CAST(ceil((n - 1) * 0.25) + 1 AS INT)] AS q25_higher,
+      |  v[CAST(round((n - 1) * 0.25, 0) + 1 AS INT)] AS q25_nearest,
+      |  (v[CAST(floor((n - 1) * 0.25) + 1 AS INT)] +
+      |   v[CAST(ceil((n - 1) * 0.25) + 1 AS INT)]) / 2 AS q25_midpoint
+      |FROM (SELECT s_nationkey, list_sort(list(s_acctbal)) AS v,
+      |        count(*) AS n
+      |      FROM supplier GROUP BY s_nationkey)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "win_sessionize" -> Q(sessionize _, sessionizeSql),
+    "agg_quantile_modes" -> Q(quantileModes _, quantileModesSql),
     "str_extract_all" -> Q(extractAll _, extractAllSql),
     "dedup_keep_last" -> Q(dedupKeepLast _, dedupKeepLastSql),
     "merge_sorted" -> Q(mergeSorted _, mergeSortedSql),

@@ -74,6 +74,41 @@ class MultimodalIoSpec extends AnyFunSuite {
     }
   }
 
+  test("csv reader options: delimiter, na values, header, compression") {
+    val dir = Files.createTempDirectory("graft-csvopt").toString
+    val src = Tables.nation(spark, sf)
+    src.write.mode("overwrite")
+      .option("header", "true").option("sep", "|").option("compression", "gzip")
+      .csv(s"$dir/c")
+    val back = spark.read
+      .schema(src.schema)
+      .option("header", "true").option("sep", "|")
+      .csv(s"$dir/c")
+    assert(back.exceptAll(src).isEmpty)
+
+    // na_values equivalent: nullValue option round-trips nulls
+    val withNulls = src.withColumn("n_name",
+      when(col("n_nationkey") % 2 === 0, lit("NA")).otherwise(col("n_name")))
+    withNulls.write.mode("overwrite").option("header", "true").csv(s"$dir/n")
+    val parsed = spark.read.schema(src.schema)
+      .option("header", "true").option("nullValue", "NA").csv(s"$dir/n")
+    assert(parsed.filter(col("n_name").isNull).count() ==
+      withNulls.filter(col("n_name") === "NA").count())
+  }
+
+  test("json reader handles nested objects with schema inference") {
+    val dir = Files.createTempDirectory("graft-jnest").toString
+    Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        struct(col("lang"), struct(col("source"), col("n_chars")).as("inner"))
+          .as("meta"))
+      .write.mode("overwrite").json(s"$dir/j")
+    val back = spark.read.json(s"$dir/j") // schema inferred
+    assert(back.select(col("meta.inner.n_chars")).count() ==
+      Tables.documents(spark, sf).count())
+    assert(back.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
   test("text source reads raw lines") {
     val dir = Files.createTempDirectory("graft-txt").toString
     Tables
