@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-operator microbenchmarks (reference practice: `cpp/benchmarks/`
+  * string/join/groupby fixtures): each case times two formulations of
+  * the same computation to justify the implementation choice —
+  * native expression vs Scala UDF, single-pass MinHash vs composed
+  * transform/array_min, fixed-point exact sum vs plain double sum.
+  *
+  * Usage: runMain graft.MicroBench [sfDir] — prints one JSON line/case.
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def bench(name: String, a: => DataFrame, b: => DataFrame,
+        aLabel: String, bLabel: String): Unit = {
+      time(a); time(b) // warmup
+      val ta = (1 to 3).map(_ => time(a)).min
+      val tb = (1 to 3).map(_ => time(b)).min
+      println(f"""{"case":"$name","$aLabel":$ta%.3f,"$bLabel":$tb%.3f,"speedup":${tb / ta}%.2f}""")
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val swapUdf = udf((s: String) =>
+      s.map(c => if (c.isUpper) c.toLower else if (c.isLower) c.toUpper else c))
+
+    bench("swapcase_expr_vs_udf",
+      docs.select(GraftFunctions.swapcase(col("text")).as("x")),
+      docs.select(swapUdf(col("text")).as("x")),
+      "native_expr_s", "scala_udf_s")
+
+    val shingled = graft.queries.LlmOps.withShingles(docs)
+    val composedMinhash = {
+      val hashes = (0 until 16).map(i =>
+        s"array_min(transform(tk, t -> xxhash64(t, ${i}L)))")
+      expr(s"array(${hashes.mkString(",")})")
+    }
+    bench("minhash_native_vs_composed",
+      shingled.select(col("doc_id"), graft.functions.MinHash64.minhash64(col("tk"), 16).as("mh")),
+      shingled.select(col("doc_id"), composedMinhash.as("mh")),
+      "native_expr_s", "composed_exprs_s")
+
+    bench("fixedpoint_sum_vs_plain",
+      li.groupBy(col("l_returnflag")).agg(Agg.dsum(col("l_quantity")).as("s")),
+      li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s")),
+      "fixed_point_s", "plain_sum_s")
+
+    spark.stop()
+  }
+}
