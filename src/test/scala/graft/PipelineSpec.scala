@@ -1,0 +1,25 @@
+package graft
+
+import graft.pipeline.TrainingDataPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("training-data pipeline runs end-to-end with monotone stage counts") {
+    val docs = Tables.documents(spark, sf)
+    val (out, counts) = TrainingDataPipeline.run(spark, docs)
+    assert(counts("input") == docs.count())
+    assert(counts("after_quality") <= counts("input"))
+    assert(counts("after_lang") <= counts("after_quality"))
+    assert(counts("after_exact_dedup") <= counts("after_lang"))
+    assert(counts("after_near_dedup") < counts("after_exact_dedup"),
+      "near-dup stage should remove the LSH clusters")
+    val rows = out.count()
+    assert(rows == counts("after_near_dedup"))
+    // tokenization produced pieces for every surviving doc
+    assert(out.filter(col("n_pieces") <= 0).count() == 0)
+    assert(out.columns.toSet.contains("pieces"))
+  }
+}
