@@ -240,7 +240,21 @@ object Extras {
       |        count(*) AS n
       |      FROM supplier GROUP BY s_nationkey)""".stripMargin
 
+  /** isin (search.hpp:163 contains / pandas isin). */
+  private def filterIsin(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY") &&
+        !col("c_nationkey").isin(3, 7))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+
+  private val filterIsinSql =
+    """SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+      |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |  AND c_nationkey NOT IN (3, 7)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "filter_isin" -> Q(filterIsin _, filterIsinSql),
     "win_sessionize" -> Q(sessionize _, sessionizeSql),
     "agg_quantile_modes" -> Q(quantileModes _, quantileModesSql),
     "str_extract_all" -> Q(extractAll _, extractAllSql),

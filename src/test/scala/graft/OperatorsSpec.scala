@@ -27,6 +27,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile_approx is within 5% of the exact percentile") {
+    val approx = SparkEntry.queries("agg_percentile_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) / ex < 0.05, s"$k: ${approx(k)} vs $ex")
+    }
+  }
+
   test("spark-native hashes are deterministic and distinct per input") {
     val a = SparkEntry.queries("hash_spark_native")(spark, sf).collect()
     val b = SparkEntry.queries("hash_spark_native")(spark, sf).collect()
