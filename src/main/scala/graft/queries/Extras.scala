@@ -253,7 +253,65 @@ object Extras {
       |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
       |  AND c_nationkey NOT IN (3, 7)""".stripMargin
 
+  /** IntervalDtype convention (SURVEY §1.2: struct of lo/hi bounds,
+    * dtypes.py:949): order validity windows as [start, start+7d) structs,
+    * overlap test against a fixed probe interval.
+    */
+  private def intervalOverlap(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        struct(
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000").as("lo"),
+          (expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000") + 7L * 86400).as("hi"))
+          .as("valid"))
+      .select(
+        col("o_orderkey"),
+        col("valid.lo").as("lo"),
+        col("valid.hi").as("hi"),
+        // probe interval: all of 1997-03
+        (col("valid.lo") < lit(859766400L) &&
+          col("valid.hi") > lit(857088000L)).as("overlaps_mar97"))
+
+  private val intervalOverlapSql =
+    """SELECT o_orderkey, lo, hi,
+      |  (lo < 859766400 AND hi > 857088000) AS overlaps_mar97
+      |FROM (SELECT o_orderkey,
+      |        epoch_us(o_orderdate) // 1000000 AS lo,
+      |        epoch_us(o_orderdate) // 1000000 + 7 * 86400 AS hi
+      |      FROM orders)""".stripMargin
+
+  /** resample().asfreq-style gap filling: the full bucket range is
+    * generated (calendrical sequence) and left-joined so empty buckets
+    * appear with zero counts.
+    */
+  private def resampleAsfreq(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = Tables
+      .events(s, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = bucketed.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val full = bounds.select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    full
+      .join(bucketed, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  private val resampleAsfreqSql =
+    """WITH b AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS bucket, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+      |allb AS (SELECT u.x AS bucket FROM bounds,
+      |         unnest(range(lo, hi + 1)) AS u(x))
+      |SELECT allb.bucket, coalesce(b.n, 0) AS n
+      |FROM allb LEFT JOIN b USING (bucket)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "interval_overlap" -> Q(intervalOverlap _, intervalOverlapSql),
+    "resample_asfreq" -> Q(resampleAsfreq _, resampleAsfreqSql),
     "filter_isin" -> Q(filterIsin _, filterIsinSql),
     "win_sessionize" -> Q(sessionize _, sessionizeSql),
     "agg_quantile_modes" -> Q(quantileModes _, quantileModesSql),
