@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -18,10 +17,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * `transform`/`array_min` formulation allocates k arrays per row).
   */
 case class MinHash64(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash64.eval($c, $k)")
+  override def nullSafeEval(v: Any): Any =
+    MinHash64.eval(v.asInstanceOf[ArrayData], k)
+  override protected def withNewChildInternal(c: Expression): MinHash64 =
+    copy(child = c)
+}
+
+object MinHash64 {
+  /** Static entry for generated code. */
+  def eval(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -32,7 +42,7 @@ case class MinHash64(child: Expression, k: Int)
           .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var j = 0
         while (j < k) {
-          val h = MinHash64.mix(base ^ (j * 0x9e3779b97f4a7c15L))
+          val h = mix(base ^ (j * 0x9e3779b97f4a7c15L))
           if (h < mins(j)) mins(j) = h
           j += 1
         }
@@ -41,11 +51,7 @@ case class MinHash64(child: Expression, k: Int)
     }
     ArrayData.toArrayData(mins)
   }
-  override protected def withNewChildInternal(c: Expression): MinHash64 =
-    copy(child = c)
-}
 
-object MinHash64 {
   /** xxhash-style avalanche finalizer (public xxHash spec). */
   def mix(x0: Long): Long = {
     var x = x0
