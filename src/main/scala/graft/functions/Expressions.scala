@@ -1,17 +1,15 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the reference operators Spark lacks
-  * (SURVEY §2.8 gap list). Scalar ones are codegen-native (`doGenCode`
-  * emits a static call inside whole-stage codegen — no row boxing, no
-  * codegen fences); array-returning ones use CodegenFallback. Null
-  * handling comes from `nullSafeEval`/`defineCodeGen`; all are usable
-  * from SQL via [[GraftFunctions.register]].
+  * (SURVEY §2.8 gap list). All are codegen-native: `doGenCode` emits a
+  * static call inside whole-stage codegen — no row boxing, no codegen
+  * fences. Null handling comes from `nullSafeEval`/`defineCodeGen`; all
+  * are usable from SQL via [[GraftFunctions.register]].
   */
 object ExprUtil {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -159,11 +157,23 @@ object XxHash32Expr {
   * with at most `maxSplits` splits, like Python `str.rsplit(sep, n)`.
   */
 case class RSplit(left: Expression, right: Expression, maxSplits: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(str: Any, sep: Any): Any = {
-    val s = str.asInstanceOf[UTF8String].toString
-    val d = sep.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(str: Any, sep: Any): Any =
+    RSplit.eval(str.asInstanceOf[UTF8String], sep.asInstanceOf[UTF8String], maxSplits)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.RSplit.eval($a, $b, $maxSplits)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RSplit =
+    copy(left = l, right = r)
+}
+
+object RSplit {
+  def eval(str: UTF8String, sep: UTF8String, maxSplits: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = str.toString
+    val d = sep.toString
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var rest = s
     var splits = 0
@@ -179,8 +189,6 @@ case class RSplit(left: Expression, right: Expression, maxSplits: Int)
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       parts.reverse.map(UTF8String.fromString).toArray)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): RSplit =
-    copy(left = l, right = r)
 }
 
 /** porter_stemmer_measure (reference `cpp/include/nvtext/stemmer.hpp:80`):

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -14,17 +13,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * implementation vectors in ExpressionsSpec.
   */
 case class Murmur3x64_128(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val (h1, h2) = Murmur3x64_128.hash(v.asInstanceOf[UTF8String].getBytes, seed)
-    ArrayData.toArrayData(Array(h1, h2))
-  }
+  override def nullSafeEval(v: Any): Any =
+    Murmur3x64_128.eval(v.asInstanceOf[UTF8String], seed)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Murmur3x64_128.eval($c, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): Murmur3x64_128 =
     copy(child = c)
 }
 
 object Murmur3x64_128 {
+  /** Static entry for generated code. */
+  def eval(u: UTF8String, seed: Long): ArrayData = {
+    val (h1, h2) = hash(u.getBytes, seed)
+    ArrayData.toArrayData(Array(h1, h2))
+  }
+
   private val C1 = 0x87c37b91114253d5L
   private val C2 = 0x4cf5ad432745937fL
 
