@@ -309,7 +309,41 @@ object Extras {
       |SELECT allb.bucket, coalesce(b.n, 0) AS n
       |FROM allb LEFT JOIN b USING (bucket)""".stripMargin
 
+  /** code_points (attributes.hpp:90), partition/rpartition
+    * (split/partition.hpp:60,94 — first/last-occurrence split into
+    * before/sep/after), repeat with per-row count, char-set trim.
+    */
+  private def strPartitionPoints(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      .select(
+        col("p_partkey"),
+        expr("transform(sequence(1, length(p_name)), i -> ascii(substring(p_name, i, 1)))")
+          .as("code_points"),
+        substring_index(col("p_name"), " ", 1).as("part_before"),
+        when(instr(col("p_name"), " ") > 0,
+          expr("substring(p_name, instr(p_name, ' ') + 1)")).otherwise("")
+          .as("part_after"),
+        reverse(substring_index(reverse(col("p_name")), " ", 1)).as("rpart_after"),
+        expr("repeat(p_brand, CAST(p_size % 3 + 1 AS INT))").as("repeated_n"),
+        ltrim(col("p_name"), "rs").as("ltrim_chars"))
+
+  private val strPartitionPointsSql =
+    """SELECT p_partkey,
+      |  list_transform(range(1, length(p_name) + 1),
+      |                 i -> ascii(substring(p_name, i, 1))) AS code_points,
+      |  split_part(p_name, ' ', 1) AS part_before,
+      |  CASE WHEN instr(p_name, ' ') > 0
+      |       THEN substring(p_name, instr(p_name, ' ') + 1) ELSE '' END
+      |    AS part_after,
+      |  reverse(split_part(reverse(p_name), ' ', 1)) AS rpart_after,
+      |  repeat(p_brand, CAST(p_size % 3 + 1 AS INT)) AS repeated_n,
+      |  ltrim(p_name, 'rs') AS ltrim_chars
+      |FROM part""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "str_partition_points" -> Q(strPartitionPoints _, strPartitionPointsSql),
     "interval_overlap" -> Q(intervalOverlap _, intervalOverlapSql),
     "resample_asfreq" -> Q(resampleAsfreq _, resampleAsfreqSql),
     "filter_isin" -> Q(filterIsin _, filterIsinSql),
