@@ -160,20 +160,29 @@ case class RSplit(left: Expression, right: Expression, maxSplits: Int)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(str: Any, sep: Any): Any =
-    RSplit.eval(str.asInstanceOf[UTF8String], sep.asInstanceOf[UTF8String], maxSplits)
+    RSplit.evalSplit(str.asInstanceOf[UTF8String], sep.asInstanceOf[UTF8String], maxSplits)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.RSplit.eval($a, $b, $maxSplits)")
+      (a, b) => s"graft.functions.RSplit.evalSplit($a, $b, $maxSplits)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RSplit =
     copy(left = l, right = r)
 }
 
 object RSplit {
-  def eval(str: UTF8String, sep: UTF8String, maxSplits: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+  /** Static entry for generated code (not `eval` — that collides with
+    * `Expression.eval(InternalRow)` and kills the static forwarder).
+    */
+  def evalSplit(str: UTF8String, sep: UTF8String, maxSplits: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val s = str.toString
     val d = sep.toString
+    // Empty separator: lastIndexOf("") == rest.length would strip nothing
+    // and loop forever. Python's str.rsplit raises; we return the whole
+    // string un-split (the Frame-facade contract documents this).
+    if (d.isEmpty)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(UTF8String.fromString(s)))
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var rest = s
     var splits = 0
@@ -299,13 +308,37 @@ object GraftFunctions {
   def normalize_chars(c: Column, toLower: Boolean = true): Column =
     col(NormalizeChars(expr(c), toLower))
 
+  private def foldableSeed(e: Expression, fn: String): Long = e match {
+    case lit if lit.foldable =>
+      lit.eval(null) match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"$fn seed must be an integer literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn seed must be a foldable literal")
+  }
+
   /** Register all custom functions for SQL use (`SELECT swapcase(x) …`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("swapcase", es => SwapCase(es.head), "built-in")
     reg.createOrReplaceTempFunction("is_title", es => IsTitle(es.head), "built-in")
-    reg.createOrReplaceTempFunction("xxhash32", es => XxHash32Expr(es.head, 0), "built-in")
+    // Seed-able hashes: honor an optional foldable integer seed; any other
+    // arity/shape is an explicit analysis-time error (not silently seed 0).
+    reg.createOrReplaceTempFunction("xxhash32", {
+      case Seq(e) => XxHash32Expr(e, 0)
+      case Seq(e, s) => XxHash32Expr(e, foldableSeed(s, "xxhash32").toInt)
+      case es => throw new IllegalArgumentException(
+        s"xxhash32 expects (str[, seed]); got ${es.length} args")
+    }, "built-in")
     reg.createOrReplaceTempFunction("porter_measure", es => PorterMeasure(es.head), "built-in")
-    reg.createOrReplaceTempFunction("murmur3_128", es => Murmur3x64_128(es.head, 0L), "built-in")
+    reg.createOrReplaceTempFunction("murmur3_128", {
+      case Seq(e) => Murmur3x64_128(e, 0L)
+      case Seq(e, s) => Murmur3x64_128(e, foldableSeed(s, "murmur3_128"))
+      case es => throw new IllegalArgumentException(
+        s"murmur3_128 expects (str[, seed]); got ${es.length} args")
+    }, "built-in")
   }
 }

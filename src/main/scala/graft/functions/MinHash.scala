@@ -22,16 +22,20 @@ case class MinHash64(child: Expression, k: Int)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash64.eval($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash64.evalMinhash($c, $k)")
   override def nullSafeEval(v: Any): Any =
-    MinHash64.eval(v.asInstanceOf[ArrayData], k)
+    MinHash64.evalMinhash(v.asInstanceOf[ArrayData], k)
   override protected def withNewChildInternal(c: Expression): MinHash64 =
     copy(child = c)
 }
 
 object MinHash64 {
-  /** Static entry for generated code. */
-  def eval(arr: ArrayData, k: Int): ArrayData = {
+  /** Static entry for generated code. NOTE: must NOT be named `eval` —
+    * that collides with the inherited `Expression.eval(InternalRow)`, so
+    * scalac skips the static forwarder and Janino can't resolve the call
+    * (silent interpreted fallback).
+    */
+  def evalMinhash(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0

@@ -16,19 +16,20 @@ case class Murmur3x64_128(child: Expression, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    Murmur3x64_128.eval(v.asInstanceOf[UTF8String], seed)
+    Murmur3x64_128.evalHash(v.asInstanceOf[UTF8String], seed)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.Murmur3x64_128.eval($c, ${seed}L)")
+      c => s"graft.functions.Murmur3x64_128.evalHash($c, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): Murmur3x64_128 =
     copy(child = c)
 }
 
 object Murmur3x64_128 {
-  /** Static entry for generated code. */
-  def eval(u: UTF8String, seed: Long): ArrayData = {
+  /** Static entry for generated code (not `eval` — that name collides
+    * with `Expression.eval(InternalRow)` and kills the static forwarder). */
+  def evalHash(u: UTF8String, seed: Long): ArrayData = {
     val (h1, h2) = hash(u.getBytes, seed)
     ArrayData.toArrayData(Array(h1, h2))
   }

@@ -117,6 +117,63 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("m") == 1)
   }
 
+  test("sql hashes honor an explicit seed argument") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT xxhash32('abc', 7) AS h7, xxhash32('abc') AS h0, " +
+        "murmur3_128('cudf', 42) AS m42, murmur3_128('cudf') AS m0").head()
+    assert(r.getAs[Int]("h7") == one[Int](xxhash32(lit("abc"), 7)))
+    assert(r.getAs[Int]("h7") != r.getAs[Int]("h0"))
+    assert(r.getAs[scala.collection.Seq[Long]]("m42").toSeq ==
+      one[scala.collection.Seq[Long]](murmur3_128(lit("cudf"), 42L)).toSeq)
+    assert(r.getAs[scala.collection.Seq[Long]]("m42").toSeq !=
+      r.getAs[scala.collection.Seq[Long]]("m0").toSeq)
+  }
+
+  test("rsplit with empty separator returns the whole string (no hang)") {
+    assert(one[scala.collection.Seq[String]](
+      rsplit(lit("abc"), lit(""))).toSeq == Seq("abc"))
+    assert(one[scala.collection.Seq[String]](
+      rsplit(lit(""), lit(""), 2)).toSeq == Seq(""))
+  }
+
+  test("all custom expressions compile under CODEGEN_ONLY (no fallback)") {
+    // CODEGEN_ONLY turns any doGenCode bug into a hard failure instead of
+    // Spark's silent interpreted fallback — guards the static-forwarder
+    // collision class of bug (companion helper must not be named `eval`).
+    val conf = spark.conf
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val row = spark
+        .createDataFrame(Seq(("Hello World", "a-b-c")))
+        .toDF("s", "p")
+        .select(
+          swapcase(col("s")).as("sw"),
+          is_title(col("s")).as("ti"),
+          xxhash32(col("s"), 7).as("xx"),
+          murmur3_128(col("s"), 42L).as("mm"),
+          rsplit(col("p"), lit("-"), 1).as("rs"),
+          porter_measure(col("s")).as("pm"),
+          wrap_text(col("s"), 5).as("wr"),
+          normalize_chars(col("s")).as("nc"),
+          graft.functions.MinHash64.minhash64(
+            org.apache.spark.sql.functions.split(col("s"), " "), 4).as("mh"))
+        .head()
+      assert(row.getAs[String]("sw") == "hELLO wORLD")
+      assert(row.getAs[scala.collection.Seq[String]]("rs").toSeq == Seq("a-b", "c"))
+      assert(row.getAs[scala.collection.Seq[Long]]("mh").length == 4)
+      assert(row.getAs[scala.collection.Seq[Long]]("mm").length == 2)
+    } finally {
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(v =>
+        conf.set("spark.sql.codegen.factoryMode", v))
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(v =>
+        conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
   test("ewma aggregator matches hand-computed recurrence") {
     val e = agg.Ewma(0.5)
     val df = spark
