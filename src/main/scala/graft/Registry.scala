@@ -57,6 +57,40 @@ object Agg {
     s"(${dsumSql(e, scale)} / count($e))"
 }
 
+/** Canonical scalar encoding of array columns for the oracle gate.
+  *
+  * The driver's pandas canonical sort cannot handle list-typed cells, so
+  * every oracle-compared query projects arrays through a '|'-joined string.
+  * Cross-engine contract (verified against DuckDB 1.0):
+  *   - NULL array → NULL string on both sides;
+  *   - empty array → '' (DuckDB's array_to_string yields NULL there, hence
+  *     the coalesce inside the non-null branch);
+  *   - NULL elements are skipped by both concat_ws and array_to_string;
+  *   - double elements NEVER go through engine string repr (Spark "1.5"
+  *     vs DuckDB "1.50") — encode them fixed-point via [[ArrCanon.fixArr]].
+  */
+object ArrCanon {
+  /** Spark side: array<string|numeric> → canonical '|'-joined string. */
+  def joined(c: Column): Column =
+    when(c.isNull, lit(null)).otherwise(concat_ws("|", c))
+
+  /** DuckDB side mirror of [[joined]]. */
+  def joinedSql(e: String): String =
+    s"CASE WHEN ($e) IS NULL THEN NULL ELSE coalesce(array_to_string(($e), '|'), '') END"
+
+  /** Spark side: array<double> → array<bigint> fixed-point at `scale`
+    * decimals (floor in IEEE double: bit-identical across engines).
+    */
+  def fixArr(c: Column, scale: Int = 4): Column = {
+    val p = math.pow(10, scale)
+    transform(c, x => floor(x * lit(p)).cast(LongType))
+  }
+
+  /** DuckDB mirror of [[fixArr]]. */
+  def fixArrSql(e: String, scale: Int = 4): String =
+    s"list_transform(($e), x -> CAST(floor(x * 1e$scale) AS BIGINT))"
+}
+
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

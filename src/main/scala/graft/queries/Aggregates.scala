@@ -181,13 +181,13 @@ object Aggregates {
       .filter(col("l_orderkey") < 300)
       .groupBy(col("l_orderkey"))
       .agg(
-        sort_array(collect_list(col("l_linenumber"))).as("lines"),
-        sort_array(collect_set(col("l_returnflag"))).as("flags"))
+        graft.ArrCanon.joined(sort_array(collect_list(col("l_linenumber")))).as("lines"),
+        graft.ArrCanon.joined(sort_array(collect_set(col("l_returnflag")))).as("flags"))
 
   private val collectListSetSql =
-    """SELECT l_orderkey,
-      |  list_sort(list(l_linenumber)) AS lines,
-      |  list_sort(list(DISTINCT l_returnflag)) AS flags
+    s"""SELECT l_orderkey,
+      |  ${graft.ArrCanon.joinedSql("list_sort(list(l_linenumber))")} AS lines,
+      |  ${graft.ArrCanon.joinedSql("list_sort(list(DISTINCT l_returnflag))")} AS flags
       |FROM lineitem WHERE l_orderkey < 300 GROUP BY l_orderkey""".stripMargin
 
   /** COVARIANCE / CORRELATION from exact pieces. */

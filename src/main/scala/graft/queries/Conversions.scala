@@ -123,14 +123,16 @@ object Conversions {
         col("p_partkey"),
         translate(col("p_name"), "aeiou", "AEIOU").as("translated"),
         regexp_replace(col("p_name"), "[^a-z]", "").as("letters_only"),
-        expr("transform(array('a', 'e', 'gear'), sub -> instr(p_name, sub))")
+        graft.ArrCanon.joined(
+          expr("transform(array('a', 'e', 'gear'), sub -> instr(p_name, sub))"))
           .as("find_positions"))
 
   private val translateFilterSql =
-    """SELECT p_partkey,
+    s"""SELECT p_partkey,
       |  translate(p_name, 'aeiou', 'AEIOU') AS translated,
       |  regexp_replace(p_name, '[^a-z]', '', 'g') AS letters_only,
-      |  list_transform(['a', 'e', 'gear'], sub -> instr(p_name, sub))
+      |  ${graft.ArrCanon.joinedSql(
+            "list_transform(['a', 'e', 'gear'], sub -> instr(p_name, sub))")}
       |    AS find_positions
       |FROM part""".stripMargin
 

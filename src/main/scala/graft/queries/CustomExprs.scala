@@ -21,9 +21,9 @@ object CustomExprs {
         is_title(initcap(col("p_name"))).as("title_after_initcap"),
         is_title(col("p_name")).as("title_raw"),
         xxhash32(col("p_name")).as("xxh32"),
-        rsplit(col("p_name"), lit(" "), 1).as("rsplit_1"),
+        graft.ArrCanon.joined(rsplit(col("p_name"), lit(" "), 1)).as("rsplit_1"),
         porter_measure(element_at(split(col("p_name"), " "), 1)).as("porter_m"),
-        murmur3_128(col("p_name")).as("murmur128"))
+        graft.ArrCanon.joined(murmur3_128(col("p_name"))).as("murmur128"))
 
   private def ewmaPerUser(s: SparkSession, dir: String): DataFrame = {
     val e = graft.agg.Ewma(0.2)
@@ -42,7 +42,7 @@ object CustomExprs {
     graft.functions.Wordpiece
       .tokenize(s, docs, vocab)
       .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
-        slice(col("pieces"), 1, 5).as("head_pieces"))
+        graft.ArrCanon.joined(slice(col("pieces"), 1, 5)).as("head_pieces"))
   }
 
   /** percentile_approx — the engine's t-digest stand-in (TDIGEST Kind,

@@ -101,14 +101,16 @@ object Extras {
       .agg(collect_list(col("l_linenumber")).as("part_lists"))
       .groupBy(col("l_orderkey"))
       .agg(
-        sort_array(flatten(collect_list(col("part_lists")))).as("merged_list"),
-        sort_array(array_distinct(flatten(collect_list(col("part_lists")))))
+        graft.ArrCanon.joined(
+          sort_array(flatten(collect_list(col("part_lists"))))).as("merged_list"),
+        graft.ArrCanon.joined(
+          sort_array(array_distinct(flatten(collect_list(col("part_lists"))))))
           .as("merged_set"))
 
   private val mergeListsSql =
-    """SELECT l_orderkey,
-      |  list_sort(flatten(list(part_lists))) AS merged_list,
-      |  list_sort(list_distinct(flatten(list(part_lists)))) AS merged_set
+    s"""SELECT l_orderkey,
+      |  ${graft.ArrCanon.joinedSql("list_sort(flatten(list(part_lists)))")} AS merged_list,
+      |  ${graft.ArrCanon.joinedSql("list_sort(list_distinct(flatten(list(part_lists))))")} AS merged_set
       |FROM (SELECT l_orderkey, l_returnflag,
       |        list(l_linenumber) AS part_lists
       |      FROM lineitem WHERE l_orderkey < 200
@@ -141,14 +143,16 @@ object Extras {
       .filter(col("doc_id") < 300)
       .select(
         col("doc_id"),
-        regexp_extract_all(col("text"), lit("\\b[a-z]{5}\\b"), lit(0))
+        graft.ArrCanon.joined(
+          regexp_extract_all(col("text"), lit("\\b[a-z]{5}\\b"), lit(0)))
           .as("five_letter_words"),
         size(regexp_extract_all(col("text"), lit("qu[a-z]+"), lit(0)))
           .as("n_qu_words"))
 
   private val extractAllSql =
-    """SELECT doc_id,
-      |  regexp_extract_all(text, '\b[a-z]{5}\b') AS five_letter_words,
+    s"""SELECT doc_id,
+      |  ${graft.ArrCanon.joinedSql("regexp_extract_all(text, '\\b[a-z]{5}\\b')")}
+      |    AS five_letter_words,
       |  len(regexp_extract_all(text, 'qu[a-z]+')) AS n_qu_words
       |FROM documents WHERE doc_id < 300""".stripMargin
 
@@ -188,12 +192,14 @@ object Extras {
           .rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        ((max(col("us")) - min(col("us"))) / 1000000L).as("duration_s"))
+        // integer µs, not a double division: IEEE double quotients are not
+        // guaranteed bit-identical across engines (round-1 hash mismatch)
+        (max(col("us")) - min(col("us"))).as("duration_us"))
   }
 
   private val sessionizeSql =
     """SELECT user_id, session_id, count(*) AS n_events,
-      |  (max(us) - min(us)) / 1000000 AS duration_s
+      |  max(us) - min(us) AS duration_us
       |FROM (
       |  SELECT user_id, event_id, us,
       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
@@ -319,7 +325,8 @@ object Extras {
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
       .select(
         col("p_partkey"),
-        expr("transform(sequence(1, length(p_name)), i -> ascii(substring(p_name, i, 1)))")
+        graft.ArrCanon.joined(
+          expr("transform(sequence(1, length(p_name)), i -> ascii(substring(p_name, i, 1)))"))
           .as("code_points"),
         substring_index(col("p_name"), " ", 1).as("part_before"),
         when(instr(col("p_name"), " ") > 0,
@@ -330,9 +337,10 @@ object Extras {
         ltrim(col("p_name"), "rs").as("ltrim_chars"))
 
   private val strPartitionPointsSql =
-    """SELECT p_partkey,
-      |  list_transform(range(1, length(p_name) + 1),
-      |                 i -> ascii(substring(p_name, i, 1))) AS code_points,
+    s"""SELECT p_partkey,
+      |  ${graft.ArrCanon.joinedSql(
+           """list_transform(range(1, length(p_name) + 1),
+                i -> ascii(substring(p_name, i, 1)))""")} AS code_points,
       |  split_part(p_name, ' ', 1) AS part_before,
       |  CASE WHEN instr(p_name, ' ') > 0
       |       THEN substring(p_name, instr(p_name, ' ') + 1) ELSE '' END

@@ -262,12 +262,13 @@ object Functions {
         array_min(col("embedding")).cast(DoubleType).as("min_elem"),
         expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))")
           .as("sum_elems"),
-        expr("transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4))")
-          .as("head3_rounded"),
+        graft.ArrCanon.joined(graft.ArrCanon.fixArr(
+          expr("transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))")))
+          .as("head3_fixed"),
         expr("size(filter(embedding, x -> x > 0))").as("n_positive"))
 
   private val listOpsSql =
-    """SELECT vec_id,
+    s"""SELECT vec_id,
       |  len(embedding) AS dim,
       |  CAST(embedding[1] AS DOUBLE) AS first_elem,
       |  CAST(list_max(embedding) AS DOUBLE) AS max_elem,
@@ -275,8 +276,9 @@ object Functions {
       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |    list_transform(embedding, x -> CAST(x AS DOUBLE))),
       |    (acc, x) -> acc + x) AS sum_elems,
-      |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4))
-      |    AS head3_rounded,
+      |  ${graft.ArrCanon.joinedSql(graft.ArrCanon.fixArrSql(
+           "list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))"))}
+      |    AS head3_fixed,
       |  len(list_filter(embedding, x -> x > 0)) AS n_positive
       |FROM embeddings""".stripMargin
 
@@ -291,24 +293,26 @@ object Functions {
         slice(split(col("text"), " "), 5, 8).as("b"))
       .select(
         col("doc_id"),
-        sort_array(array_intersect(col("a"), col("b"))).as("inter"),
-        sort_array(array_union(col("a"), col("b"))).as("uni"),
-        sort_array(array_except(col("a"), col("b"))).as("diff"),
+        graft.ArrCanon.joined(sort_array(array_intersect(col("a"), col("b")))).as("inter"),
+        graft.ArrCanon.joined(sort_array(array_union(col("a"), col("b")))).as("uni"),
+        graft.ArrCanon.joined(sort_array(array_except(col("a"), col("b")))).as("diff"),
         arrays_overlap(col("a"), col("b")).as("overlaps"),
-        sort_array(array_distinct(col("a"))).as("dedup_a"))
+        graft.ArrCanon.joined(sort_array(array_distinct(col("a")))).as("dedup_a"))
 
-  private val arraySetOpsSql =
-    """SELECT doc_id,
-      |  list_sort(list_intersect(a, b)) AS inter,
-      |  list_sort(list_distinct(a || b)) AS uni,
-      |  list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x)))
+  private val arraySetOpsSql = {
+    import graft.ArrCanon.joinedSql
+    s"""SELECT doc_id,
+      |  ${joinedSql("list_sort(list_intersect(a, b))")} AS inter,
+      |  ${joinedSql("list_sort(list_distinct(a || b))")} AS uni,
+      |  ${joinedSql("list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x)))")}
       |    AS diff,
       |  len(list_intersect(a, b)) > 0 AS overlaps,
-      |  list_sort(list_distinct(a)) AS dedup_a
+      |  ${joinedSql("list_sort(list_distinct(a))")} AS dedup_a
       |FROM (SELECT doc_id,
       |        (string_split(text, ' '))[1:8] AS a,
       |        (string_split(text, ' '))[5:12] AS b
       |      FROM documents WHERE doc_id < 300)""".stripMargin
+  }
 
   /** get_json_object with JSONPath (json/json.hpp:165). */
   private def jsonExtract(s: SparkSession, dir: String): DataFrame =

@@ -53,11 +53,16 @@ object LlmOps {
     * CollapseProject, so the split really runs once per row.
     */
   private[graft] def shinglesOfToks(toks: Column): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - 2, lit(0))),
-        i => concat_ws("_", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))
+    // Docs with <3 tokens have no 3-shingles. The guard is load-bearing:
+    // sequence(1, 0) defaults its step to -1 and yields [1, 0], whose
+    // element_at(toks, 0) throws under ANSI mode (and diverges from the
+    // oracle's empty range(1, 1)).
+    when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - 2),
+          i => concat_ws("_", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2)))))
 
   /** documents → (doc_id, tk = distinct 3-gram shingles), split run once. */
   private[graft] def withShingles(df: DataFrame): DataFrame =
@@ -70,7 +75,7 @@ object LlmOps {
 
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     withShingles(Tables.documents(s, dir))
-      .select(col("doc_id"), minhashSig(16).as("minhash"))
+      .select(col("doc_id"), graft.ArrCanon.joined(minhashSig(16)).as("minhash"))
 
   /** MinHash-LSH near-dup candidate pairs: 4 bands × 4 rows; docs sharing
     * any band bucket become candidates; est. jaccard = matching minhash

@@ -314,14 +314,17 @@ object Relational {
       .lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr(
-          "transform(percentile(l_quantity, array(0.0D, 0.25D, 0.5D, 0.75D, 1.0D)), x -> round(x, 6))")
+        graft.ArrCanon.joined(graft.ArrCanon.fixArr(
+          expr(
+            "transform(percentile(l_quantity, array(0.0D, 0.25D, 0.5D, 0.75D, 1.0D)), x -> round(x, 6))"),
+          scale = 6))
           .as("qty_quantiles"))
 
   private val quantilePointsSql =
-    """SELECT l_returnflag,
-      |  list_transform(quantile_cont(l_quantity, [0.0, 0.25, 0.5, 0.75, 1.0]),
-      |                 x -> round(x, 6)) AS qty_quantiles
+    s"""SELECT l_returnflag,
+      |  ${graft.ArrCanon.joinedSql(graft.ArrCanon.fixArrSql(
+           """list_transform(quantile_cont(l_quantity, [0.0, 0.25, 0.5, 0.75, 1.0]),
+                x -> round(x, 6))""", 6))} AS qty_quantiles
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- §2.7

@@ -48,13 +48,14 @@ object TextOps {
         expr(
           "size(array_distinct(transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))))")
           .as("n_distinct_3grams"),
-        expr("transform(sequence(1, 3), i -> substring(t, i, 3))").as("first_3grams"))
+        graft.ArrCanon.joined(
+          expr("transform(sequence(1, 3), i -> substring(t, i, 3))")).as("first_3grams"))
 
   private val charNgramsSql =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  len(list_distinct(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
       |      i -> substring(t, i, 3)))) AS n_distinct_3grams,
-      |  list_transform(range(1, 4), i -> substring(t, i, 3)) AS first_3grams
+      |  ${graft.ArrCanon.joinedSql("list_transform(range(1, 4), i -> substring(t, i, 3))")} AS first_3grams
       |FROM (SELECT doc_id, substring(text, 1, 80) AS t FROM documents)
       |""".stripMargin
 
@@ -67,14 +68,15 @@ object TextOps {
       .select(col("doc_id"), slice(toks(col("text")), 1, 12).as("tk"))
       .select(
         col("doc_id"),
-        expr(
-          "transform(sequence(1, greatest(size(tk) - 1, 0)), i -> concat(tk[i - 1], '_', tk[i]))")
+        graft.ArrCanon.joined(expr(
+          "transform(sequence(1, greatest(size(tk) - 1, 0)), i -> concat(tk[i - 1], '_', tk[i]))"))
           .as("bigrams"))
 
   private val wordNgramsSql =
-    """SELECT doc_id,
-      |  list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
-      |                 i -> concat(tk[i], '_', tk[i + 1])) AS bigrams
+    s"""SELECT doc_id,
+      |  ${graft.ArrCanon.joinedSql(
+            """list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                i -> concat(tk[i], '_', tk[i + 1]))""")} AS bigrams
       |FROM (SELECT doc_id, (string_split(text, ' '))[1:12] AS tk
       |      FROM documents)""".stripMargin
 

@@ -47,6 +47,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(xxh.distinct.length > xxh.length / 2)
   }
 
+  test("shingles of short documents (<3 tokens) are empty, not an error") {
+    // regression: sequence(1, 0) defaults step to -1 → [1, 0] → ANSI
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT on any short doc
+    val df = spark
+      .createDataFrame(Seq((1L, ""), (2L, "one"), (3L, "one two"),
+        (4L, "one two three"), (5L, "a b c d")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), queries.LlmOps.shingles3("text").as("sh"))
+    val got = df.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("sh").toSeq).toMap
+    assert(got(1L) == Nil && got(2L) == Nil && got(3L) == Nil)
+    assert(got(4L) == Seq("one_two_three"))
+    assert(got(5L) == Seq("a_b_c", "b_c_d"))
+  }
+
   test("minhash signatures are a pure function of the text") {
     // same text through two plan shapes (direct vs re-shuffled) must yield
     // byte-identical signatures — no plan-dependent nondeterminism
@@ -55,7 +70,8 @@ class OperatorsSpec extends AnyFunSuite {
       .documents(spark, sf)
       .repartition(7, col("source"))
       .select(col("doc_id"), queries.LlmOps.shingles3("text").as("tk"))
-      .select(col("doc_id"), queries.LlmOps.minhashSig(16).as("minhash2"))
+      .select(col("doc_id"),
+        graft.ArrCanon.joined(queries.LlmOps.minhashSig(16)).as("minhash2"))
     val diff = direct
       .join(reshuffled, "doc_id")
       .filter(col("minhash") =!= col("minhash2"))
