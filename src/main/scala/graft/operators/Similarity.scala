@@ -52,19 +52,42 @@ object Similarity {
         toDouble(col("embedding")).as("centroid"))
   }
 
-  /** Assign every vector to its nearest centroid (broadcast centroids,
-    * map-side argmax — one pass, no shuffle).
+  /** Assign every vector to its nearest centroid — a TRUE map-side argmax.
+    *
+    * Centroids are a bounded design dimension (nCells ≪ corpus), so they
+    * are collected, unit-normalized driver-side, and shipped as literal
+    * array columns. Each row computes one dot product per centroid inside
+    * a higher-order `transform` and picks the argmax with
+    * `array_position(sims, array_max(sims))` — the plan is a pure
+    * Project over the scan: no crossJoin row explosion, no Exchange.
+    * (The round-1 formulation shuffled |corpus|×nCells rows through a
+    * `row_number` window — a scale-killer at 100 TB.)
+    *
+    * Unit-normalizing centroids up front makes argmax-over-dot equal to
+    * argmax-over-cosine (the row's own norm is a positive constant across
+    * cells), so the per-cell work is exactly one fused dot product.
+    * Ties resolve to the lowest cell_id (centroids ship sorted;
+    * array_position returns the first match).
     */
   def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("cell_id"),
-        cosine(col("e"), col("centroid")).as("sim"))
-      .withColumn("rk",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("cell_id"))))
-      .filter(col("rk") === 1)
+    val cRows = cents.select(col("cell_id"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+    require(cRows.nonEmpty, "assignCells: empty centroid set")
+    val cellIds = array(cRows.map(r => lit(r.getInt(0))): _*)
+    val unitCents = array(cRows.map { r =>
+      val v = r.getSeq[Double](1)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      array(v.map(x => lit(if (n == 0d) 0d else x / n)): _*)
+    }: _*)
+    emb
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      // sims materialized in its own projection: referencing it twice
+      // below must NOT recompute the dot products (multi-referenced
+      // aliases survive CollapseProject; a lambda would re-evaluate)
+      .withColumn("sims", transform(unitCents, cu => dot(col("e"), cu)))
+      .select(col("vec_id"), col("e"),
+        element_at(cellIds, array_position(col("sims"), array_max(col("sims")))
+          .cast(IntegerType)).as("cell_id"))
       .select(col("vec_id"), col("cell_id"), col("e"))
   }
 

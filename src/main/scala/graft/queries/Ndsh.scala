@@ -67,15 +67,18 @@ object Ndsh {
     val s = Tables.supplier(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
-    // Join order: big-to-big (lineitem⋈orders) shuffles once on orderkey;
-    // customer/supplier/nation/region are dims → Catalyst broadcasts them.
+    // Join order: big-to-big (lineitem⋈orders) shuffles once on orderkey.
+    // customer/supplier SCALE with SF, so no forced broadcast hint — a
+    // hint is honored regardless of size and would OOM the build side at
+    // 100 TB; AQE still auto-broadcasts them below the size threshold.
+    // nation/region are FIXED cardinality (25/5 rows) → hint is safe.
     o.filter(
         col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
           col("o_orderdate") < ts("1997-01-01 00:00:00"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
       .join(
-        broadcast(s),
+        s,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -126,9 +129,10 @@ object Ndsh {
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val n = Tables.nation(spark, dir)
-    l.join(broadcast(p.filter(col("p_name").like("%red%"))),
+    // part/supplier scale with SF: no forced broadcast (see q5 note).
+    l.join(p.filter(col("p_name").like("%red%")),
         col("p_partkey") === col("l_partkey"))
-      .join(broadcast(s), col("s_suppkey") === col("l_suppkey"))
+      .join(s, col("s_suppkey") === col("l_suppkey"))
       .join(o, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(
@@ -166,7 +170,7 @@ object Ndsh {
           col("o_orderdate") >= ts("1996-10-01 00:00:00") &&
             col("o_orderdate") < ts("1997-01-01 00:00:00")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))  // scales with SF
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(

@@ -40,6 +40,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val cents = Similarity.centroids(emb, 16).cache()
     val assigned = Similarity.assignCells(emb, cents).cache()
+    // the assignment stage must be a pure map over the scan: no shuffle,
+    // no per-row centroid explosion (round-1 regression)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignCells plan shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"assignCells plan explodes the corpus:\n$plan")
     assert(assigned.count() == emb.count())
     val ivf = Similarity
       .ivfTopK(spark, assigned, cents, 0L, 10, nProbe = 6)
