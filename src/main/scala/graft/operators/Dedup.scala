@@ -15,7 +15,18 @@ object Dedup {
     * doc id in the connected near-dup cluster. Singleton docs are their
     * own keeper (absent from the output; join with a default).
     */
+  /** Persistent-RDD ids reachable from `r`'s lineage (r included). */
+  private def persistedAncestors(r: org.apache.spark.rdd.RDD[_]): Set[Int] = {
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def walk(x: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.add(x.id)) x.dependencies.foreach(d => walk(d.rdd))
+    walk(r)
+    seen.toSet
+  }
+
   def resolveKeepers(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -32,21 +43,36 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
+      // localCheckpoint truncates the lineage each round — without it the
+      // plan deepens per iteration (re-resolved from scratch on any
+      // recompute, and analysis cost itself grows superlinearly)
       val next = labels
         .join(neighborLabels, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(false)
         .cache()
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old"))
         .limit(1)
         .count()
+      labels.unpersist() // predecessor served its two passes; release it
       converged = changed == 0
       labels = next
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("keeper"))
+    edges.unpersist()
+    val out = labels.select(col("id").as("doc_id"), col("label").as("keeper"))
+    // df.unpersist() frees cache entries but NOT the MEMORY_AND_DISK
+    // blocks localCheckpoint pinned for dead iterations (ContextCleaner
+    // frees those only after GC). Drop every block this call created
+    // except the ones still backing the returned frame's lineage.
+    val live = persistedAncestors(out.rdd)
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!preexisting.contains(id) && !live.contains(id)) rdd.unpersist(false)
+    }
+    out
   }
 
   /** Full pipeline: docs + candidate pairs → deduplicated corpus

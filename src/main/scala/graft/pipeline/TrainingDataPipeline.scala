@@ -29,6 +29,10 @@ object TrainingDataPipeline {
       maxShortTokenRatio: Double = 0.4,
       lang: String = "en",
       lshJaccardThreshold: Double = 0.75,
+      /** Drop LSH buckets holding more docs than this — one degenerate
+        * bucket (boilerplate/empty docs) is otherwise quadratic.
+        */
+      lshMaxBucket: Int = 1000,
       wordpieceMinFreq: Long = 50)
 
   /** Stage 1-2: quality + language gate. */
@@ -55,24 +59,8 @@ object TrainingDataPipeline {
     * resolution (keeps one doc per near-dup cluster).
     */
   def nearDedup(spark: SparkSession, docs: DataFrame, cfg: Config): DataFrame = {
-    val sigs = LlmOps
-      .withShingles(docs)
-      .select(col("doc_id"), graft.functions.MinHash64.minhash64(col("tk"), 16).as("mh"))
-    val banded = sigs.select(
-      col("doc_id"),
-      col("mh"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> xxhash64(mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]))"))
-        .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("mh").as("mh_b"))
-    val pairs = l
-      .join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) / CAST(16 AS DOUBLE)")
-          .as("est_jaccard"))
-      .distinct()
+    val pairs = LlmOps
+      .lshCandidatePairs(docs, maxBucket = cfg.lshMaxBucket)
       .filter(col("est_jaccard") >= cfg.lshJaccardThreshold)
     Dedup.dedupCorpus(docs, pairs.select(col("id_a"), col("id_b")))
   }
@@ -101,6 +89,13 @@ object TrainingDataPipeline {
       "after_lang" -> lang.count(),
       "after_exact_dedup" -> exact.count(),
       "after_near_dedup" -> near.count())
+    // Intermediate stage caches exist only to serve the counts above and
+    // the downstream stage's first pass — release them so a long-running
+    // job doesn't accumulate one cached corpus per stage. `near` stays
+    // cached: it backs the returned (lazy) tokenized frame.
+    q.unpersist()
+    lang.unpersist()
+    exact.unpersist()
     (tokenized, counts)
   }
 }

@@ -80,9 +80,18 @@ object LlmOps {
   /** MinHash-LSH near-dup candidate pairs: 4 bands × 4 rows; docs sharing
     * any band bucket become candidates; est. jaccard = matching minhash
     * fraction. Scales as O(n · bands) shuffle on band keys.
+    *
+    * Hot-bucket cap: a degenerate bucket (empty docs, boilerplate) makes
+    * the within-bucket self-join quadratic in that bucket alone, so
+    * buckets holding more than `maxBucket` docs are dropped before the
+    * join. That is the standard recall trade — members of an over-full
+    * bucket are overwhelmingly mutual near-dups of one template and are
+    * still found through their other 3 bands. The bucket-size aggregation
+    * shuffles the same (band, bucket) key the join shuffles, so AQE lines
+    * the exchanges up.
     */
-  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = withShingles(Tables.documents(s, dir))
+  private[graft] def lshCandidatePairs(docs: DataFrame, maxBucket: Int): DataFrame = {
+    val sigs = withShingles(docs)
       .select(col("doc_id"), minhashSig(16).as("mh"))
     val banded = sigs
       .select(
@@ -91,16 +100,25 @@ object LlmOps {
         posexplode(expr(
           "transform(sequence(0, 3), b -> xxhash64(mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]))"))
           .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("mh").as("mh_b"))
+    val okBuckets = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(okBuckets, Seq("band", "bucket"))
+    val l = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))
+    val r = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("mh").as("mh_b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) / CAST(16 AS DOUBLE)")
           .as("est_jaccard"))
       .distinct()
-      .filter(col("est_jaccard") >= 0.75)
   }
+
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshCandidatePairs(Tables.documents(s, dir), maxBucket = 1000)
+      .filter(col("est_jaccard") >= 0.75)
 
   /** SimHash-style 64-bit signature from token hashes — bit b of the
     * signature is the majority vote of bit b across token xxhash64 values.
@@ -120,26 +138,41 @@ object LlmOps {
             |   THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END))
             |""".stripMargin).as("simhash"))
 
-  /** n-gram jaccard dedup (blocked): token-3-gram-set jaccard for pairs
-    * blocked on (lang, length bucket) — the exact-verify stage a MinHash
-    * pipeline feeds into.
+  /** n-gram jaccard dedup: EXACT token-3-gram-set jaccard computed only
+    * on LSH candidate pairs — the verify stage wired the way the MinHash
+    * pipeline feeds it (reference `nvtext/jaccard.hpp:73`: pairwise only
+    * within candidates).
+    *
+    * The round-1 shape blocked on (lang, len_bucket); those blocks grow
+    * linearly with the corpus, so the within-block self-join was
+    * quadratic at scale. Candidates now come from 4 one-row minhash
+    * bands. The band hash is a portable polynomial char hash (the same
+    * fold both engines compute bit-identically) rather than the engine's
+    * native XXH64 — semantics match `lshCandidatePairs`, and the DuckDB
+    * oracle can replicate it exactly. A pair is a candidate with
+    * probability 1-(1-J)^4 — every surviving pair is then verified with
+    * exact jaccard, so false candidates cost work, never correctness.
     */
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val grams = Tables
       .documents(s, dir)
-      .select(
-        col("doc_id"),
-        col("lang"),
-        (col("n_chars") / 100).cast(IntegerType).as("len_bucket"),
-        split(col("text"), " ").as("toks"))
-      .select(
-        col("doc_id"),
-        col("lang"),
-        col("len_bucket"),
-        shinglesOfToks(col("toks")).as("g3"))
-    val a = grams.select(col("lang"), col("len_bucket"), col("doc_id").as("id_a"), col("g3").as("ga"))
-    val b = grams.select(col("lang"), col("len_bucket"), col("doc_id").as("id_b"), col("g3").as("gb"))
-    a.join(b, Seq("lang", "len_bucket"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shinglesOfToks(col("toks")).as("g3"))
+    // one minhash per band: min over shingles of poly-hash seeded by band
+    val banded = grams
+      .select(col("doc_id"), col("g3"),
+        posexplode(expr(
+          """transform(sequence(0, 3), b ->
+            |  array_min(transform(g3, g ->
+            |    aggregate(
+            |      transform(sequence(1, length(g)), i -> ascii(substring(g, i, 1))),
+            |      CAST(b AS BIGINT),
+            |      (h, c) -> (h * 31 + c) % 1000000007))))""".stripMargin))
+          .as(Seq("band", "bucket")))
+      .filter(col("bucket").isNotNull) // docs with no shingles: no candidates
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("g3").as("ga"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("g3").as("gb"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(
         col("id_a"),
@@ -147,23 +180,33 @@ object LlmOps {
         (size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
           size(array_union(col("ga"), col("gb")))).as("jaccard3"))
       .filter(col("jaccard3") >= 0.2)
+      .distinct()
   }
 
   private val dedupNgramJaccardSql =
     """WITH grams AS (
-      |  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS len_bucket,
+      |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
       |      i -> concat(string_split(text, ' ')[i], '_',
       |                  string_split(text, ' ')[i + 1], '_',
       |                  string_split(text, ' ')[i + 2]))) AS g3
-      |  FROM documents)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  FROM documents),
+      |banded AS (
+      |  SELECT doc_id, g3, band,
+      |    list_min(list_transform(g3, g ->
+      |      list_reduce(
+      |        list_prepend(CAST(band AS BIGINT),
+      |          list_transform(range(1, length(g) + 1),
+      |                         i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
+      |        (h, c) -> (h * 31 + c) % 1000000007))) AS bucket
+      |  FROM grams CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      |  WHERE len(g3) > 0)
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE) /
       |    len(list_distinct(a.g3 || b.g3)) AS jaccard3
-      |FROM grams a JOIN grams b
-      |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-      | AND a.doc_id < b.doc_id
+      |FROM banded a JOIN banded b
+      |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE) /
       |    len(list_distinct(a.g3 || b.g3)) >= 0.2""".stripMargin
 

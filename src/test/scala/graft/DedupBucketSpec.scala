@@ -37,6 +37,44 @@ class DedupBucketSpec extends AnyFunSuite {
     assert(removed.exceptAll(inPairs).isEmpty)
   }
 
+  test("resolveKeepers residue is bounded regardless of iteration count") {
+    // a 200-node chain forces min-label propagation through all 10
+    // iterations; persisted-RDD residue must stay a small constant, not
+    // grow per iteration (round-1 leak: every iteration's cache + the
+    // localCheckpoint blocks of dead iterations stayed pinned)
+    val chain = spark
+      .createDataFrame((0L until 199L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val keepers = Dedup.resolveKeepers(chain)
+    keepers.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"persistent RDDs grew $before -> $after across 10 iterations")
+  }
+
+  test("LSH hot-bucket cap bounds per-bucket pair counts") {
+    // corpus with a degenerate template: 40 near-identical docs that all
+    // land in one bucket, plus a genuine near-dup pair of a distinct text
+    val template = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val distinct1 = (1 to 30).map(i => s"other$i").mkString(" ")
+    val distinct2 = (2 to 30).map(i => s"other$i").mkString(" ") + " other31"
+    val rows = (1L to 40L).map(i => (i, template)) ++
+      Seq((100L, distinct1), (101L, distinct2))
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text")
+
+    val uncapped = queries.LlmOps.lshCandidatePairs(docs, maxBucket = Int.MaxValue)
+    // 40 template docs → 40*39/2 = 780 quadratic pairs without the cap
+    assert(uncapped.count() >= 780)
+
+    val capped = queries.LlmOps.lshCandidatePairs(docs, maxBucket = 10)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the hot template bucket is dropped entirely...
+    assert(!cappedPairs.exists { case (a, b) => a <= 40L && b <= 40L })
+    // ...while the genuine near-dup pair in a small bucket survives
+    assert(cappedPairs.contains((100L, 101L)))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // uses the default local warehouse (spark-warehouse/, gitignored);
     // also clear orphan locations from any previously aborted run
