@@ -61,22 +61,31 @@ object Agg {
   *
   * The driver's pandas canonical sort cannot handle list-typed cells, so
   * every oracle-compared query projects arrays through a '|'-joined string.
-  * Cross-engine contract (verified against DuckDB 1.0):
+  * The encoding is LOSSLESS: elements are cast to string, '|' inside an
+  * element is escaped as '\|', and a NULL element becomes the NUL-char
+  * sentinel — so ['a|b'] vs ['a','b'] and ['a',NULL] vs ['a'] encode
+  * differently. Cross-engine contract (verified against DuckDB 1.0):
   *   - NULL array → NULL string on both sides;
   *   - empty array → '' (DuckDB's array_to_string yields NULL there, hence
   *     the coalesce inside the non-null branch);
-  *   - NULL elements are skipped by both concat_ws and array_to_string;
   *   - double elements NEVER go through engine string repr (Spark "1.5"
-  *     vs DuckDB "1.50") — encode them fixed-point via [[ArrCanon.fixArr]].
+  *     vs DuckDB "1.50") — encode them fixed-point via [[ArrCanon.fixArr]]
+  *     first; bigint/boolean/string casts are identical across engines.
   */
 object ArrCanon {
-  /** Spark side: array<string|numeric> → canonical '|'-joined string. */
+  /** Spark side: array<string|int|bool> → canonical '|'-joined string. */
   def joined(c: Column): Column =
-    when(c.isNull, lit(null)).otherwise(concat_ws("|", c))
+    when(c.isNull, lit(null)).otherwise(
+      concat_ws("|",
+        transform(c, x =>
+          coalesce(replace(x.cast(StringType), lit("|"), lit("\\|")),
+            lit("\u0001")))))
 
   /** DuckDB side mirror of [[joined]]. */
   def joinedSql(e: String): String =
-    s"CASE WHEN ($e) IS NULL THEN NULL ELSE coalesce(array_to_string(($e), '|'), '') END"
+    s"""CASE WHEN ($e) IS NULL THEN NULL ELSE coalesce(array_to_string(
+       |list_transform(($e), x -> coalesce(replace(CAST(x AS VARCHAR), '|', '\\|'), chr(1))),
+       |'|'), '') END""".stripMargin.replace("\n", " ")
 
   /** Spark side: array<double> → array<bigint> fixed-point at `scale`
     * decimals (floor in IEEE double: bit-identical across engines).

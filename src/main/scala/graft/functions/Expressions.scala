@@ -329,7 +329,12 @@ object GraftFunctions {
     // arity/shape is an explicit analysis-time error (not silently seed 0).
     reg.createOrReplaceTempFunction("xxhash32", {
       case Seq(e) => XxHash32Expr(e, 0)
-      case Seq(e, s) => XxHash32Expr(e, foldableSeed(s, "xxhash32").toInt)
+      case Seq(e, s) =>
+        val seed = foldableSeed(s, "xxhash32")
+        if (seed < Int.MinValue || seed > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"xxhash32 seed must fit in 32 bits, got $seed")
+        XxHash32Expr(e, seed.toInt)
       case es => throw new IllegalArgumentException(
         s"xxhash32 expects (str[, seed]); got ${es.length} args")
     }, "built-in")

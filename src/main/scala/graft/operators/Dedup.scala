@@ -26,12 +26,20 @@ object Dedup {
 
   def resolveKeepers(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
+    // RDD ids pinned BY THIS CALL (caches + localCheckpoint blocks). We
+    // must not diff the global getPersistentRDDs snapshot instead: caller
+    // caches whose buffers first materialize inside our loop actions would
+    // look "new" and get wrongly unpersisted. Caller-cached buffers that sit
+    // in the input's lineage (and thus in our frames' lineage too) are
+    // excluded via protectedIds.
+    val protectedIds = sc.getPersistentRDDs.keySet ++ persistedAncestors(pairs.rdd)
+    val mine = scala.collection.mutable.Set.empty[Int]
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
+    mine ++= (persistedAncestors(edges.rdd) -- protectedIds)
     var labels = edges
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
@@ -52,6 +60,7 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(false)
         .cache()
+      mine ++= (persistedAncestors(next.rdd) -- protectedIds)
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old"))
@@ -66,12 +75,11 @@ object Dedup {
     val out = labels.select(col("id").as("doc_id"), col("label").as("keeper"))
     // df.unpersist() frees cache entries but NOT the MEMORY_AND_DISK
     // blocks localCheckpoint pinned for dead iterations (ContextCleaner
-    // frees those only after GC). Drop every block this call created
+    // frees those only after GC). Drop every block this call itself pinned
     // except the ones still backing the returned frame's lineage.
     val live = persistedAncestors(out.rdd)
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!preexisting.contains(id) && !live.contains(id)) rdd.unpersist(false)
-    }
+    val persisted = sc.getPersistentRDDs
+    (mine.toSet -- live).foreach(id => persisted.get(id).foreach(_.unpersist(false)))
     out
   }
 

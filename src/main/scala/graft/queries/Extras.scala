@@ -202,8 +202,12 @@ object Extras {
       |  max(us) - min(us) AS duration_us
       |FROM (
       |  SELECT user_id, event_id, us,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    -- DuckDB sum(INT) over a window yields HUGEINT, which pandas
+      |    -- renders as float64 ('1.0') and fails the strict hash compare
+      |    -- against Spark's bigint '1'; pin the type explicitly.
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
       |  FROM (
       |    SELECT user_id, event_id, us,
       |      CASE WHEN gap_us IS NULL OR gap_us > 300000000 THEN 1 ELSE 0 END
