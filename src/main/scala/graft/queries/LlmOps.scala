@@ -91,8 +91,17 @@ object LlmOps {
     * the exchanges up.
     */
   private[graft] def lshCandidatePairs(docs: DataFrame, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sigs = withShingles(docs)
       .select(col("doc_id"), minhashSig(16).as("mh"))
+    // The signature array rides the LEFT side of the self-join only (a
+    // map-side projection; the right side is compact (band, bucket, id)
+    // rows), and the per-pair reduction takes first(mh_a) while grouping
+    // on ids alone — so the pair distinct never hashes arrays and the
+    // corpus is minhashed twice total (left + b-side attach), not once
+    // per reference. The hot-bucket cap is a windowed count over the same
+    // (band, bucket) key the join shuffles — one exchange serves both,
+    // instead of a separate aggregate + semi-join.
     val banded = sigs
       .select(
         col("doc_id"),
@@ -100,20 +109,23 @@ object LlmOps {
         posexplode(expr(
           "transform(sequence(0, 3), b -> xxhash64(mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]))"))
           .as(Seq("band", "bucket")))
-    val okBuckets = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
+    val capped = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bucket_n") <= maxBucket)
-      .select(col("band"), col("bucket"))
-    val capped = banded.join(okBuckets, Seq("band", "bucket"))
-    val l = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))
-    val r = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("mh").as("mh_b"))
-    l.join(r, Seq("band", "bucket"))
+      .drop("bucket_n")
+    val l = capped
+      .select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))
+    val r = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("mh_a")).as("mh_a"))
+    pairs
+      .join(sigs.select(col("doc_id").as("id_b"), col("mh").as("mh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) / CAST(16 AS DOUBLE)")
           .as("est_jaccard"))
-      .distinct()
   }
 
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
