@@ -288,6 +288,83 @@ object LlmOps {
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, LSH-banded: candidates come
+    * from 2 bands × 4 signed-random-hyperplane bits (so the self-join is
+    * per-bucket, never corpus²), then every candidate pair is verified
+    * with the exact cosine. The ±1 plane weights derive from a portable
+    * LCG parity — the same integer fold DuckDB computes bit-identically —
+    * so unlike `sim_ann_lsh_buckets` (native xxhash64) this query is
+    * fully oracle-checked: candidate generation AND verification.
+    *
+    * Recall at the similarity threshold (0.4 here — the synthetic embeddings are near-orthogonal, so "near-dup" is data-relative) is 1-(1-p₄)² ≈ 0.8-0.95 (p = 1-θ/π per plane) —
+    * the standard SRP-LSH trade. 100 TB note: planes-per-band tunes
+    * bucket granularity (4 bits → 16 buckets/band here; production sizes
+    * 16-24 bits so buckets stay executor-local), and the hot-bucket cap
+    * of `lshCandidatePairs` applies unchanged if the embedding space is
+    * degenerate.
+    */
+  private def dedupEmbCosine(s: SparkSession, dir: String): DataFrame = {
+    // ±1 weight for (plane, dim j): bit 16 of the LCG value at plane*64+j
+    val bucketArr =
+      s"""transform(sequence(0, 1), band ->
+         |  aggregate(sequence(0, 3), 0, (acc, i) ->
+         |    acc * 2 + (CASE WHEN
+         |      aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+         |        (a, j) -> a + e[j] * (CASE WHEN ((1103515245 * CAST(((band * 4 + i) * 64 + j) AS BIGINT) + 12345) % 2147483648 >> 16) & 1 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))
+         |      > CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END)))""".stripMargin
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), embDouble.as("e"))
+      .select(col("vec_id"), col("e"),
+        posexplode(expr(bucketArr)).as(Seq("band", "bucket")))
+    val a = e.select(col("band"), col("bucket"), col("vec_id").as("id_a"), col("e").as("ea"))
+    val b = e.select(col("band"), col("bucket"), col("vec_id").as("id_b"), col("e").as("eb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
+          (sqrt(expr("aggregate(ea, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(eb, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"))))
+          .as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine_6dp"))
+      .distinct()
+  }
+
+  private val dedupEmbCosineSql =
+    """WITH e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |banded AS (
+      |  SELECT vec_id, e, band,
+      |    list_reduce(list_prepend(0, list_transform(range(0, 4), i ->
+      |      CASE WHEN
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(0, 64), j ->
+      |            e[j + 1] * (CASE WHEN ((1103515245 * ((band * 4 + i) * 64 + j) + 12345) % 2147483648 >> 16) & 1 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+      |          (a, v) -> a + v)
+      |        > CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END)),
+      |      (acc, bit) -> acc * 2 + bit) AS bucket
+      |  FROM e0 CROSS JOIN (SELECT unnest([0, 1]) AS band) bands),
+      |cand AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT id_a, id_b,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(ea) + 1), i -> ea[i] * eb[i])),
+      |      (a, v) -> a + v) /
+      |    (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(ea, x -> x * x)), (a, v) -> a + v)) *
+      |     sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(eb, x -> x * x)), (a, v) -> a + v))) AS cos
+      |  FROM cand)
+      |SELECT DISTINCT id_a, id_b, round(cos, 6) AS cosine_6dp
+      |FROM scored WHERE cos >= 0.4""".stripMargin
+
   // -------------------------------------------------------- multimodal
 
   /** Multimodal binary columns: opaque payload + typed metadata struct.
@@ -324,6 +401,7 @@ object LlmOps {
     "dedup_minhash_lsh" -> Q(dedupMinhashLsh _, None),
     "dedup_simhash" -> Q(dedupSimhash _, None),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard _, dedupNgramJaccardSql),
+    "dedup_emb_cosine" -> Q(dedupEmbCosine _, dedupEmbCosineSql),
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, None),
     "multimodal_meta" -> Q(multimodalMeta _, multimodalMetaSql)
