@@ -49,4 +49,49 @@ object Ewma {
     val agg = udaf(new EwmaAgg(alpha))
     (order, value) => agg(order, value)
   }
+
+  /** Per-row EWMA (pandas `ewm(alpha).mean()`, adjust=true) as a single
+    * sorted-partition streaming pass: repartition by key, sort within
+    * partitions by (key, order), then one forward scan holding O(1)
+    * state per group — the unbounded-series shape the buffering
+    * [[EwmaAgg]] documents as its scale alternative. Appends an `ewma`
+    * double column; a null value yields a null ewma and leaves the
+    * recurrence state untouched.
+    */
+  def smoothedPerRow(
+      df: org.apache.spark.sql.DataFrame,
+      key: String,
+      order: Seq[String],
+      value: String,
+      alpha: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val outSchema = StructType(df.schema.fields :+ StructField("ewma", DoubleType))
+    val keyIdx = df.schema.fieldIndex(key)
+    val valIdx = df.schema.fieldIndex(value)
+    val oneMinus = 1.0 - alpha
+    df.repartition(col(key))
+      .sortWithinPartitions((key +: order).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var started = false
+        var num = 0.0
+        var den = 0.0
+        rows.map { r =>
+          val k = r.get(keyIdx)
+          if (!started || k != curKey) {
+            curKey = k; started = true; num = 0.0; den = 0.0
+          }
+          val out =
+            if (r.isNullAt(valIdx)) null
+            else {
+              num = r.getDouble(valIdx) + oneMinus * num
+              den = 1.0 + oneMinus * den
+              Double.box(num / den)
+            }
+          Row.fromSeq(r.toSeq :+ out)
+        }
+      }(Encoders.row(outSchema))
+  }
 }

@@ -33,6 +33,38 @@ object CustomExprs {
       .agg(e(unix_micros(col("ts")), col("value")).as("ewma_value"))
   }
 
+  /** Per-row EWMA via the streaming sorted-partition pass
+    * ([[graft.agg.Ewma.smoothedPerRow]], O(1) state per group — the
+    * unbounded-series scale path for the EWMA aggregation). Oracle-exact:
+    * the DuckDB twin folds each row's value-prefix list through the SAME
+    * adjust=true recurrence (num = x + (1-α)·num; den = 1 + (1-α)·den)
+    * in the same left-to-right order, so every IEEE operation matches
+    * bit-for-bit — no rounding needed.
+    */
+  private def winEwmaStream(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("value"))
+    graft.agg.Ewma
+      .smoothedPerRow(base, "user_id", Seq("us", "event_id"), "value", 0.2)
+      .select(col("user_id"), col("event_id"), col("ewma"))
+  }
+
+  private val winEwmaStreamSql =
+    """SELECT user_id, event_id,
+      |  CASE WHEN value IS NULL THEN NULL ELSE
+      |    list_reduce(pfx, (a, x) -> x + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * a) /
+      |    list_reduce(list_transform(pfx, x -> CAST(1.0 AS DOUBLE)),
+      |                (a, x) -> CAST(1.0 AS DOUBLE) + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * a)
+      |  END AS ewma
+      |FROM (
+      |  SELECT user_id, event_id, value,
+      |    list(value) FILTER (value IS NOT NULL)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+      |  FROM events)""".stripMargin
+
   /** wordpiece subword tokenization (wordpiece_tokenize.hpp:114) with a
     * corpus-derived broadcast vocab; rows-only (vocab is data-derived).
     */
@@ -61,6 +93,7 @@ object CustomExprs {
   def queries: Map[String, Q] = Map(
     "custom_string_exprs" -> Q(customStrings _, None),
     "agg_ewma" -> Q(ewmaPerUser _, None),
+    "win_ewma_stream" -> Q(winEwmaStream _, winEwmaStreamSql),
     "text_wordpiece" -> Q(wordpieceTokens _, None),
     "agg_percentile_approx" -> Q(percentileApprox _, None)
   )

@@ -193,4 +193,43 @@ class ExpressionsSpec extends AnyFunSuite {
     val got = df.groupBy(col("k")).agg(e(col("o"), col("v")).as("ewma")).head().getAs[Double]("ewma")
     assert(math.abs(got - 4.25 / 1.75) < 1e-12)
   }
+
+  test("streaming per-row ewma: last row per group equals the buffered aggregator") {
+    val base = Tables
+      .events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("value"))
+    val perRow = agg.Ewma.smoothedPerRow(base, "user_id", Seq("us", "event_id"), "value", 0.2)
+    val lastPerUser = perRow
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ewma"))
+    val e = agg.Ewma(0.2)
+    val agged = Tables
+      .events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(e(unix_micros(col("ts")), col("value")).as("ewma_agg"))
+    val joined = lastPerUser.join(agged, "user_id")
+      .select(abs(col("ewma") - col("ewma_agg")).as("diff"))
+      .agg(max(col("diff")))
+      .head().getDouble(0)
+    assert(joined < 1e-9, s"per-row stream diverged from aggregator by $joined")
+  }
+
+  test("streaming per-row ewma resets state across group boundaries") {
+    val df = spark
+      .createDataFrame(Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (2L, 1L, 5.0)))
+      .toDF("k", "o", "v")
+      // one partition so both groups traverse the same scan state
+      .coalesce(1)
+    val out = agg.Ewma.smoothedPerRow(df, "k", Seq("o"), "v", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).sortBy(t => (t._1, t._2))
+    // group 1: [10, (20+0.5*10)/(1.5)] ; group 2 restarts at 5.0
+    assert(math.abs(out(0)._3 - 10.0) < 1e-12)
+    assert(math.abs(out(1)._3 - 25.0 / 1.5) < 1e-12)
+    assert(math.abs(out(2)._3 - 5.0) < 1e-12)
+  }
 }
