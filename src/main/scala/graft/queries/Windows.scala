@@ -87,9 +87,14 @@ object Windows {
     * shift): per supplier over ship dates.
     */
   private def leadLag(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem;
+    // (orderkey, linenumber, partkey, suppkey) is. l_partkey completes the
+    // total order — without it one tied pair at sf0.1 makes lead/lag
+    // nondeterministic (caught by a flaky oracle run).
     val w = Window
       .partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
     Tables
       .lineitem(s, dir)
       .select(
@@ -106,7 +111,7 @@ object Windows {
       |  lead(l_quantity, 2) OVER w AS next2_qty
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey
-      |             ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)""".stripMargin
 
   /** RANK family (sorting.hpp:203 rank_method; aggregation.hpp RANK):
     * rank/dense_rank/percent_rank/row_number/ntile in one pass.
