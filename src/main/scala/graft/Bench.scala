@@ -38,9 +38,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // one warmup pass (JVM/codegen/file-listing) then the measured pass
+    // one warmup pass (JVM/codegen/file-listing), then per-query min of
+    // two measured passes (nvbench-style: min is the stablest estimator
+    // of the true cost under scheduler/GC noise)
     headline.foreach(run)
-    val results = headline.map(n => n -> run(n))
+    val results = headline.map { n =>
+      val a = run(n); val b = run(n)
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
