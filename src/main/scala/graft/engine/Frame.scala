@@ -137,6 +137,87 @@ final case class Frame(df: DataFrame) {
     GroupedFrame(bucketed, Seq("__bucket"))
   }
 
+  // --- elementwise / reshape verbs (round-3 widening) ----------------
+  /** pandas sort_values with na_position (cudf sorting null_order). */
+  def sortValues(cols: Seq[String], ascending: Boolean = true,
+      naPosition: String = "last"): Frame = {
+    val ord = cols.map(col).map {
+      (ascending, naPosition) match {
+        case (true, "last") => (c: Column) => c.asc_nulls_last
+        case (true, _) => (c: Column) => c.asc_nulls_first
+        case (false, "last") => (c: Column) => c.desc_nulls_last
+        case (false, _) => (c: Column) => c.desc_nulls_first
+      }
+    }
+    Frame(df.orderBy(ord: _*))
+  }
+
+  /** pandas astype — one cast, Spark semantics (ANSI errors on bad). */
+  def astype(c: String, to: DataType): Frame =
+    Frame(df.withColumn(c, col(c).cast(to)))
+
+  /** Series.clip(lower, upper). */
+  def clip(c: String, lo: Double, hi: Double, out: String): Frame =
+    Frame(df.withColumn(out, least(greatest(col(c), lit(lo)), lit(hi))))
+
+  /** DataFrame.mask: replace where cond holds (cudf copy_if_else dual). */
+  def mask(c: String, cond: Column, value: Column): Frame =
+    Frame(df.withColumn(c, when(cond, value).otherwise(col(c))))
+
+  /** DataFrame.where: keep where cond holds, else replace. */
+  def where(c: String, cond: Column, value: Column): Frame =
+    Frame(df.withColumn(c, when(cond, col(c)).otherwise(value)))
+
+  /** pandas duplicated(keep='first') as a boolean column — true for
+    * every row after the first of its key group under `orderBy`.
+    */
+  def duplicated(subset: Seq[String], orderBy: Seq[Column], out: String): Frame = {
+    val w = Window.partitionBy(subset.map(col): _*).orderBy(orderBy: _*)
+    Frame(df.withColumn(out, row_number().over(w) > 1))
+  }
+
+  /** Series.rank(method ∈ min/dense/first/average, pct) per group.
+    * `first` requires the ordering to be total (caller supplies
+    * tiebreakers), mirroring pandas' positional semantics.
+    */
+  def rank(c: String, partitionBy: Seq[String], method: String = "min",
+      out: String = "rank"): Frame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(c))
+    val sqlRank = org.apache.spark.sql.functions.rank _
+    val r = method match {
+      case "min" => sqlRank().over(w).cast(DoubleType)
+      case "dense" => dense_rank().over(w).cast(DoubleType)
+      case "first" => row_number().over(w).cast(DoubleType)
+      case "average" =>
+        // average of positions in the peer group = rank + (peers-1)/2
+        val peers = count(lit(1)).over(
+          Window.partitionBy((partitionBy :+ c).map(col): _*))
+        sqlRank().over(w) + (peers - lit(1)) / lit(2.0)
+      case m => throw new IllegalArgumentException(s"rank method $m")
+    }
+    Frame(df.withColumn(out, r))
+  }
+
+  /** Series.shift(n) within groups (cudf copying.hpp shift). */
+  def shift(c: String, n: Int, partitionBy: Seq[String],
+      orderBy: Seq[Column], out: String): Frame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    Frame(df.withColumn(out, lag(col(c), n).over(w)))
+  }
+
+  /** Series.diff: x - x.shift(1) within groups. */
+  def diff(c: String, partitionBy: Seq[String], orderBy: Seq[Column],
+      out: String): Frame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)
+    Frame(df.withColumn(out, col(c) - lag(col(c), 1).over(w)))
+  }
+
+  /** DataFrame.sample(frac, seed) — Bernoulli, deterministic per seed. */
+  def sample(frac: Double, seed: Long): Frame = Frame(df.sample(frac, seed))
+
+  /** DataFrame.describe() — count/mean/stddev/min/max summary. */
+  def describe(cols: String*): Frame = Frame(df.describe(cols: _*))
+
   // --- text namespace (nvtext ops) -----------------------------------
   def strSwapcase(c: String, out: String): Frame =
     Frame(df.withColumn(out, GraftFunctions.swapcase(col(c))))

@@ -103,4 +103,63 @@ class FrameSpec extends AnyFunSuite {
     val before = Tables.events(spark, sf).filter(col("value") < 30).count()
     assert(f.filter(col("value").isNull).count() < before)
   }
+
+  test("clip/mask/where mirror least-greatest/when formulations") {
+    val got = li
+      .clip("l_quantity", 10.0, 40.0, "q_clip")
+      .mask("l_discount", col("l_discount") > 0.05, lit(0.05))
+      .where("l_tax", col("l_tax") > 0.0, lit(0.0))
+      .df
+      .select("q_clip", "l_discount", "l_tax")
+    val exp = Tables.lineitem(spark, sf).select(
+      least(greatest(col("l_quantity"), lit(10.0)), lit(40.0)).as("q_clip"),
+      when(col("l_discount") > 0.05, 0.05).otherwise(col("l_discount")).as("l_discount"),
+      when(col("l_tax") > 0.0, col("l_tax")).otherwise(0.0).as("l_tax"))
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+
+  test("duplicated marks all rows beyond the first of each key group") {
+    val d = li.duplicated(Seq("l_orderkey"),
+      Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")), "is_dup").df
+    val nKeys = Tables.lineitem(spark, sf).select("l_orderkey").distinct().count()
+    assert(d.filter(!col("is_dup")).count() == nKeys)
+    assert(d.count() == Tables.lineitem(spark, sf).count())
+  }
+
+  test("rank methods agree with pandas semantics on a known series") {
+    import spark.implicits._
+    val df = Frame(Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0))
+      .toDF("k", "v"))
+    def ranks(m: String) = df.rank("v", Seq("k"), m, "r").df
+      .orderBy("v", "r").select("r").as[Double].collect().toSeq
+    assert(ranks("min") == Seq(1.0, 2.0, 2.0, 4.0))
+    assert(ranks("dense") == Seq(1.0, 2.0, 2.0, 3.0))
+    assert(ranks("first") == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(ranks("average") == Seq(1.0, 2.5, 2.5, 4.0))
+  }
+
+  test("shift/diff mirror lag formulations; sortValues honors na_position") {
+    val got = Frame(Tables.events(spark, sf))
+      .diff("value", Seq("user_id"), Seq(col("ts"), col("event_id")), "dv")
+      .df.select("event_id", "dv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val exp = Tables.events(spark, sf)
+      .select(col("event_id"), (col("value") - lag(col("value"), 1).over(w)).as("dv"))
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+
+    import spark.implicits._
+    val withNulls = Frame(Seq(Some(2.0), None, Some(1.0)).toDF("v"))
+    val lastRow = withNulls.sortValues(Seq("v"), ascending = true, naPosition = "last")
+      .df.collect().last
+    assert(lastRow.isNullAt(0), "nulls must sort last")
+  }
+
+  test("sample is deterministic per seed; describe has the 5 summary rows") {
+    val a = li.sample(0.1, 42L).df.count()
+    val b = li.sample(0.1, 42L).df.count()
+    assert(a == b)
+    val d = li.describe("l_quantity").df
+    assert(d.count() == 5)
+  }
 }
