@@ -63,6 +63,15 @@ object MicroBench {
       li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s")),
       "fixed_point_s", "plain_sum_s")
 
+    // PRODUCT: exact partial-agg Aggregator vs exp(sum(ln)) (which is
+    // both inexact and undefined on zeros/negatives — positive col here)
+    bench("product_agg_vs_expsumln",
+      li.groupBy(col("l_orderkey"))
+        .agg(graft.agg.Product((col("l_discount") + 1).cast("double")).as("p")),
+      li.groupBy(col("l_orderkey"))
+        .agg(exp(sum(log(col("l_discount") + 1))).as("p")),
+      "product_agg_s", "exp_sum_ln_s")
+
     spark.stop()
   }
 }

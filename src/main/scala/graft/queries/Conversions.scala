@@ -192,7 +192,37 @@ object Conversions {
       |  FROM (SELECT DISTINCT p_type FROM part)) d
       |USING (p_type)""".stripMargin
 
+  /** byte_cast (reshape/byte_cast.hpp — reinterpret a numeric column as
+    * its byte image): big-endian int64 byte image as a 16-digit hex
+    * string, plus a REAL reinterpretation to BinaryType via `unhex` on
+    * the Spark side (ANSI forbids a direct long→binary cast). The oracle
+    * mirrors with to_hex/from_hex; both engines agree hex is uppercase
+    * with no leading zeros, so the fixed width comes from lpad.
+    */
+  private def byteCast(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .filter(col("o_orderkey") < 30000)
+      .select(
+        col("o_orderkey"),
+        hex(col("o_orderkey")).as("hex_key"),
+        lpad(hex(col("o_orderkey")), 16, "0").as("bytes_hex"),
+        octet_length(unhex(lpad(hex(col("o_orderkey")), 16, "0")))
+          .as("n_bytes"),
+        // low byte via the byte image (value mod 256, from bytes not math)
+        expr("conv(substring(lpad(hex(o_orderkey), 16, '0'), 15, 2), 16, 10)")
+          .cast(IntegerType).as("low_byte"))
+
+  private val byteCastSql =
+    """SELECT o_orderkey,
+      |  to_hex(o_orderkey) AS hex_key,
+      |  lpad(to_hex(o_orderkey), 16, '0') AS bytes_hex,
+      |  octet_length(from_hex(lpad(to_hex(o_orderkey), 16, '0'))) AS n_bytes,
+      |  CAST(o_orderkey % 256 AS INTEGER) AS low_byte
+      |FROM orders WHERE o_orderkey < 30000""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "conv_byte_cast" -> Q(byteCast _, byteCastSql),
     "conv_cast_roundtrip" -> Q(castRoundtrip _, castRoundtripSql),
     "conv_ipv4" -> Q(ipv4Conv _, ipv4ConvSql),
     "conv_url_parse" -> Q(urlParse _, urlParseSql),
