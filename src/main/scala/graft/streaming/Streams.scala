@@ -105,6 +105,32 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with watermark-bounded state (capability
+    * improvement over the reference — custreamz has no streaming join):
+    * correlates each user's 'click'-like events with their 'view'-like
+    * events inside a bounded event-time gap (6 hours). BOTH sides carry watermarks
+    * and the join condition carries a time-range predicate, so each
+    * side's state store holds only the watermark horizon — the mandatory
+    * shape for an unbounded stream-stream join (without the range bound,
+    * state grows forever).
+    */
+  def clickViewJoin(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val a = events
+      .filter(col("event_type") === typeA)
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+        col("event_id").as("a_event"))
+      .withWatermark("a_ts", "12 hours")
+    val b = events
+      .filter(col("event_type") === typeB)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("b_event"))
+      .withWatermark("b_ts", "12 hours")
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 6 HOURS"))
+  }
+
   /** Run a streaming query to completion against a static replay dir and
     * return the in-memory sink table (used by tests and demos;
     * checkpointing exercised via the checkpointLocation option).

@@ -105,4 +105,24 @@ class StreamingSpec extends AnyFunSuite {
     val n2 = spark.read.parquet(out).count()
     assert(n2 == n1)
   }
+
+  test("stream-stream click/view join matches the batch range join") {
+    val stream = Streams.readEventStream(spark, replayDir)
+    val got = Streams
+      .runToCompletion(spark,
+        Streams.clickViewJoin(stream, "click", "view"), "t_ssjoin",
+        mode = "append")
+      .count()
+    val ev = Tables.events(spark, sf)
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+    val b = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val exp = a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 6 HOURS"))
+      .count()
+    assert(got == exp && got > 0)
+  }
 }
