@@ -83,6 +83,43 @@ object Multimodal {
       expr(s"CASE WHEN octet_length(payload) > $maxBytes " +
         s"THEN substring(payload, 1, $maxBytes) ELSE payload END"))
 
+  /** Batched embedding stub — the Scala analog of a `mapInPandas`
+    * inference stage: payloads are processed in FIXED-SIZE BATCHES per
+    * partition (`grouped(batchSize)`), the shape a real vision/audio
+    * model needs (one forward pass per batch, constant memory). The
+    * stub "model" derives a deterministic dim-`dim` float vector from
+    * a rolling byte hash; results are independent of batch size and
+    * partitioning — asserted by spec — so a real model drops in
+    * without touching the pipeline.
+    */
+  def batchedEmbedStub(media: DataFrame, dim: Int, batchSize: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // one "forward pass" per batch: embed every payload in it
+          batch.map { r =>
+            val p = r.getAs[Array[Byte]]("payload")
+            val v = new Array[Float](dim)
+            if (p != null) {
+              var h = 1125899906842597L // large prime seed
+              var i = 0
+              while (i < p.length) {
+                h = h * 31 + (p(i) & 0xff)
+                v(math.floorMod(i, dim)) += ((h >>> 32).toInt % 1000) / 1000.0f
+                i += 1
+              }
+            }
+            Row(r.getLong(0), v.toSeq)
+          }
+        }
+      }(enc)
+  }
+
   /** Frame-sample stub for "video": emit every k-th byte-window as a
     * frame row (a real impl samples decoded frames).
     */

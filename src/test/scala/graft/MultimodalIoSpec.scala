@@ -117,4 +117,19 @@ class MultimodalIoSpec extends AnyFunSuite {
       .write.mode("overwrite").text(s"$dir/t")
     assert(spark.read.text(s"$dir/t").count() == Tables.documents(spark, sf).count())
   }
+
+  test("batched embed stub is invariant to batch size and partitioning") {
+    val media = Multimodal.toMediaFrame(
+      Tables.documents(spark, sf)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"), col("source")),
+      "doc_id", "bin", "source", "image")
+    def embed(bs: Int, parts: Int) =
+      Multimodal.batchedEmbedStub(media.repartition(parts), dim = 16, batchSize = bs)
+        .select(col("media_id"), col("embedding").cast("string").as("e"))
+    val a = embed(4, 2)
+    val b = embed(64, 7)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val one = a.limit(1).collect().head
+    assert(one.getString(1).split(",").length == 16)
+  }
 }
