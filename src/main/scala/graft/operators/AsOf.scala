@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each probe row, the most recent
+  * reference row with `ref.ts <= probe.ts` in the same key group.
+  * (A prompt-listed custom operator; the reference library itself has
+  * no as-of join, so this is engine surface beyond parity. DuckDB's
+  * native ASOF JOIN serves as the oracle.)
+  *
+  * Implementation is the UNION + WINDOW formulation, not a range join:
+  * tag reference rows 0 and probe rows 1, union, then one partitioned
+  * window ordered by (ts, tag) takes `last(ref value, ignoreNulls)` up
+  * to the current row. One shuffle on the key, O(n log n) sort within
+  * partitions, zero row blow-up — the 100 TB shape (a range-condition
+  * join would explode candidates per probe row; a per-probe subquery
+  * would be quadratic).
+  *
+  * Ties: the caller must make `ref` unique per (key, ts) (pre-aggregate
+  * if needed) — standard as-of determinism requirement. Probe rows tied
+  * on (key, ts) are safe: their window result depends only on preceding
+  * reference rows. `ref.ts == probe.ts` matches (<= semantics), because
+  * tag 0 sorts before tag 1.
+  */
+object AsOf {
+
+  /** probe(keyCol, tsCol, …) ⟕asof ref(keyCol, tsCol, valCol) →
+    * probe columns + `asof_<valCol>` + `asof_ts` (null when no
+    * reference row precedes the probe row).
+    */
+  def joinAsOf(probe: DataFrame, ref: DataFrame, keyCol: String,
+      tsCol: String, valCol: String): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val p = probe
+      .withColumn("__v", lit(null).cast(ref.schema(valCol).dataType))
+      .withColumn("__tag", lit(1))
+    val r0 = ref.select(
+      Seq(col(keyCol), col(tsCol), col(valCol).as("__v"), lit(0).as("__tag")) ++
+        probeCols.filterNot(Set(keyCol, tsCol)).map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val unioned = p.select((probeCols.map(col) ++ Seq(col("__v"), col("__tag"))): _*)
+      .unionByName(r0.select((probeCols.map(col) ++ Seq(col("__v"), col("__tag"))): _*))
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn(s"asof_$valCol",
+        last(when(col("__tag") === 0, col("__v")), ignoreNulls = true).over(w))
+      .withColumn("asof_ts",
+        last(when(col("__tag") === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .drop("__v", "__tag")
+  }
+}

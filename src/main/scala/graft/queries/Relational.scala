@@ -511,7 +511,40 @@ object Relational {
       |  least(greatest(CAST(floor(c_acctbal / 1000) AS INT), 0), 9) AS bal_bin
       |FROM customer""".stripMargin
 
+  /** As-of join (graft.operators.AsOf, union+window formulation): each
+    * event matched with the user's most recent purchase value at that
+    * instant. Oracle = DuckDB's native ASOF LEFT JOIN (>= semantics on
+    * both sides; ref pre-aggregated unique per (user, ts) so the match
+    * is well-defined).
+    */
+  private def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val probe = ev.select(col("user_id"), col("event_id"), col("ts"))
+    val ref = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("pv"))
+    graft.operators.AsOf
+      .joinAsOf(probe, ref, "user_id", "ts", "pv")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"),
+        col("asof_pv"),
+        expr("unix_micros(asof_ts)").as("asof_ts_us"))
+  }
+
+  private val joinAsofSql =
+    """WITH ref AS (
+      |  SELECT user_id, ts, max(value) AS pv FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+      |  r.pv AS asof_pv, epoch_us(r.ts) AS asof_ts_us
+      |FROM events e ASOF LEFT JOIN ref r
+      |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "join_asof" -> Q(joinAsof _, joinAsofSql),
     "filter_project" -> Q(filterProject _, filterProjectSql),
     "drop_nulls" -> Q(dropNulls _, dropNullsSql),
     "copy_if_else" -> Q(copyIfElse _, copyIfElseSql),
