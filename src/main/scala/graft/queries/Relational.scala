@@ -543,8 +543,49 @@ object Relational {
       |FROM events e ASOF LEFT JOIN ref r
       |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin
 
+  /** Range join (graft.operators.RangeJoin, bucketed-interval shape):
+    * lineitems whose ship date falls inside 14-day promotion windows
+    * derived from a subset of orders. The oracle is the plain
+    * inequality join — fine at oracle scale, quadratic at 100 TB, which
+    * is exactly why the engine side buckets.
+    */
+  private def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables
+      .orders(s, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(
+        col("o_orderkey").as("promo_id"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("start_d"),
+        (datediff(col("o_orderdate"), lit("1992-01-01")) + 14).cast("long").as("end_d"))
+    val probe = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        datediff(col("l_shipdate"), lit("1992-01-01")).cast("long").as("ship_d"))
+    graft.operators.RangeJoin
+      .joinRange(probe, iv, "ship_d", "start_d", "end_d", bucketWidth = 14L)
+      .groupBy(col("promo_id"))
+      .agg(count(lit(1)).as("n_shipments"), min(col("ship_d")).as("first_ship_d"))
+  }
+
+  private val joinRangeSql =
+    """WITH iv AS (
+      |  SELECT o_orderkey AS promo_id,
+      |    datediff('day', DATE '1992-01-01', o_orderdate) AS start_d,
+      |    datediff('day', DATE '1992-01-01', o_orderdate) + 14 AS end_d
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |probe AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    datediff('day', DATE '1992-01-01', l_shipdate) AS ship_d
+      |  FROM lineitem)
+      |SELECT promo_id, count(*) AS n_shipments, min(ship_d) AS first_ship_d
+      |FROM probe JOIN iv ON ship_d >= start_d AND ship_d < end_d
+      |GROUP BY promo_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "join_asof" -> Q(joinAsof _, joinAsofSql),
+    "join_range" -> Q(joinRange _, joinRangeSql),
     "filter_project" -> Q(filterProject _, filterProjectSql),
     "drop_nulls" -> Q(dropNulls _, dropNullsSql),
     "copy_if_else" -> Q(copyIfElse _, copyIfElseSql),

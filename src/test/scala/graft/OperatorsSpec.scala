@@ -139,4 +139,40 @@ class OperatorsSpec extends AnyFunSuite {
     val avgHamming = joined.map(_.getAs[Int]("hamming").toDouble).sum / joined.length
     assert(avgHamming <= 16, s"avg hamming $avgHamming")
   }
+
+  test("bucketed range join equals the naive inequality join at any bucket width") {
+    val iv = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 51 === 0)
+      .select(col("o_orderkey").as("iv_id"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("s"),
+        (datediff(col("o_orderdate"), lit("1992-01-01")) + 10).cast("long").as("e"))
+    val probe = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), lit("1992-01-01")).cast("long").as("d"))
+    val naive = probe.join(iv, col("d") >= col("s") && col("d") < col("e"))
+    for (width <- Seq(3L, 10L, 100L)) {
+      val bucketed = graft.operators.RangeJoin
+        .joinRange(probe, iv, "d", "s", "e", width)
+        .select(naive.columns.map(col): _*)
+      assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty,
+        s"width=$width diverged")
+    }
+  }
+
+  test("as-of join: every matched value is the latest reference at or before the probe") {
+    val ev = Tables.events(spark, sf)
+    val ref = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pv"))
+    val out = graft.operators.AsOf.joinAsOf(
+      ev.select(col("user_id"), col("event_id"), col("ts")), ref, "user_id", "ts", "pv")
+    assert(out.count() == ev.count(), "as-of join must not change probe cardinality")
+    assert(out.filter(col("asof_ts") > col("ts")).count() == 0,
+      "matched reference must not be in the probe's future")
+    // spot-check one matched row against a naive per-row lookup
+    val row = out.filter(col("asof_pv").isNotNull).orderBy(col("event_id")).head()
+    val uid = row.getLong(0); val ts = row.getTimestamp(2)
+    val expected = ref.filter(col("user_id") === uid && col("ts") <= ts)
+      .orderBy(col("ts").desc).select(col("pv")).head().getDouble(0)
+    assert(row.getAs[Double]("asof_pv") == expected)
+  }
 }
