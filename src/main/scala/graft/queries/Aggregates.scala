@@ -285,7 +285,29 @@ object Aggregates {
        |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** cube + GROUPING() discriminator — completes the grouping-sets
+    * family (rollup above); `grouping()` disambiguates a real NULL key
+    * from a subtotal row.
+    */
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"))
+
+  private val cubeAggSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_extendedprice")} AS sum_price, count(*) AS n,
+       |  CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+       |  CAST(grouping(l_linestatus) AS TINYINT) AS g_status
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "agg_cube" -> Q(cubeAgg _, cubeAggSql),
     "agg_basic_stats" -> Q(basicStats _, basicStatsSql),
     "agg_count_null_policy" -> Q(countNullPolicy _, countNullPolicySql),
     "agg_count_distinct" -> Q(countDistinct_ _, countDistinctSql),
