@@ -39,17 +39,21 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic IVF centroids: strided pick of nCells vectors. */
+  /** Deterministic IVF centroids: a pseudo-random (hash-ordered, so
+    * stable across runs) pick of nCells vectors. Robust to sparse /
+    * non-contiguous vec_ids (e.g. a post-dedup corpus); the pick is a
+    * TakeOrdered top-k, not a global sort materialization, and the
+    * renumbering window runs over the nCells-row result only (bounded
+    * dimension, same exemption as dict_encode).
+    */
   def centroids(emb: DataFrame, nCells: Int): DataFrame = {
-    val n = emb.count()
-    val stride = math.max(n / nCells, 1L)
+    import org.apache.spark.sql.expressions.Window
     emb
-      .filter(col("vec_id") % stride === 0)
-      .orderBy(col("vec_id"))
+      .orderBy(pmod(hash(col("vec_id")), lit(997)), col("vec_id"))
       .limit(nCells)
-      .select(
-        (col("vec_id") / stride).cast(IntegerType).as("cell_id"),
-        toDouble(col("embedding")).as("centroid"))
+      .withColumn("cell_id",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast(IntegerType))
+      .select(col("cell_id"), toDouble(col("embedding")).as("centroid"))
   }
 
   /** Assign every vector to its nearest centroid — a TRUE map-side argmax.

@@ -75,6 +75,27 @@ object TrainingDataPipeline {
       .withColumn("n_pieces", size(col("pieces")))
   }
 
+  /** Stage 6: embed + index. Embeddings come from the batched-inference
+    * stage (fixed-size batches per partition — the model-serving shape;
+    * stub model, real plumbing), then every doc is assigned its nearest
+    * IVF cell map-side, yielding the retrieval index for downstream
+    * similarity search / embedding-based dedup.
+    */
+  def embedStage(docs: DataFrame, dim: Int = 16, nCells: Int = 8): DataFrame = {
+    val media = graft.multimodal.Multimodal.toMediaFrame(
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("__bin"),
+        col("source")),
+      "doc_id", "__bin", "source", "text")
+    val emb = graft.multimodal.Multimodal
+      .batchedEmbedStub(media, dim = dim, batchSize = 64)
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val cents = graft.operators.Similarity.centroids(emb, nCells)
+    graft.operators.Similarity
+      .assignCells(emb, cents)
+      .select(col("vec_id").as("doc_id"), col("cell_id"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+  }
+
   /** Full pipeline; returns (clean corpus with tokens, per-stage counts). */
   def run(spark: SparkSession, docs: DataFrame,
       cfg: Config = Config()): (DataFrame, Map[String, Long]) = {
@@ -83,6 +104,7 @@ object TrainingDataPipeline {
     val exact = exactDedup(lang).cache()
     val near = nearDedup(spark, exact, cfg).cache()
     val tokenized = tokenizeStage(spark, near, cfg)
+      .join(embedStage(near), "doc_id")
     val counts = Map(
       "input" -> docs.count(),
       "after_quality" -> q.count(),

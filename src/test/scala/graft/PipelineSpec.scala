@@ -21,6 +21,11 @@ class PipelineSpec extends AnyFunSuite {
     // tokenization produced pieces for every surviving doc
     assert(out.filter(col("n_pieces") <= 0).count() == 0)
     assert(out.columns.toSet.contains("pieces"))
+    // embed+index stage: every record carries an embedding and a bounded
+    // IVF cell id — the retrieval index for downstream similarity ops
+    assert(out.filter(col("embedding").isNull).count() == 0)
+    assert(out.filter(size(col("embedding")) =!= 16).count() == 0)
+    assert(out.agg(max(col("cell_id"))).head().getInt(0) < 8)
   }
 
   test("pipeline + dedup iterations release their stage caches") {
