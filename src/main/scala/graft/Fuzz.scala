@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import scala.util.Random
+
+/** Differential query fuzzer: generates seeded-random queries from a
+  * PORTABLE SQL grammar (constructs verified semantics-identical between
+  * Spark and DuckDB — integer arithmetic, exact aggregates, string/date
+  * functions from a fixed whitelist), executes them on Spark, and dumps
+  * each result + its SQL in the Verify layout, so `tools/check.py`
+  * replays them on DuckDB
+  * and cell-compares — the randomized complement of the fixed-query
+  * oracle gate (catches semantics drift the hand-written inventory
+  * doesn't reach).
+  *
+  * Exactness rules obeyed by the grammar: no double arithmetic in
+  * aggregates (bigint sums only), no engine string-repr of floats, no
+  * nondeterministic functions, every ORDER BY total.
+  *
+  * Usage: runMain graft.Fuzz <sfDir> <outDir> [nQueries] [seed]
+  */
+object Fuzz {
+
+  final case class Gen(rng: Random) {
+    private def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.length))
+
+    // lineitem numeric/string/date columns (known schema of the testdata)
+    private val intCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    private val strCols = Seq("l_returnflag", "l_linestatus")
+    private val dateCols = Seq("l_shipdate")
+
+    def intExpr(depth: Int = 0): String =
+      if (depth >= 2 || rng.nextInt(3) == 0) pick(intCols)
+      else pick(Seq(
+        s"(${intExpr(depth + 1)} + ${1 + rng.nextInt(100)})",
+        s"(${intExpr(depth + 1)} * ${1 + rng.nextInt(9)})",
+        s"(${intExpr(depth + 1)} % ${2 + rng.nextInt(50)})",
+        s"abs(${intExpr(depth + 1)} - ${rng.nextInt(1000)})",
+        s"greatest(${intExpr(depth + 1)}, ${intExpr(depth + 1)})",
+        s"least(${intExpr(depth + 1)}, ${intExpr(depth + 1)})",
+        s"length(${strExpr(depth + 1)})",
+        s"year(${pick(dateCols)})",
+        s"month(${pick(dateCols)})",
+        s"day(${pick(dateCols)})"))
+
+    def strExpr(depth: Int = 0): String =
+      if (depth >= 2 || rng.nextInt(3) == 0) pick(strCols)
+      else pick(Seq(
+        s"upper(${strExpr(depth + 1)})",
+        s"lower(${strExpr(depth + 1)})",
+        s"substr(${strExpr(depth + 1)}, 1, ${1 + rng.nextInt(4)})",
+        s"concat(${strExpr(depth + 1)}, '_', ${strExpr(depth + 1)})",
+        s"replace(${strExpr(depth + 1)}, 'A', 'x')",
+        s"trim(${strExpr(depth + 1)})",
+        s"reverse(${strExpr(depth + 1)})"))
+
+    def pred(depth: Int = 0): String =
+      if (depth >= 2 || rng.nextInt(3) == 0) pick(Seq(
+        s"${intExpr(1)} ${pick(Seq("<", "<=", ">", ">=", "=", "<>"))} ${rng.nextInt(2000)}",
+        s"${pick(strCols)} ${pick(Seq("=", "<>"))} '${pick(Seq("N", "O", "F", "A", "R"))}'",
+        s"${pick(dateCols)} ${pick(Seq("<", ">="))} DATE '${1993 + rng.nextInt(6)}-0${1 + rng.nextInt(9)}-15'",
+        s"${pick(intCols)} IN (${Seq.fill(3)(rng.nextInt(500)).mkString(", ")})"))
+      else pick(Seq(
+        s"(${pred(depth + 1)} AND ${pred(depth + 1)})",
+        s"(${pred(depth + 1)} OR ${pred(depth + 1)})",
+        s"(NOT ${pred(depth + 1)})"))
+
+    /** One full query: filtered projection or exact aggregation. */
+    def query(): String = {
+      if (rng.nextBoolean()) {
+        // projection query; keyed so the compare sort is total
+        val es = Seq(
+          s"${intExpr()} AS e1",
+          s"${strExpr()} AS e2",
+          s"CASE WHEN ${pred()} THEN ${intExpr()} ELSE ${intExpr()} END AS e3")
+        s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |  ${es.mkString(",\n  ")}
+           |FROM lineitem WHERE ${pred()}""".stripMargin
+      } else {
+        val key = s"${strExpr()}"
+        val aggs = Seq(
+          "count(*) AS n",
+          s"count(${pick(intCols)}) AS n_valid",
+          s"CAST(sum(${intExpr()}) AS BIGINT) AS s1",
+          s"min(${intExpr()}) AS mn",
+          s"max(${strExpr()}) AS mx")
+        s"""SELECT $key AS k, ${aggs.mkString(", ")}
+           |FROM lineitem WHERE ${pred()} GROUP BY $key""".stripMargin
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("target/fuzz_out")
+    val nQueries = args.lift(2).map(_.toInt).getOrElse(60)
+    val seed = args.lift(3).map(_.toLong).getOrElse(20260812L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+
+    val gen = Gen(new Random(seed))
+    val sqls = (0 until nQueries).map(i => f"fz_$i%03d" -> gen.query())
+    sqls.foreach { case (name, sql) =>
+      spark.sql(sql).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    val json = sqls
+      .map { case (n, q) =>
+        "\"" + n + "\": " + "\"" + q.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ") + "\""
+      }
+      .mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.getBytes("UTF-8"))
+    println(s"[fuzz] wrote $nQueries queries to $outDir (seed=$seed)")
+    spark.stop()
+  }
+}
