@@ -24,10 +24,15 @@ object Fuzz {
   final case class Gen(rng: Random) {
     private def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.length))
 
-    // lineitem numeric/string/date columns (known schema of the testdata)
-    private val intCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
-    private val strCols = Seq("l_returnflag", "l_linestatus")
-    private val dateCols = Seq("l_shipdate")
+    // lineitem(+orders when in join mode) columns (testdata schema)
+    private val liInt = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    private val liStr = Seq("l_returnflag", "l_linestatus")
+    private val liDate = Seq("l_shipdate")
+    private var joinMode = false
+    private def intCols = if (joinMode) liInt :+ "o_custkey" else liInt
+    private def strCols =
+      if (joinMode) liStr ++ Seq("o_orderstatus", "o_orderpriority") else liStr
+    private def dateCols = if (joinMode) liDate :+ "o_orderdate" else liDate
 
     def intExpr(depth: Int = 0): String =
       if (depth >= 2 || rng.nextInt(3) == 0) pick(intCols)
@@ -65,9 +70,26 @@ object Fuzz {
         s"(${pred(depth + 1)} OR ${pred(depth + 1)})",
         s"(NOT ${pred(depth + 1)})"))
 
-    /** One full query: filtered projection or exact aggregation. */
+    /** One full query: filtered projection, exact aggregation, or a
+      * join aggregation over lineitem ⋈ orders.
+      */
     def query(): String = {
-      if (rng.nextBoolean()) {
+      val kind = rng.nextInt(3)
+      if (kind == 2) {
+        joinMode = true
+        val key = strExpr()
+        val aggs = Seq(
+          "count(*) AS n",
+          s"CAST(sum(${intExpr()}) AS BIGINT) AS s1",
+          s"min(${intExpr()}) AS mn",
+          s"max(${strExpr()}) AS mx")
+        val q =
+          s"""SELECT $key AS k, ${aggs.mkString(", ")}
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE ${pred()} GROUP BY $key""".stripMargin
+        joinMode = false
+        q
+      } else if (kind == 0) {
         // projection query; keyed so the compare sort is total
         val es = Seq(
           s"${intExpr()} AS e1",
@@ -104,6 +126,7 @@ object Fuzz {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
 
     val gen = Gen(new Random(seed))
     val sqls = (0 until nQueries).map(i => f"fz_$i%03d" -> gen.query())
