@@ -13,7 +13,9 @@ object Bench {
   val headline: Seq[String] = Seq(
     "ndsh_q1", "ndsh_q5", "ndsh_q6", "ndsh_q9", "ndsh_q10",
     "dedup_minhash_lsh", "sim_cosine_topk", "dedup_exact",
-    "win_group_scan", "agg_basic_stats")
+    "win_group_scan", "agg_basic_stats",
+    // round-3 flagship additions
+    "join_asof", "dedup_emb_cosine", "win_ewma_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

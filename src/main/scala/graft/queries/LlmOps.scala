@@ -234,14 +234,14 @@ object LlmOps {
   private def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
     val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    import graft.functions.DotF64.dotf64
     emb
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"),
-        (expr("aggregate(zip_with(e, qe, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
-          (sqrt(expr("aggregate(e, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")) *
-            sqrt(expr("aggregate(qe, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"))))
+        (dotf64(col("e"), col("qe")) /
+          (sqrt(dotf64(col("e"), col("e"))) * sqrt(dotf64(col("qe"), col("qe")))))
           .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
@@ -312,21 +312,25 @@ object LlmOps {
          |      aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
          |        (a, j) -> a + e[j] * (CASE WHEN ((1103515245 * CAST(((band * 4 + i) * 64 + j) AS BIGINT) + 12345) % 2147483648 >> 16) & 1 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))
          |      > CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END)))""".stripMargin
+    import graft.functions.DotF64.dotf64
     val e = Tables
       .embeddings(s, dir)
       .select(col("vec_id"), embDouble.as("e"))
-      .select(col("vec_id"), col("e"),
+      // squared norm hoisted per vector (identical arithmetic to the
+      // per-pair form, just computed once); native dot = the oracle's
+      // ascending-index fold, bit for bit
+      .select(col("vec_id"), col("e"), dotf64(col("e"), col("e")).as("n2"),
         posexplode(expr(bucketArr)).as(Seq("band", "bucket")))
-    val a = e.select(col("band"), col("bucket"), col("vec_id").as("id_a"), col("e").as("ea"))
-    val b = e.select(col("band"), col("bucket"), col("vec_id").as("id_b"), col("e").as("eb"))
+    val a = e.select(col("band"), col("bucket"), col("vec_id").as("id_a"),
+      col("e").as("ea"), col("n2").as("na2"))
+    val b = e.select(col("band"), col("bucket"), col("vec_id").as("id_b"),
+      col("e").as("eb"), col("n2").as("nb2"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
-        (expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
-          (sqrt(expr("aggregate(ea, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")) *
-            sqrt(expr("aggregate(eb, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"))))
+        (dotf64(col("ea"), col("eb")) / (sqrt(col("na2")) * sqrt(col("nb2"))))
           .as("cos"))
       .filter(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine_6dp"))
@@ -334,11 +338,16 @@ object LlmOps {
   }
 
   private val dedupEmbCosineSql =
-    """WITH e0 AS (
+    """WITH e00 AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |  FROM embeddings),
+      |e0 AS (
+      |  SELECT vec_id, e,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (a, v) -> a + v) AS n2
+      |  FROM e00),
       |banded AS (
-      |  SELECT vec_id, e, band,
+      |  SELECT vec_id, e, n2, band,
       |    list_reduce(list_prepend(0, list_transform(range(0, 4), i ->
       |      CASE WHEN
       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -349,7 +358,8 @@ object LlmOps {
       |      (acc, bit) -> acc * 2 + bit) AS bucket
       |  FROM e0 CROSS JOIN (SELECT unnest([0, 1]) AS band) bands),
       |cand AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb,
+      |    a.n2 AS na2, b.n2 AS nb2
       |  FROM banded a JOIN banded b
       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
       |scored AS (
@@ -357,10 +367,7 @@ object LlmOps {
       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |        list_transform(range(1, len(ea) + 1), i -> ea[i] * eb[i])),
       |      (a, v) -> a + v) /
-      |    (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |        list_transform(ea, x -> x * x)), (a, v) -> a + v)) *
-      |     sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |        list_transform(eb, x -> x * x)), (a, v) -> a + v))) AS cos
+      |    (sqrt(na2) * sqrt(nb2)) AS cos
       |  FROM cand)
       |SELECT DISTINCT id_a, id_b, round(cos, 6) AS cosine_6dp
       |FROM scored WHERE cos >= 0.4""".stripMargin
