@@ -74,7 +74,26 @@ object Fuzz {
       * join aggregation over lineitem ⋈ orders.
       */
     def query(): String = {
-      val kind = rng.nextInt(3)
+      val kind = rng.nextInt(4)
+      if (kind == 3) {
+        // window query: the family where order-nondeterminism hides —
+        // the ORDER BY carries the full unique key so frames are total
+        val part = pick(strCols)
+        val k = 1 + rng.nextInt(5)
+        val over =
+          s"OVER (PARTITION BY $part ORDER BY l_orderkey, l_linenumber, " +
+            s"l_partkey, l_suppkey ROWS BETWEEN $k PRECEDING AND CURRENT ROW)"
+        val overCum =
+          s"OVER (PARTITION BY $part ORDER BY l_orderkey, l_linenumber, " +
+            "l_partkey, l_suppkey)"
+        return s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |  CAST(sum(${intExpr()}) $over AS BIGINT) AS w_sum,
+           |  min(${intExpr()}) $over AS w_min,
+           |  count(*) $over AS w_n,
+           |  row_number() $overCum AS w_rn,
+           |  lag(${strExpr()}, 1) $overCum AS w_lag
+           |FROM lineitem WHERE ${pred()}""".stripMargin
+      }
       if (kind == 2) {
         joinMode = true
         val key = strExpr()
