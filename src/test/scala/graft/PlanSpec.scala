@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: pin the load-bearing plan
+  * properties the 100 TB design depends on (pushdown, no cartesian
+  * blow-ups, map-side ANN assignment, top-k short-circuit, partitioned
+  * windows), so a refactor can't silently regress the shape. Plans are
+  * inspected pre-AQE (the optimizer output, which is what scales).
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("ndsh_q1: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("ndsh_q1")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "shipdate predicate must be pushed to the scan")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+    // projection pruning: the scan must not read the whole row
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("top_k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("top_k")
+    assert(p.contains("TakeOrderedAndProject"), "expected top-k short-circuit")
+  }
+
+  test("IVF cell assignment is map-side: no exchange between scan and argmax") {
+    val emb = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+    val cents = operators.Similarity.centroids(emb, 4)
+    val p = operators.Similarity.assignCells(emb, cents)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), s"assignCells must not shuffle:\n$p")
+  }
+
+  test("every windowed query partitions its windows (no global windows)") {
+    for (q <- Seq("win_group_scan", "win_lead_lag", "win_rolling_rows",
+        "win_sessionize", "win_ewma_stream")) {
+      val p = plan(q)
+      // a Window with an empty partition spec renders as
+      // "windowspecdefinition(<order>...)" with no partition columns and
+      // Spark logs the single-partition warning; assert the spec carries
+      // a partition column instead
+      val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      winLines.foreach { l =>
+        assert(l.contains("user_id") || l.contains("l_suppkey"),
+          s"$q window not partitioned: $l")
+      }
+    }
+  }
+
+  test("LSH and embedding dedup plans contain no cartesian products") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_emb_cosine", "dedup_ngram_jaccard",
+        "join_range", "join_asof")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+}
