@@ -37,6 +37,10 @@ object Fuzz {
     def intExpr(depth: Int = 0): String =
       if (depth >= 2 || rng.nextInt(3) == 0) pick(intCols)
       else pick(Seq(
+        // null injection + rescue: the testdata has no natural nulls, so
+        // nullif seeds them to fuzz null propagation through exprs/aggs
+        s"nullif(${pick(intCols)}, ${1 + rng.nextInt(10)})",
+        s"coalesce(nullif(${intExpr(depth + 1)}, ${rng.nextInt(100)}), ${rng.nextInt(50)})",
         s"(${intExpr(depth + 1)} + ${1 + rng.nextInt(100)})",
         s"(${intExpr(depth + 1)} * ${1 + rng.nextInt(9)})",
         s"(${intExpr(depth + 1)} % ${2 + rng.nextInt(50)})",
@@ -51,6 +55,8 @@ object Fuzz {
     def strExpr(depth: Int = 0): String =
       if (depth >= 2 || rng.nextInt(3) == 0) pick(strCols)
       else pick(Seq(
+        s"nullif(${pick(strCols)}, '${pick(Seq("N", "O", "F"))}')",
+        s"coalesce(nullif(${strExpr(depth + 1)}, 'A'), 'z')",
         s"upper(${strExpr(depth + 1)})",
         s"lower(${strExpr(depth + 1)})",
         s"substr(${strExpr(depth + 1)}, 1, ${1 + rng.nextInt(4)})",
@@ -64,7 +70,9 @@ object Fuzz {
         s"${intExpr(1)} ${pick(Seq("<", "<=", ">", ">=", "=", "<>"))} ${rng.nextInt(2000)}",
         s"${pick(strCols)} ${pick(Seq("=", "<>"))} '${pick(Seq("N", "O", "F", "A", "R"))}'",
         s"${pick(dateCols)} ${pick(Seq("<", ">="))} DATE '${1993 + rng.nextInt(6)}-0${1 + rng.nextInt(9)}-15'",
-        s"${pick(intCols)} IN (${Seq.fill(3)(rng.nextInt(500)).mkString(", ")})"))
+        s"${pick(intCols)} IN (${Seq.fill(3)(rng.nextInt(500)).mkString(", ")})",
+        s"(nullif(${pick(intCols)}, ${1 + rng.nextInt(7)}) IS NULL)",
+        s"(${strExpr(1)} IS NOT NULL)"))
       else pick(Seq(
         s"(${pred(depth + 1)} AND ${pred(depth + 1)})",
         s"(${pred(depth + 1)} OR ${pred(depth + 1)})",
