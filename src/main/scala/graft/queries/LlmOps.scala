@@ -313,7 +313,8 @@ object LlmOps {
          |        (a, j) -> a + e[j] * (CASE WHEN ((1103515245 * CAST(((band * 4 + i) * 64 + j) AS BIGINT) + 12345) % 2147483648 >> 16) & 1 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))
          |      > CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END)))""".stripMargin
     import graft.functions.DotF64.dotf64
-    val e = Tables
+    import org.apache.spark.sql.expressions.Window
+    val banded0 = Tables
       .embeddings(s, dir)
       .select(col("vec_id"), embDouble.as("e"))
       // squared norm hoisted per vector (identical arithmetic to the
@@ -321,6 +322,17 @@ object LlmOps {
       // ascending-index fold, bit for bit
       .select(col("vec_id"), col("e"), dotf64(col("e"), col("e")).as("n2"),
         posexplode(expr(bucketArr)).as(Seq("band", "bucket")))
+    // hot-bucket cap, same shape as the MinHash LSH pipeline: a
+    // degenerate embedding region (all-zero vectors, one dominant
+    // cluster) would make a single bucket quadratic; the windowed count
+    // rides the (band, bucket) exchange the self-join needs anyway.
+    // Mirrored in the oracle, so the cap is part of the checked
+    // semantics, not a silent drop.
+    val e = banded0
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= 200)
+      .drop("bucket_n")
     val a = e.select(col("band"), col("bucket"), col("vec_id").as("id_a"),
       col("e").as("ea"), col("n2").as("na2"))
     val b = e.select(col("band"), col("bucket"), col("vec_id").as("id_b"),
@@ -357,10 +369,13 @@ object LlmOps {
       |        > CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END)),
       |      (acc, bit) -> acc * 2 + bit) AS bucket
       |  FROM e0 CROSS JOIN (SELECT unnest([0, 1]) AS band) bands),
+      |capped AS (
+      |  SELECT * FROM banded
+      |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 200),
       |cand AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb,
       |    a.n2 AS na2, b.n2 AS nb2
-      |  FROM banded a JOIN banded b
+      |  FROM capped a JOIN capped b
       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
       |scored AS (
       |  SELECT id_a, id_b,
