@@ -63,6 +63,19 @@ object MicroBench {
       li.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s")),
       "fixed_point_s", "plain_sum_s")
 
+    // dot product: native codegen expression vs composed HOF lambdas
+    // (interpreted per element) — the hot kernel of pair cosine scoring
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+    val pairs = emb.selectExpr("vec_id AS ia", "e AS ea")
+      .join(emb.selectExpr("vec_id AS ib", "e AS eb"),
+        expr("ia < ib AND ib - ia <= 300"))
+    bench("dot_native_vs_hof",
+      pairs.select(graft.functions.DotF64.dotf64(col("ea"), col("eb")).as("d")),
+      pairs.select(expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)").as("d")),
+      "native_dot_s", "hof_dot_s")
+
     // PRODUCT: exact partial-agg Aggregator vs exp(sum(ln)) (which is
     // both inexact and undefined on zeros/negatives — positive col here)
     bench("product_agg_vs_expsumln",
