@@ -60,7 +60,10 @@ object Fuzz {
         s"upper(${strExpr(depth + 1)})",
         s"lower(${strExpr(depth + 1)})",
         s"substr(${strExpr(depth + 1)}, 1, ${1 + rng.nextInt(4)})",
-        s"concat(${strExpr(depth + 1)}, '_', ${strExpr(depth + 1)})",
+        // `||`, NOT concat(): DuckDB's concat() skips NULL arguments
+        // while Spark's propagates them (found by this fuzzer, seed
+        // 4242/fz_004); the || operator is null-propagating in both.
+        s"(${strExpr(depth + 1)} || '_' || ${strExpr(depth + 1)})",
         s"replace(${strExpr(depth + 1)}, 'A', 'x')",
         s"trim(${strExpr(depth + 1)})",
         s"reverse(${strExpr(depth + 1)})"))
@@ -81,8 +84,35 @@ object Fuzz {
     /** One full query: filtered projection, exact aggregation, or a
       * join aggregation over lineitem ⋈ orders.
       */
+    /** Timestamp component over events.ts — `CAST(ts AS TIMESTAMP)` is
+      * the portable bridge: a no-op on the Spark side (µs already) and
+      * the ns→µs truncation DuckDB applies reading TIMESTAMP(NANOS).
+      */
+    private def tsComp(): String =
+      s"${pick(Seq("year", "month", "day", "hour", "minute"))}(CAST(ts AS TIMESTAMP))"
+
     def query(): String = {
-      val kind = rng.nextInt(4)
+      val kind = rng.nextInt(5)
+      if (kind == 4) {
+        // events-table template: datetime components + exact-safe value
+        // aggregates (fixed-point sum; min/max copy bits, no arithmetic)
+        val et = pick(Seq("click", "view", "purchase", "signup", "error"))
+        val p = pick(Seq(
+          s"event_type = '$et'",
+          s"event_type <> '$et'",
+          s"user_id % ${2 + rng.nextInt(20)} = 0",
+          s"${tsComp()} ${pick(Seq("<", ">=", "="))} ${rng.nextInt(24)}"))
+        return if (rng.nextBoolean())
+          s"""SELECT event_id, user_id, ${tsComp()} AS t1, ${tsComp()} AS t2,
+             |  CASE WHEN value > ${rng.nextInt(50)} THEN user_id ELSE event_id END AS e1
+             |FROM events WHERE $p""".stripMargin
+        else
+          s"""SELECT event_type, ${tsComp()} AS tk, count(*) AS n,
+             |  CAST(sum(CAST(floor(value * 1e4) AS BIGINT)) AS BIGINT) AS sv,
+             |  min(value) AS mn, max(value) AS mx,
+             |  min(event_id) AS mid
+             |FROM events WHERE $p GROUP BY 1, 2""".stripMargin
+      }
       if (kind == 3) {
         // window query: the family where order-nondeterminism hides —
         // the ORDER BY carries the full unique key so frames are total
@@ -154,6 +184,7 @@ object Fuzz {
     spark.sparkContext.setLogLevel("ERROR")
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
     Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
 
     val gen = Gen(new Random(seed))
     val sqls = (0 until nQueries).map(i => f"fz_$i%03d" -> gen.query())
