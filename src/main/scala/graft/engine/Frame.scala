@@ -232,6 +232,15 @@ final case class GroupedFrame(df: DataFrame, keys: Seq[String]) {
         exprs.tail.map { case (n, c) => c.as(n) }: _*))
   def size(): Frame =
     Frame(df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("size")))
+
+  /** pandas groupby().transform(): broadcast a per-group aggregate back
+    * onto every row, keeping the frame's cardinality. Lowers to an
+    * unordered partitioned window — one shuffle on the keys, no join
+    * back (the aggregate+join formulation shuffles twice).
+    */
+  def transformAgg(aggExpr: Column, out: String): Frame =
+    Frame(df.withColumn(out,
+      aggExpr.over(Window.partitionBy(keys.map(col): _*))))
 }
 
 object Frame {

@@ -155,6 +155,19 @@ class FrameSpec extends AnyFunSuite {
     assert(lastRow.isNullAt(0), "nulls must sort last")
   }
 
+  test("groupby transform broadcasts the aggregate onto every row") {
+    val got = li.groupby("l_orderkey")
+      .transformAgg(max(col("l_quantity")), "grp_max")
+      .df.select("l_orderkey", "l_linenumber", "grp_max")
+    val agged = Tables.lineitem(spark, sf).groupBy(col("l_orderkey"))
+      .agg(max(col("l_quantity")).as("grp_max"))
+    val exp = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber").join(agged, "l_orderkey")
+      .select("l_orderkey", "l_linenumber", "grp_max")
+    assert(got.count() == Tables.lineitem(spark, sf).count())
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+
   test("sample is deterministic per seed; describe has the 5 summary rows") {
     val a = li.sample(0.1, 42L).df.count()
     val b = li.sample(0.1, 42L).df.count()
