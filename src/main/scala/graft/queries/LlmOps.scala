@@ -387,6 +387,24 @@ object LlmOps {
       |SELECT DISTINCT id_a, id_b, round(cos, 6) AS cosine_6dp
       |FROM scored WHERE cos >= 0.4""".stripMargin
 
+  /** IVF ANN top-k (the index-probe scale path for similarity search,
+    * complementing the hyperplane buckets of `sim_ann_lsh_buckets`):
+    * query probes the nProbe nearest centroid cells and scores only
+    * inside them. Rows-only (centroid derivation is engine-internal);
+    * recall vs brute force is pinned by `ScaleOpsSpec`, and the output
+    * rounds cosine to 6dp like the brute-force query.
+    */
+  private def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("embedding"))
+    val cents = graft.operators.Similarity.centroids(emb, nCells = 8)
+    val assigned = graft.operators.Similarity.assignCells(emb, cents)
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("cell_id"), col("embedding").as("e"))
+    graft.operators.Similarity
+      .ivfTopK(s, assigned, cents, queryVecId = 0L, k = 10, nProbe = 2)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine_6dp"))
+  }
+
   // -------------------------------------------------------- multimodal
 
   /** Multimodal binary columns: opaque payload + typed metadata struct.
@@ -426,6 +444,7 @@ object LlmOps {
     "dedup_emb_cosine" -> Q(dedupEmbCosine _, dedupEmbCosineSql),
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, None),
+    "sim_ivf_topk" -> Q(simIvfTopk _, None),
     "multimodal_meta" -> Q(multimodalMeta _, multimodalMetaSql)
   )
 }
