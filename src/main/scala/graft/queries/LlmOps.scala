@@ -165,9 +165,23 @@ object LlmOps {
     * probability 1-(1-J)^4 — every surviving pair is then verified with
     * exact jaccard, so false candidates cost work, never correctness.
     */
-  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables
-      .documents(s, dir)
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(s, dir), maxBucket = 1000)
+
+  /** See [[dedupNgramJaccard]]'s doc above. The band self-join is shaped
+    * exactly like [[lshCandidatePairs]]: a windowed hot-bucket cap rides
+    * the same (band, bucket) exchange the join shuffles (a degenerate
+    * boilerplate bucket would otherwise go quadratic alone), the shingle
+    * arrays ride the LEFT side only (the right side is compact
+    * (band, bucket, id) rows), the per-pair distinct groups on bare ids
+    * taking first(ga), and `g3` for the b-side re-attaches by id after —
+    * so pair dedup never hashes arrays and quadratic blowup is bounded
+    * per bucket. The cap is mirrored in the DuckDB oracle (QUALIFY), so
+    * it is part of the checked semantics, not a silent drop.
+    */
+  private[graft] def ngramJaccardPairs(docs: DataFrame, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesOfToks(col("toks")).as("g3"))
     // one minhash per band: min over shingles of poly-hash seeded by band
@@ -182,17 +196,25 @@ object LlmOps {
             |      (h, c) -> (h * 31 + c) % 1000000007))))""".stripMargin))
           .as(Seq("band", "bucket")))
       .filter(col("bucket").isNotNull) // docs with no shingles: no candidates
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("g3").as("ga"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("g3").as("gb"))
-    a.join(b, Seq("band", "bucket"))
+    val capped = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("g3").as("ga"))
+    val b = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("ga")).as("ga"))
+    pairs
+      .join(grams.select(col("doc_id").as("id_b"), col("g3").as("gb")), "id_b")
       .select(
         col("id_a"),
         col("id_b"),
         (size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
           size(array_union(col("ga"), col("gb")))).as("jaccard3"))
       .filter(col("jaccard3") >= 0.2)
-      .distinct()
   }
 
   private val dedupNgramJaccardSql =
@@ -213,14 +235,22 @@ object LlmOps {
       |                         i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
       |        (h, c) -> (h * 31 + c) % 1000000007))) AS bucket
       |  FROM grams CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands
-      |  WHERE len(g3) > 0)
-      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE) /
-      |    len(list_distinct(a.g3 || b.g3)) AS jaccard3
-      |FROM banded a JOIN banded b
-      |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE) /
-      |    len(list_distinct(a.g3 || b.g3)) >= 0.2""".stripMargin
+      |  WHERE len(g3) > 0),
+      |capped AS (
+      |  SELECT * FROM banded
+      |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      |SELECT p.id_a, p.id_b,
+      |  CAST(len(list_intersect(ga.g3, gb.g3)) AS DOUBLE) /
+      |    len(list_distinct(ga.g3 || gb.g3)) AS jaccard3
+      |FROM pairs p
+      |  JOIN grams ga ON ga.doc_id = p.id_a
+      |  JOIN grams gb ON gb.doc_id = p.id_b
+      |WHERE CAST(len(list_intersect(ga.g3, gb.g3)) AS DOUBLE) /
+      |    len(list_distinct(ga.g3 || gb.g3)) >= 0.2""".stripMargin
 
   // -------------------------------------------------------- similarity
 

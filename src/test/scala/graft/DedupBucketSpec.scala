@@ -75,6 +75,27 @@ class DedupBucketSpec extends AnyFunSuite {
     assert(cappedPairs.contains((100L, 101L)))
   }
 
+  test("ngram-jaccard verify stage: hot-bucket cap bounds per-bucket pairs") {
+    // same degenerate-template corpus as the LSH test: without the cap the
+    // 40-doc template bucket yields 40*39/2 = 780 quadratic pairs
+    val template = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val distinct1 = (1 to 30).map(i => s"other$i").mkString(" ")
+    val distinct2 = (2 to 30).map(i => s"other$i").mkString(" ") + " other31"
+    val rows = (1L to 40L).map(i => (i, template)) ++
+      Seq((100L, distinct1), (101L, distinct2))
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text")
+
+    val uncapped = queries.LlmOps.ngramJaccardPairs(docs, maxBucket = Int.MaxValue)
+    assert(uncapped.count() >= 780)
+
+    val capped = queries.LlmOps.ngramJaccardPairs(docs, maxBucket = 10)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the hot template bucket is dropped entirely...
+    assert(!cappedPairs.exists { case (a, b) => a <= 40L && b <= 40L })
+    // ...while the genuine near-dup pair in a small bucket survives
+    assert(cappedPairs.contains((100L, 101L)))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // uses the default local warehouse (spark-warehouse/, gitignored);
     // also clear orphan locations from any previously aborted run
