@@ -46,11 +46,17 @@ object Similarity {
     * TakeOrdered top-k, not a global sort materialization, and the
     * renumbering window runs over the nCells-row result only (bounded
     * dimension, same exemption as dict_encode).
+    *
+    * The scatter key is a PORTABLE Lehmer-style fold
+    * `(vec_id * 48271) % 2147483647` — pure BIGINT arithmetic both
+    * engines compute identically (unlike Spark-native `hash()`), so the
+    * whole IVF pipeline is replicable in the DuckDB oracle. Safe from
+    * BIGINT overflow for vec_id up to ~1.9e14.
     */
   def centroids(emb: DataFrame, nCells: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     emb
-      .orderBy(pmod(hash(col("vec_id")), lit(997)), col("vec_id"))
+      .orderBy(pmod(col("vec_id") * lit(48271L), lit(2147483647L)), col("vec_id"))
       .limit(nCells)
       .withColumn("cell_id",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast(IntegerType))

@@ -420,9 +420,12 @@ object LlmOps {
   /** IVF ANN top-k (the index-probe scale path for similarity search,
     * complementing the hyperplane buckets of `sim_ann_lsh_buckets`):
     * query probes the nProbe nearest centroid cells and scores only
-    * inside them. Rows-only (centroid derivation is engine-internal);
-    * recall vs brute force is pinned by `ScaleOpsSpec`, and the output
-    * rounds cosine to 6dp like the brute-force query.
+    * inside them. Fully oracle-checked since the centroid pick moved to
+    * a portable Lehmer fold ((vec_id * 48271) % 2147483647) — the DuckDB
+    * twin replicates pick, unit-normalization, map-side argmax
+    * assignment, probe, and scoring with the same IEEE op order
+    * (ascending-index dot folds = DotF64). Recall vs brute force is
+    * additionally pinned by `ScaleOpsSpec`.
     */
   private def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("embedding"))
@@ -434,6 +437,73 @@ object LlmOps {
       .ivfTopK(s, assigned, cents, queryVecId = 0L, k = 10, nProbe = 2)
       .select(col("vec_id"), round(col("cosine"), 6).as("cosine_6dp"))
   }
+
+  /** DuckDB twin of the whole IVF pipeline. Every dot product is the
+    * same ascending-index fold DotF64 runs (one rounding per multiply,
+    * one per add), the centroid unit-normalization mirrors the
+    * driver-side Scala arithmetic op for op, and argmax ties resolve to
+    * the first (lowest-cell) maximum in both engines
+    * (array_position / list_position both return the first match).
+    */
+  private val simIvfTopkSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |picked AS (
+      |  SELECT vec_id, e FROM ev
+      |  ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 8),
+      |cents AS (
+      |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell_id,
+      |    e AS centroid
+      |  FROM picked),
+      |unitc AS (
+      |  SELECT cell_id, centroid,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(centroid, x -> x * x)), (acc, v) -> acc + v)) AS n
+      |  FROM cents),
+      |unit AS (
+      |  SELECT cell_id,
+      |    list_transform(centroid,
+      |      x -> CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE x / n END) AS cu
+      |  FROM unitc),
+      |cl AS (SELECT list(cu ORDER BY cell_id) AS cus FROM unit),
+      |assigned AS (
+      |  SELECT vec_id, e, list_position(sims, list_max(sims)) - 1 AS cell_id
+      |  FROM (
+      |    SELECT vec_id, e,
+      |      list_transform(cus, cu ->
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> e[i] * cu[i])),
+      |          (acc, v) -> acc + v)) AS sims
+      |    FROM ev CROSS JOIN cl)),
+      |q AS (
+      |  SELECT e AS qe,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (acc, v) -> acc + v)) AS qn
+      |  FROM ev WHERE vec_id = 0),
+      |probe AS (
+      |  SELECT cell_id FROM (
+      |    SELECT c.cell_id,
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(c.centroid) + 1),
+      |          i -> c.centroid[i] * q.qe[i])), (acc, v) -> acc + v) /
+      |      (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(c.centroid, x -> x * x)), (acc, v) -> acc + v))
+      |       * q.qn) AS sim
+      |    FROM cents c CROSS JOIN q)
+      |  ORDER BY sim DESC, cell_id LIMIT 2),
+      |scored AS (
+      |  SELECT a.vec_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, len(a.e) + 1), i -> a.e[i] * q.qe[i])),
+      |      (acc, v) -> acc + v) /
+      |    (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(a.e, x -> x * x)), (acc, v) -> acc + v)) * q.qn)
+      |      AS cosine
+      |  FROM assigned a JOIN probe USING (cell_id) CROSS JOIN q
+      |  WHERE a.vec_id <> 0)
+      |SELECT vec_id, round(cosine, 6) AS cosine_6dp
+      |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
   // -------------------------------------------------------- multimodal
 
@@ -474,7 +544,7 @@ object LlmOps {
     "dedup_emb_cosine" -> Q(dedupEmbCosine _, dedupEmbCosineSql),
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, None),
-    "sim_ivf_topk" -> Q(simIvfTopk _, None),
+    "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),
     "multimodal_meta" -> Q(multimodalMeta _, multimodalMetaSql)
   )
 }
