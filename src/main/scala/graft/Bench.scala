@@ -40,13 +40,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // one warmup pass (JVM/codegen/file-listing), then per-query min of
-    // two measured passes (nvbench-style: min is the stablest estimator
-    // of the true cost under scheduler/GC noise)
+    // Two warmup passes (JVM/JIT/codegen-cache/file-listing — one pass
+    // leaves the C2 compiler mid-flight on the heavier queries), then
+    // per-query median of five measured runs taken back to back so each
+    // query group runs on a warm JVM. An identical-code re-run of the
+    // old min-of-2 harness swung ±50% per query — too noisy to detect a
+    // real 1.5× regression; the median of five back-to-back runs is
+    // robust to both one-sided GC outliers and bimodal scheduler noise.
     headline.foreach(run)
+    headline.foreach(run)
+    val reps = 5
     val results = headline.map { n =>
-      val a = run(n); val b = run(n)
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ts = Seq.fill(reps)(run(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2))
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
