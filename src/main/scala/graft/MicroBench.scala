@@ -85,6 +85,49 @@ object MicroBench {
         .agg(exp(sum(log(col("l_discount") + 1))).as("p")),
       "product_agg_s", "exp_sum_ln_s")
 
+    // EWMA buffer: ArrayBuffer append vs the `Seq :+` append the old
+    // buffer signature permitted. The Seq static type lets the runtime
+    // buffer be a List (e.g. out of a Kryo round-trip), where every
+    // append is O(n) — quadratic per group. One 50k-row group in a
+    // single partition makes the risk visible end to end.
+    val series = spark.range(50000)
+      .selectExpr("CAST(1 AS BIGINT) AS k", "id AS o", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1)
+    val bufAgg = udaf(new graft.agg.EwmaAgg(0.2))
+    val seqAgg = udaf(new SeqAppendEwma(0.2))
+    bench("ewma_arraybuffer_vs_seq_append",
+      series.groupBy(col("k")).agg(bufAgg(col("o"), col("v")).as("e")),
+      series.groupBy(col("k")).agg(seqAgg(col("o"), col("v")).as("e")),
+      "arraybuffer_s", "seq_append_s")
+
     spark.stop()
+  }
+
+  /** The pre-fix EwmaAgg buffer shape, kept ONLY as the micro-bench
+    * counterfactual: a Seq-typed buffer appended with `:+`, which is
+    * O(n) per row when the runtime Seq is a List — quadratic per group.
+    */
+  private class SeqAppendEwma(alpha: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Double), Seq[(Long, Double)], Double] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    override def zero: Seq[(Long, Double)] = List.empty
+    override def reduce(b: Seq[(Long, Double)], in: (Long, Double)): Seq[(Long, Double)] =
+      b :+ in
+    override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      a ++ b
+    override def finish(buf: Seq[(Long, Double)]): Double = {
+      var num = 0.0
+      var den = 0.0
+      val om = 1.0 - alpha
+      buf.sortBy(_._1).foreach { case (_, x) =>
+        num = x + om * num
+        den = 1.0 + om * den
+      }
+      if (den == 0.0) Double.NaN else num / den
+    }
+    override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+      Encoders.kryo[Seq[(Long, Double)]]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 }

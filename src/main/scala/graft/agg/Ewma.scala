@@ -21,25 +21,45 @@ import org.apache.spark.sql.functions.udaf
   * unbounded keys use a windowed formulation or a sorted mapPartitions
   * pass instead.
   */
-class EwmaAgg(alpha: Double)
-    extends Aggregator[(Long, Double), Seq[(Long, Double)], Double] {
-  override def zero: Seq[(Long, Double)] = Vector.empty
-  override def reduce(b: Seq[(Long, Double)], in: (Long, Double)): Seq[(Long, Double)] =
-    b :+ in
-  override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
-    a ++ b
-  override def finish(buf: Seq[(Long, Double)]): Double = {
+class EwmaAgg(alpha: Double, maxGroup: Int = 4 << 20)
+    extends Aggregator[(Long, Double), scala.collection.mutable.ArrayBuffer[(Long, Double)], Double] {
+  import scala.collection.mutable.ArrayBuffer
+
+  // Amortized-O(1) append (an immutable `Seq :+` here re-wraps per row —
+  // quadratic on Vector-unfriendly runtimes and pure garbage churn), and
+  // a hard group-size guard so a runaway key fails loudly instead of
+  // OOMing an executor: exact order-sensitive EWMA needs the whole group
+  // buffered, so beyond the bound the right tool is the O(1)-state
+  // sorted streaming pass, Ewma.smoothedPerRow.
+
+  override def zero: ArrayBuffer[(Long, Double)] = ArrayBuffer.empty
+  override def reduce(
+      b: ArrayBuffer[(Long, Double)], in: (Long, Double)): ArrayBuffer[(Long, Double)] = {
+    require(b.size < maxGroup,
+      s"EwmaAgg group exceeds $maxGroup rows; use Ewma.smoothedPerRow " +
+        "(O(1) state per group) for unbounded series")
+    b += in
+  }
+  override def merge(
+      a: ArrayBuffer[(Long, Double)],
+      b: ArrayBuffer[(Long, Double)]): ArrayBuffer[(Long, Double)] = {
+    require(a.size + b.size <= maxGroup,
+      s"EwmaAgg group exceeds $maxGroup rows; use Ewma.smoothedPerRow " +
+        "(O(1) state per group) for unbounded series")
+    a ++= b
+  }
+  override def finish(buf: ArrayBuffer[(Long, Double)]): Double = {
     var num = 0.0
     var den = 0.0
     val oneMinus = 1.0 - alpha
-    buf.sortBy(_._1).foreach { case (_, x) =>
+    buf.sortInPlaceBy(_._1).foreach { case (_, x) =>
       num = x + oneMinus * num
       den = 1.0 + oneMinus * den
     }
     if (den == 0.0) Double.NaN else num / den
   }
-  override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
-    Encoders.kryo[Seq[(Long, Double)]]
+  override def bufferEncoder: Encoder[ArrayBuffer[(Long, Double)]] =
+    Encoders.kryo[ArrayBuffer[(Long, Double)]]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 

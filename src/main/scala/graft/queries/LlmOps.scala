@@ -77,6 +77,47 @@ object LlmOps {
     withShingles(Tables.documents(s, dir))
       .select(col("doc_id"), graft.ArrCanon.joined(minhashSig(16)).as("minhash"))
 
+  /** Oracled twin of the MinHash signature path (ref `nvtext/minhash.hpp:72`
+    * semantics: per-permutation min over the shingle set): the permutation
+    * family is the portable seeded polynomial char hash (seed = permutation
+    * index — the same fold `dedup_ngram_jaccard`'s bands use), so DuckDB
+    * replicates every signature bit-for-bit. The native-XXH64
+    * `dedup_minhash_sig` stays as the throughput path; this query gives the
+    * signature SEMANTICS (k independent permutations, min per permutation,
+    * empty shingle set → all-null signature) a full hash-checked row.
+    */
+  private def dedupMinhashPortable(s: SparkSession, dir: String): DataFrame =
+    withShingles(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        graft.ArrCanon.joined(expr(
+          """transform(sequence(0, 15), p ->
+            |  array_min(transform(tk, g ->
+            |    aggregate(
+            |      transform(sequence(1, length(g)), i -> ascii(substring(g, i, 1))),
+            |      CAST(p AS BIGINT),
+            |      (h, c) -> (h * 31 + c) % 1000000007))))""".stripMargin))
+          .as("minhash_portable"))
+
+  private val dedupMinhashPortableSql =
+    s"""WITH grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |      i -> concat(string_split(text, ' ')[i], '_',
+      |                  string_split(text, ' ')[i + 1], '_',
+      |                  string_split(text, ' ')[i + 2]))) AS tk
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ${graft.ArrCanon.joinedSql(
+        """list_transform(range(0, 16), p ->
+          |    list_min(list_transform(tk, g ->
+          |      list_reduce(
+          |        list_prepend(CAST(p AS BIGINT),
+          |          list_transform(range(1, length(g) + 1),
+          |                         i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
+          |        (h, c) -> (h * 31 + c) % 1000000007))))""".stripMargin)} AS minhash_portable
+      |FROM grams""".stripMargin
+
   /** MinHash-LSH near-dup candidate pairs: 4 bands × 4 rows; docs sharing
     * any band bucket become candidates; est. jaccard = matching minhash
     * fraction. Scales as O(n · bands) shuffle on band keys.
@@ -538,6 +579,7 @@ object LlmOps {
   def queries: Map[String, Q] = Map(
     "dedup_exact" -> Q(dedupExact _, dedupExactSql),
     "dedup_minhash_sig" -> Q(minhashSignatures _, None),
+    "dedup_minhash_portable" -> Q(dedupMinhashPortable _, dedupMinhashPortableSql),
     "dedup_minhash_lsh" -> Q(dedupMinhashLsh _, None),
     "dedup_simhash" -> Q(dedupSimhash _, None),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard _, dedupNgramJaccardSql),

@@ -194,6 +194,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(math.abs(got - 4.25 / 1.75) < 1e-12)
   }
 
+  test("ewma aggregator fails loudly past the group-size guard") {
+    val guarded = udaf(new agg.EwmaAgg(0.5, maxGroup = 4))
+    val df = spark
+      .createDataFrame((1L to 6L).map(i => (1L, i, i.toDouble)))
+      .toDF("k", "o", "v")
+      .coalesce(1)
+    val ex = intercept[Throwable] {
+      df.groupBy(col("k")).agg(guarded(col("o"), col("v"))).collect()
+    }
+    val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(messages.contains("smoothedPerRow"),
+      s"expected the guard to point at Ewma.smoothedPerRow, got:\n$messages")
+  }
+
   test("streaming per-row ewma: last row per group equals the buffered aggregator") {
     val base = Tables
       .events(spark, sf)
