@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair encoding with merge ranks (reference
+  * `cpp/include/nvtext/byte_pair_encoding.hpp:129`, `load_merge_pairs`):
+  * a word is split into single characters, then the adjacent pair with
+  * the LOWEST merge rank is merged, repeatedly, until no adjacent pair
+  * appears in the merge table. This is a genuinely different algorithm
+  * from greedy longest-match wordpiece ([[Wordpiece.tokenizeWord]]):
+  * wordpiece consumes the longest vocab prefix outright, while BPE
+  * replays the learned merge history — "hug" with merges [(h,u),(u,g)]
+  * becomes [hu, g] even when "hug" itself is in a wordpiece vocab.
+  *
+  * Shape mirrors the wordpiece path: the merge table is a bounded
+  * dimension learned driver-side from frequent-word statistics (one
+  * distributed word-count aggregation feeds it), broadcast once, and
+  * tokenization is a per-row map-side UDF — no shuffle.
+  */
+object Bpe {
+
+  /** Tokenize one word by iterative lowest-rank merging. */
+  def bpeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    var pieces: Vector[String] = word.map(_.toString).toVector
+    var done = false
+    while (!done && pieces.length > 1) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < pieces.length - 1) {
+        val r = ranks.getOrElse((pieces(i), pieces(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) done = true
+      else pieces = pieces.patch(best, Seq(pieces(best) + pieces(best + 1)), 2)
+    }
+    pieces
+  }
+
+  /** Learn a merge table from the corpus: classic BPE training (count
+    * adjacent symbol pairs weighted by word frequency, merge the most
+    * frequent, repeat) over the bounded frequent-word table. The word
+    * counts come from one distributed aggregation; the training loop
+    * itself runs driver-side over that bounded dimension — the same
+    * collect exemption as the wordpiece vocab build. Ties break on
+    * (count desc, pair lexicographic) so the table is deterministic.
+    */
+  def learnMerges(docs: DataFrame, nMerges: Int, minFreq: Long): Seq[(String, String)] = {
+    var words: Array[(Vector[String], Long)] = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .count()
+      .filter(col("count") >= minFreq)
+      .collect()
+      .map(r => r.getString(0).map(_.toString).toVector -> r.getLong(1))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var step = 0
+    while (step < nMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+      }
+      if (pairCounts.isEmpty) step = nMerges
+      else {
+        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) => mergeOnce(syms, best) -> c }
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def mergeOnce(syms: Vector[String], p: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == p._1 && syms(i + 1) == p._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** documents → (doc_id, pieces array) under a broadcast merge table. */
+  def tokenize(
+      spark: SparkSession,
+      docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val bc: Broadcast[Map[(String, String), Int]] = spark.sparkContext.broadcast(ranks)
+    val bpe = udf((text: String) =>
+      if (text == null) Seq.empty[String]
+      else text.split(" ").toSeq.filter(_.nonEmpty).flatMap(w => bpeWord(w, bc.value)))
+    docs.select(col("doc_id"), bpe(col("text")).as("pieces"))
+  }
+}

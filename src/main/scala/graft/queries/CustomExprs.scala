@@ -77,6 +77,22 @@ object CustomExprs {
         graft.ArrCanon.joined(slice(col("pieces"), 1, 5)).as("head_pieces"))
   }
 
+  /** merge-ranks BPE (byte_pair_encoding.hpp:129): corpus-learned merge
+    * table (driver-side classic BPE training over the bounded
+    * frequent-word stats), broadcast ranks, map-side iterative
+    * lowest-rank merging per word — a genuinely different algorithm from
+    * greedy wordpiece above (goldens in WordpieceSpec distinguish the
+    * two on the same input). Rows-only (merge table is data-derived).
+    */
+  private def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.functions.Bpe.learnMerges(docs, nMerges = 200, minFreq = 50)
+    graft.functions.Bpe
+      .tokenize(s, docs, merges)
+      .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+        graft.ArrCanon.joined(slice(col("pieces"), 1, 5)).as("head_pieces"))
+  }
+
   /** percentile_approx — the engine's t-digest stand-in (TDIGEST Kind,
     * aggregation.hpp:121; Spark's GK sketch, tolerance documented).
     */
@@ -95,6 +111,7 @@ object CustomExprs {
     "agg_ewma" -> Q(ewmaPerUser _, None),
     "win_ewma_stream" -> Q(winEwmaStream _, winEwmaStreamSql),
     "text_wordpiece" -> Q(wordpieceTokens _, None),
+    "text_bpe" -> Q(bpeTokens _, None),
     "agg_percentile_approx" -> Q(percentileApprox _, None)
   )
 }

@@ -32,6 +32,55 @@ class WordpieceSpec extends AnyFunSuite {
     assert(frag.toDouble / total < 0.05, s"$frag/$total UNK")
   }
 
+  test("BPE goldens: iterative lowest-rank merge, not greedy longest match") {
+    import graft.functions.Bpe
+    // merge order decides the segmentation: with (h,u) ranked first,
+    // "hug" merges h+u before u+g can ever pair
+    val ranksHU = Map(("h", "u") -> 0, ("u", "g") -> 1)
+    assert(Bpe.bpeWord("hug", ranksHU) == Seq("hu", "g"))
+    // flip the ranks and the same word segments differently
+    val ranksUG = Map(("u", "g") -> 0, ("h", "u") -> 1)
+    assert(Bpe.bpeWord("hug", ranksUG) == Seq("h", "ug"))
+    // merges chain: learned symbols merge further up the table
+    val chain = Map(("h", "u") -> 0, ("hu", "g") -> 1)
+    assert(Bpe.bpeWord("hug", chain) == Seq("hug"))
+    // no applicable merge: stays fully split (BPE has no [UNK])
+    assert(Bpe.bpeWord("xyz", ranksHU) == Seq("x", "y", "z"))
+    assert(Bpe.bpeWord("", ranksHU) == Seq.empty)
+
+    // DISTINGUISHING case vs greedy wordpiece: with "hug" in the vocab,
+    // wordpiece consumes the whole word; BPE with only the (h,u) merge
+    // learned cannot — it replays merge history, not vocab lookup
+    val vocab = Set("hug", "h", "u", "g", "##u", "##g")
+    assert(Wordpiece.tokenizeWord("hug", vocab) == Seq("hug"))
+    assert(Bpe.bpeWord("hug", Map(("h", "u") -> 0)) == Seq("hu", "g"))
+  }
+
+  test("BPE training learns the most frequent pair first, deterministically") {
+    import graft.functions.Bpe
+    // corpus: "aa ab aa ab aa" repeated — pair (a,a) appears 3x/doc,
+    // (a,b) 2x/doc → first merge must be (a,a)
+    val docs = spark
+      .createDataFrame((1L to 10L).map(i => (i, "aa ab aa ab aa")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, nMerges = 2, minFreq = 1)
+    assert(merges.head == ("a", "a"))
+    assert(merges.size == 2)
+    // tokenize with the learned table: map-side UDF over a broadcast
+    val pieces = Bpe.tokenize(spark, docs, merges)
+      .select(col("doc_id"), col("pieces"))
+      .head()
+      .getAs[scala.collection.Seq[String]]("pieces")
+    assert(pieces.contains("aa"))
+  }
+
+  test("text_bpe query runs over the documents table with sane shape") {
+    val out = SparkEntry.queries("text_bpe")(spark, sf)
+    assert(out.columns.toSeq == Seq("doc_id", "n_pieces", "head_pieces"))
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.filter(col("n_pieces") > 0).count() > 0)
+  }
+
   test("custom-delimiter text read (multibyte_split equivalent)") {
     // read_text on arbitrary delimiter (io/text/multibyte_split.hpp:92) →
     // textinputformat.record.delimiter
