@@ -3,18 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale probe: replicates the documents corpus N× (disjoint doc_id
-  * ranges, identical texts) and runs the full near-dup pipeline —
-  * MinHash → banded LSH candidates → connected-component resolution →
-  * corpus dedup — at each scale. Replication makes every document an
-  * exact near-dup cluster of size N, which is the WORST load for LSH
-  * (every band bucket holds all N replicas), so the probe stresses
-  * bucket joins, pair scoring, and label propagation together.
+/** Scale probe, two axes per factor N:
   *
-  * Output: one JSON line per factor with wall time and the dedup
-  * invariant (clusters collapse back to ~the original corpus size).
-  * Evidence for SCALING.md: near-linear wall-time growth + intact
-  * invariant ⇒ no quadratic blow-up hiding in the pipeline.
+  * 1. WORST-CASE (replicated corpus): N× copies with identical texts —
+  *    every document becomes an exact near-dup cluster of size N, every
+  *    band bucket holds all N replicas. Stresses bucket joins, pair
+  *    scoring, and label propagation at their degenerate extreme.
+  * 2. REALISTIC (distinct corpus): N× copies with a per-replica salt
+  *    appended to every token, so every 3-gram shingle differs across
+  *    replicas and bucket occupancy stays realistic (no cross-replica
+  *    candidates; the intra-replica dup structure is preserved). This
+  *    is the axis that should track production growth: near-linear
+  *    wall time with out_docs = N × dedup(base).
+  *
+  * Output: one JSON line per (probe, factor) with wall time and the
+  * dedup invariant. Evidence for SCALING.md: near-linear wall-time
+  * growth + intact invariants ⇒ no quadratic blow-up hiding in the
+  * pipeline on either axis.
   *
   * Usage: runMain graft.ScaleProbe [sfDir] [factors csv, default 1,4,8]
   */
@@ -34,10 +39,7 @@ object ScaleProbe {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val baseN = docs.count()
 
-    factors.foreach { f =>
-      val big = (0 until f)
-        .map(i => docs.select((col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"), col("text")))
-        .reduce(_ union _)
+    def probe(name: String, f: Int, big: org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       val pairs = queries.LlmOps
         .lshCandidatePairs(big, maxBucket = 1000)
@@ -47,7 +49,28 @@ object ScaleProbe {
       val outN = deduped.count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(
-        f"""{"probe":"lsh_dedup","factor":$f,"n_docs":${baseN * f},"out_docs":$outN,"secs":$secs%.2f}""")
+        f"""{"probe":"$name","factor":$f,"n_docs":${baseN * f},"out_docs":$outN,"secs":$secs%.2f}""")
+    }
+
+    factors.foreach { f =>
+      // worst case: identical replicas — every bucket holds all N copies
+      val replicated = (0 until f)
+        .map(i => docs.select((col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"), col("text")))
+        .reduce(_ union _)
+      probe("lsh_dedup", f, replicated)
+
+      // realistic: salt every token per replica so all shingles differ
+      // across replicas (replica 0 keeps the original text, so the base
+      // corpus is a strict subset at every factor)
+      val distinct = (0 until f)
+        .map { i =>
+          val t =
+            if (i == 0) col("text")
+            else expr(s"concat_ws(' ', transform(split(text, ' '), t -> concat(t, '_r$i')))")
+          docs.select((col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"), t.as("text"))
+        }
+        .reduce(_ union _)
+      probe("lsh_dedup_distinct", f, distinct)
     }
     spark.stop()
   }
