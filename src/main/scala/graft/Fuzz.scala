@@ -91,17 +91,53 @@ object Fuzz {
     private def tsComp(): String =
       s"${pick(Seq("year", "month", "day", "hour", "minute"))}(CAST(ts AS TIMESTAMP))"
 
+    /** events predicate pool, shared by every events-table template. */
+    private def eventsPred(): String = {
+      val et = pick(Seq("click", "view", "purchase", "signup", "error"))
+      pick(Seq(
+        s"event_type = '$et'",
+        s"event_type <> '$et'",
+        s"user_id % ${2 + rng.nextInt(20)} = 0",
+        s"${tsComp()} ${pick(Seq("<", ">=", "="))} ${rng.nextInt(24)}"))
+    }
+
     def query(): String = {
-      val kind = rng.nextInt(5)
+      val kind = rng.nextInt(7)
+      if (kind == 6) {
+        // events window template: frames ordered by the TIMESTAMP itself
+        // (portable — both engines compare at µs after the CAST; the
+        // epoch integer itself isn't portable as an output column since
+        // unix_micros/epoch_us are dialect-specific) with event_id as
+        // the uniqueness tiebreaker so every frame is total.
+        val part = pick(Seq("user_id", "event_type"))
+        val k = 1 + rng.nextInt(5)
+        val over =
+          s"OVER (PARTITION BY $part ORDER BY CAST(ts AS TIMESTAMP), event_id " +
+            s"ROWS BETWEEN $k PRECEDING AND CURRENT ROW)"
+        val overCum =
+          s"OVER (PARTITION BY $part ORDER BY CAST(ts AS TIMESTAMP), event_id)"
+        return s"""SELECT event_id, user_id,
+           |  CAST(sum(CAST(floor(value * 1e4) AS BIGINT)) $over AS BIGINT) AS w_sv,
+           |  count(*) $over AS w_n,
+           |  min(event_id) $over AS w_mid,
+           |  row_number() $overCum AS w_rn,
+           |  lag(event_type, 1) $overCum AS w_lag
+           |FROM events WHERE ${eventsPred()}""".stripMargin
+      }
+      if (kind == 5) {
+        // events ⋈ customer: fact-to-dimension join keyed on dimension
+        // attributes + a timestamp component (user_id 0..149 overlaps
+        // c_custkey 1..N, so the join is selective but non-empty)
+        return s"""SELECT c_mktsegment AS k, ${tsComp()} AS tk, count(*) AS n,
+           |  CAST(sum(CAST(floor(value * 1e4) AS BIGINT)) AS BIGINT) AS sv,
+           |  min(event_id) AS mid, max(user_id) AS mu
+           |FROM events JOIN customer ON user_id = c_custkey
+           |WHERE ${eventsPred()} GROUP BY 1, 2""".stripMargin
+      }
       if (kind == 4) {
         // events-table template: datetime components + exact-safe value
         // aggregates (fixed-point sum; min/max copy bits, no arithmetic)
-        val et = pick(Seq("click", "view", "purchase", "signup", "error"))
-        val p = pick(Seq(
-          s"event_type = '$et'",
-          s"event_type <> '$et'",
-          s"user_id % ${2 + rng.nextInt(20)} = 0",
-          s"${tsComp()} ${pick(Seq("<", ">=", "="))} ${rng.nextInt(24)}"))
+        val p = eventsPred()
         return if (rng.nextBoolean())
           s"""SELECT event_id, user_id, ${tsComp()} AS t1, ${tsComp()} AS t2,
              |  CASE WHEN value > ${rng.nextInt(50)} THEN user_id ELSE event_id END AS e1
@@ -185,6 +221,7 @@ object Fuzz {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
     Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
 
     val gen = Gen(new Random(seed))
     val sqls = (0 until nQueries).map(i => f"fz_$i%03d" -> gen.query())

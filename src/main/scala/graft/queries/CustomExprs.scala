@@ -33,6 +33,25 @@ object CustomExprs {
       .agg(e(unix_micros(col("ts")), col("value")).as("ewma_value"))
   }
 
+  /** DuckDB twin of the buffered EWMA aggregator: per user, the ordered
+    * value list folded through the identical adjust=true recurrence in
+    * the identical left-to-right IEEE op order (the same proof of
+    * exactness as `win_ewma_stream`, whose twin this reuses). The µs
+    * order key is tie-free in the testdata at every SF (checked), and
+    * EwmaAgg's finish-time sort makes the result independent of
+    * partitioning, so the fold order is total in both engines.
+    */
+  private val ewmaPerUserSql =
+    """SELECT user_id,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+      |    (a, x) -> x + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * a) /
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+      |    (a, x) -> CAST(1.0 AS DOUBLE) + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * a)
+      |  AS ewma_value
+      |FROM (
+      |  SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vals
+      |  FROM events GROUP BY user_id)""".stripMargin
+
   /** Per-row EWMA via the streaming sorted-partition pass
     * ([[graft.agg.Ewma.smoothedPerRow]], O(1) state per group — the
     * unbounded-series scale path for the EWMA aggregation). Oracle-exact:
@@ -108,7 +127,7 @@ object CustomExprs {
 
   def queries: Map[String, Q] = Map(
     "custom_string_exprs" -> Q(customStrings _, None),
-    "agg_ewma" -> Q(ewmaPerUser _, None),
+    "agg_ewma" -> Q(ewmaPerUser _, ewmaPerUserSql),
     "win_ewma_stream" -> Q(winEwmaStream _, winEwmaStreamSql),
     "text_wordpiece" -> Q(wordpieceTokens _, None),
     "text_bpe" -> Q(bpeTokens _, None),
