@@ -15,7 +15,11 @@ object Bench {
     "dedup_minhash_lsh", "sim_cosine_topk", "dedup_exact",
     "win_group_scan", "agg_basic_stats",
     // round-3 flagship additions
-    "join_asof", "dedup_emb_cosine", "win_ewma_stream")
+    "join_asof", "dedup_emb_cosine", "win_ewma_stream",
+    // round-5: the capped n-gram verify stage and the (now fully
+    // oracled) IVF probe — benched so regressions in the two paths
+    // fixed this round stay visible
+    "dedup_ngram_jaccard", "sim_ivf_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -88,14 +88,18 @@ object LlmOps {
     */
   private def dedupMinhashPortable(s: SparkSession, dir: String): DataFrame =
     withShingles(Tables.documents(s, dir))
+      // one NATIVE char fold per shingle (PolyHash31 codegen pass); the
+      // seeded fold factors as (p·31^len + P) mod M — see
+      // ngramJaccardPairs for the algebra. ph is materialized in its own
+      // projection so both field extractions share one evaluation.
+      .select(col("doc_id"),
+        graft.functions.PolyHash31.polyhash31(col("tk")).as("ph"))
+      .select(col("doc_id"), col("ph.pp").as("pp"), col("ph.ww").as("ww"))
       .select(col("doc_id"),
         graft.ArrCanon.joined(expr(
           """transform(sequence(0, 15), p ->
-            |  array_min(transform(tk, g ->
-            |    aggregate(
-            |      transform(sequence(1, length(g)), i -> ascii(substring(g, i, 1))),
-            |      CAST(p AS BIGINT),
-            |      (h, c) -> (h * 31 + c) % 1000000007))))""".stripMargin))
+            |  array_min(zip_with(pp, ww,
+            |    (h, w) -> (CAST(p AS BIGINT) * w + h) % 1000000007)))""".stripMargin))
           .as("minhash_portable"))
 
   private val dedupMinhashPortableSql =
@@ -107,16 +111,25 @@ object LlmOps {
       |                  string_split(text, ' ')[i + 1], '_',
       |                  string_split(text, ' ')[i + 2]))) AS tk
       |  FROM documents)
+      |, prehashed AS (
+      |  SELECT doc_id,
+      |    list_transform(tk, g ->
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(g) + 1),
+      |                         i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
+      |        (h, c) -> (h * 31 + c) % 1000000007)) AS pp,
+      |    list_transform(tk, g ->
+      |      list_reduce(
+      |        list_prepend(CAST(1 AS BIGINT), range(1, length(g) + 1)),
+      |        (w, i) -> (w * 31) % 1000000007)) AS ww
+      |  FROM grams)
       |SELECT doc_id,
       |  ${graft.ArrCanon.joinedSql(
         """list_transform(range(0, 16), p ->
-          |    list_min(list_transform(tk, g ->
-          |      list_reduce(
-          |        list_prepend(CAST(p AS BIGINT),
-          |          list_transform(range(1, length(g) + 1),
-          |                         i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
-          |        (h, c) -> (h * 31 + c) % 1000000007))))""".stripMargin)} AS minhash_portable
-      |FROM grams""".stripMargin
+          |    list_min(list_transform(range(1, len(pp) + 1),
+          |      i -> (CAST(p AS BIGINT) * ww[i] + pp[i]) % 1000000007)))""".stripMargin)} AS minhash_portable
+      |FROM prehashed""".stripMargin
 
   /** MinHash-LSH near-dup candidate pairs: 4 bands × 4 rows; docs sharing
     * any band bucket become candidates; est. jaccard = matching minhash
@@ -191,6 +204,52 @@ object LlmOps {
             |   THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END))
             |""".stripMargin).as("simhash"))
 
+  /** Oracled twin of the SimHash path, mirroring the minhash-portable
+    * pattern: one portable polynomial hash per shingle (materialized in
+    * its own projection — a lambda reference would recompute the fold
+    * per bit), then bit b of the 16-bit signature is the majority vote
+    * of bit b across shingle hashes. DuckDB replicates hash, vote, and
+    * fold bit-for-bit; the 64-bit native-XXH64 `dedup_simhash` stays as
+    * the throughput path. Empty shingle sets sign as 0 in both engines.
+    */
+  private def dedupSimhashPortable(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .transform(withShingles)
+      // seed-0 portable hash = PolyHash31's pp, one native pass
+      .select(col("doc_id"),
+        graft.functions.PolyHash31.polyhash31(col("tk")).as("ph"))
+      .select(col("doc_id"), col("ph.pp").as("hs"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 15), 0, (acc, b) -> acc | (CASE WHEN
+          |  size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) * 2 > size(hs)
+          |THEN CAST(shiftleft(1, b) AS INT) ELSE 0 END))""".stripMargin)
+        .as("simhash16"))
+
+  private val dedupSimhashPortableSql =
+    """WITH grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |      i -> concat(string_split(text, ' ')[i], '_',
+      |                  string_split(text, ' ')[i + 1], '_',
+      |                  string_split(text, ' ')[i + 2]))) AS tk
+      |  FROM documents),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    list_transform(tk, g ->
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(g) + 1),
+      |                         i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
+      |        (h, c) -> (h * 31 + c) % 1000000007)) AS hs
+      |  FROM grams)
+      |SELECT doc_id,
+      |  list_reduce(list_prepend(0, list_transform(range(0, 16), b ->
+      |    CASE WHEN len(list_filter(hs, h -> ((h >> b) & 1) = 1)) * 2 > len(hs)
+      |    THEN (1 << b) ELSE 0 END)), (acc, v) -> acc | v) AS simhash16
+      |FROM hashed""".stripMargin
+
   /** n-gram jaccard dedup: EXACT token-3-gram-set jaccard computed only
     * on LSH candidate pairs — the verify stage wired the way the MinHash
     * pipeline feeds it (reference `nvtext/jaccard.hpp:73`: pairwise only
@@ -225,16 +284,26 @@ object LlmOps {
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesOfToks(col("toks")).as("g3"))
-    // one minhash per band: min over shingles of poly-hash seeded by band
-    val banded = grams
+    // One minhash per band: min over shingles of the poly-hash seeded by
+    // band. The seeded fold factors algebraically: h_b(g) = (b·31^len(g)
+    // + P(g)) mod M with P = the seed-0 fold — so each shingle is
+    // char-folded ONCE (computing P and 31^len together), and every
+    // band hash is an O(1) combination instead of its own char fold.
+    // Residues are unchanged (each fold step reduces mod M), so the
+    // bucket values — and the DuckDB oracle — are bit-identical to the
+    // naive per-band fold. The pp/ww arrays are materialized in their
+    // own projection: a lambda reference would re-run the fold per band.
+    val prehashed = grams
+      .select(col("doc_id"), col("g3"),
+        graft.functions.PolyHash31.polyhash31(col("g3")).as("ph"))
+      .select(col("doc_id"), col("g3"),
+        col("ph.pp").as("pp"), col("ph.ww").as("ww"))
+    val banded = prehashed
       .select(col("doc_id"), col("g3"),
         posexplode(expr(
           """transform(sequence(0, 3), b ->
-            |  array_min(transform(g3, g ->
-            |    aggregate(
-            |      transform(sequence(1, length(g)), i -> ascii(substring(g, i, 1))),
-            |      CAST(b AS BIGINT),
-            |      (h, c) -> (h * 31 + c) % 1000000007))))""".stripMargin))
+            |  array_min(zip_with(pp, ww,
+            |    (p, w) -> (CAST(b AS BIGINT) * w + p) % 1000000007)))""".stripMargin))
           .as(Seq("band", "bucket")))
       .filter(col("bucket").isNotNull) // docs with no shingles: no candidates
     val capped = banded
@@ -267,15 +336,24 @@ object LlmOps {
       |                  string_split(text, ' ')[i + 1], '_',
       |                  string_split(text, ' ')[i + 2]))) AS g3
       |  FROM documents),
-      |banded AS (
-      |  SELECT doc_id, g3, band,
-      |    list_min(list_transform(g3, g ->
+      |prehashed AS (
+      |  SELECT doc_id, g3,
+      |    list_transform(g3, g ->
       |      list_reduce(
-      |        list_prepend(CAST(band AS BIGINT),
+      |        list_prepend(CAST(0 AS BIGINT),
       |          list_transform(range(1, length(g) + 1),
       |                         i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
-      |        (h, c) -> (h * 31 + c) % 1000000007))) AS bucket
-      |  FROM grams CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      |        (h, c) -> (h * 31 + c) % 1000000007)) AS pp,
+      |    list_transform(g3, g ->
+      |      list_reduce(
+      |        list_prepend(CAST(1 AS BIGINT), range(1, length(g) + 1)),
+      |        (w, i) -> (w * 31) % 1000000007)) AS ww
+      |  FROM grams),
+      |banded AS (
+      |  SELECT doc_id, g3, band,
+      |    list_min(list_transform(range(1, len(pp) + 1),
+      |      i -> (CAST(band AS BIGINT) * ww[i] + pp[i]) % 1000000007)) AS bucket
+      |  FROM prehashed CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands
       |  WHERE len(g3) > 0),
       |capped AS (
       |  SELECT * FROM banded
@@ -582,6 +660,7 @@ object LlmOps {
     "dedup_minhash_portable" -> Q(dedupMinhashPortable _, dedupMinhashPortableSql),
     "dedup_minhash_lsh" -> Q(dedupMinhashLsh _, None),
     "dedup_simhash" -> Q(dedupSimhash _, None),
+    "dedup_simhash_portable" -> Q(dedupSimhashPortable _, dedupSimhashPortableSql),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard _, dedupNgramJaccardSql),
     "dedup_emb_cosine" -> Q(dedupEmbCosine _, dedupEmbCosineSql),
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),

@@ -160,18 +160,50 @@ class ExpressionsSpec extends AnyFunSuite {
           wrap_text(col("s"), 5).as("wr"),
           normalize_chars(col("s")).as("nc"),
           graft.functions.MinHash64.minhash64(
-            org.apache.spark.sql.functions.split(col("s"), " "), 4).as("mh"))
+            org.apache.spark.sql.functions.split(col("s"), " "), 4).as("mh"),
+          graft.functions.PolyHash31.polyhash31(
+            org.apache.spark.sql.functions.split(col("s"), " ")).as("ph"))
         .head()
       assert(row.getAs[String]("sw") == "hELLO wORLD")
       assert(row.getAs[scala.collection.Seq[String]]("rs").toSeq == Seq("a-b", "c"))
       assert(row.getAs[scala.collection.Seq[Long]]("mh").length == 4)
       assert(row.getAs[scala.collection.Seq[Long]]("mm").length == 2)
+      assert(row.getAs[org.apache.spark.sql.Row]("ph")
+        .getAs[scala.collection.Seq[Long]]("pp").length == 2)
     } finally {
       prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(v =>
         conf.set("spark.sql.codegen.factoryMode", v))
       prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(v =>
         conf.set("spark.sql.codegen.fallback", v))
     }
+  }
+
+  test("polyhash31 native pass equals the oracle-proven HOF fold") {
+    // The HOF formulation is what the DuckDB oracles replicate; the
+    // native expression must produce identical (pp, ww) pairs on every
+    // NON-EMPTY string (shingles are concat_ws products, never empty —
+    // on "" the HOF's sequence(1, 0) degenerates to [1, 0]). Includes
+    // multi-byte code points: ascii(substring(g, i, 1)) is the i-th
+    // code point, which the native loop must step by Character.charCount.
+    val df = spark
+      .createDataFrame(Seq(
+        (1L, Seq("abc", "x", "tok1_tok2_tok3")),
+        (2L, Seq("héllo", "日本語", "aß€")),
+        (3L, Seq.empty[String])))
+      .toDF("id", "tk")
+    val native = df
+      .select(col("id"), graft.functions.PolyHash31.polyhash31(col("tk")).as("ph"))
+      .select(col("id"), col("ph.pp").as("pp"), col("ph.ww").as("ww"))
+    val hof = df.select(
+      col("id"),
+      expr(
+        """transform(tk, g -> aggregate(
+          |  transform(sequence(1, length(g)), i -> ascii(substring(g, i, 1))),
+          |  CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007))""".stripMargin).as("pp"),
+      expr(
+        """transform(tk, g -> aggregate(sequence(1, length(g)),
+          |  CAST(1 AS BIGINT), (w, i) -> (w * 31) % 1000000007))""".stripMargin).as("ww"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
   test("ewma aggregator matches hand-computed recurrence") {
