@@ -453,16 +453,29 @@ object LlmOps {
     * degenerate.
     */
   private def dedupEmbCosine(s: SparkSession, dir: String): DataFrame = {
-    // ±1 weight for (plane, dim j): bit 16 of the LCG value at plane*64+j
-    val bucketArr =
-      s"""transform(sequence(0, 1), band ->
-         |  aggregate(sequence(0, 3), 0, (acc, i) ->
-         |    acc * 2 + (CASE WHEN
-         |      aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
-         |        (a, j) -> a + e[j] * (CASE WHEN ((1103515245 * CAST(((band * 4 + i) * 64 + j) AS BIGINT) + 12345) % 2147483648 >> 16) & 1 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))
-         |      > CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END)))""".stripMargin
     import graft.functions.DotF64.dotf64
     import org.apache.spark.sql.expressions.Window
+    // ±1 weight for (plane, dim j): bit 16 of the LCG value at plane*64+j.
+    // The weights are a deterministic function of (plane, dim) alone, so
+    // they are computed HERE (same integer formula the DuckDB oracle
+    // evaluates inline) and shipped as literal arrays — each plane's
+    // projection is then one native DotF64 pass instead of a 64-term
+    // interpreted lambda fold. e[j]*(±1.0) multiplies exactly like the
+    // oracle's term, and DotF64 folds ascending — bit-identical buckets.
+    def weight(plane: Int, j: Int): Double =
+      if ((((1103515245L * (plane * 64 + j) + 12345L) % 2147483648L >> 16) & 1L) == 1L)
+        1.0 else -1.0
+    val planes: Seq[Column] = (0 until 8).map { p =>
+      array((0 until 64).map(j => lit(weight(p, j))): _*)
+    }
+    def bandBucket(band: Int): Column =
+      (0 until 4)
+        .map { i =>
+          (dotf64(col("e"), planes(band * 4 + i)) > lit(0.0))
+            .cast(IntegerType) * lit(1 << (3 - i))
+        }
+        .reduce(_ + _)
+    val bucketArr = array(bandBucket(0), bandBucket(1))
     val banded0 = Tables
       .embeddings(s, dir)
       .select(col("vec_id"), embDouble.as("e"))
@@ -470,7 +483,7 @@ object LlmOps {
       // per-pair form, just computed once); native dot = the oracle's
       // ascending-index fold, bit for bit
       .select(col("vec_id"), col("e"), dotf64(col("e"), col("e")).as("n2"),
-        posexplode(expr(bucketArr)).as(Seq("band", "bucket")))
+        posexplode(bucketArr).as(Seq("band", "bucket")))
     // hot-bucket cap, same shape as the MinHash LSH pipeline: a
     // degenerate embedding region (all-zero vectors, one dominant
     // cluster) would make a single bucket quadratic; the windowed count
