@@ -253,8 +253,34 @@ object TextOps {
       |                t -> length(t) > 2), ' ') AS filtered_text
       |FROM documents""".stripMargin
 
+  /** Corpus heavy hitters: top-50 most frequent tokens — the vocabulary/
+    * stopword-discovery staple of a training-data pipeline. Exact
+    * (explode → hash-groupBy with map-side partial counts → TakeOrdered
+    * with a total (count desc, token) order), which is the right call
+    * even at 100 TB: the aggregated keyspace is the vocabulary (millions,
+    * not corpus-sized), so the shuffle is compact and no sketch
+    * (count-min / space-saving) trade-off is needed for a top-k this
+    * small.
+    */
+  private def topTokens(s: SparkSession, dir: String): DataFrame =
+    graft.Tables
+      .documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(50)
+
+  private val topTokensSql =
+    """SELECT tok, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE length(tok) > 0
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "text_token_count" -> Q(tokenCount _, tokenCountSql),
+    "text_top_tokens" -> Q(topTokens _, topTokensSql),
     "text_char_ngrams" -> Q(charNgrams _, charNgramsSql),
     "text_word_ngrams" -> Q(wordNgrams _, wordNgramsSql),
     "text_fingerprint" -> Q(fingerprint _, fingerprintSql),
