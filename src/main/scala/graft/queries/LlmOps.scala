@@ -186,6 +186,105 @@ object LlmOps {
     lshCandidatePairs(Tables.documents(s, dir), maxBucket = 1000)
       .filter(col("est_jaccard") >= 0.75)
 
+  /** Fully-oracled twin of the COMPLETE MinHash-LSH pipeline — the same
+    * shape as [[lshCandidatePairs]] (4 bands × 4 rows, windowed
+    * hot-bucket cap sharing the join exchange, arrays one-sided,
+    * signature agreement as the jaccard estimate, 0.75 threshold) with
+    * the portable polynomial permutation family in place of native
+    * XXH64, so DuckDB replicates signatures, buckets, cap, candidate
+    * generation, AND the estimate bit-for-bit. `dedup_minhash_lsh`
+    * stays as the native-speed path; this row proves the pipeline.
+    */
+  private def dedupMinhashLshPortable(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = withShingles(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        graft.functions.PolyHash31.polyhash31(col("tk")).as("ph"))
+      .select(col("doc_id"), col("ph.pp").as("pp"), col("ph.ww").as("ww"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 15), p ->
+          |  array_min(zip_with(pp, ww,
+          |    (h, w) -> (CAST(p AS BIGINT) * w + h) % 1000000007)))""".stripMargin)
+        .as("mh"))
+    val banded = sigs
+      .select(col("doc_id"), col("mh"),
+        posexplode(expr(
+          """transform(sequence(0, 3), b ->
+            |  (((mh[b*4] * 31 + mh[b*4+1]) % 1000000007 * 31 + mh[b*4+2])
+            |    % 1000000007 * 31 + mh[b*4+3]) % 1000000007)""".stripMargin))
+          .as(Seq("band", "bucket")))
+      .filter(col("bucket").isNotNull) // empty shingle set: no candidates
+    val capped = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= 1000)
+      .drop("bucket_n")
+    val l = capped
+      .select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))
+    val r = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("mh_a")).as("mh_a"))
+    pairs
+      .join(sigs.select(col("doc_id").as("id_b"), col("mh").as("mh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) / CAST(16 AS DOUBLE)")
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.75)
+  }
+
+  private val dedupMinhashLshPortableSql =
+    """WITH grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |      i -> concat(string_split(text, ' ')[i], '_',
+      |                  string_split(text, ' ')[i + 1], '_',
+      |                  string_split(text, ' ')[i + 2]))) AS tk
+      |  FROM documents),
+      |prehashed AS (
+      |  SELECT doc_id,
+      |    list_transform(tk, g ->
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(g) + 1),
+      |                         i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
+      |        (h, c) -> (h * 31 + c) % 1000000007)) AS pp,
+      |    list_transform(tk, g ->
+      |      list_reduce(
+      |        list_prepend(CAST(1 AS BIGINT), range(1, length(g) + 1)),
+      |        (w, i) -> (w * 31) % 1000000007)) AS ww
+      |  FROM grams),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 16), p ->
+      |      list_min(list_transform(range(1, len(pp) + 1),
+      |        i -> (CAST(p AS BIGINT) * ww[i] + pp[i]) % 1000000007))) AS mh
+      |  FROM prehashed),
+      |banded AS (
+      |  SELECT doc_id, mh, band,
+      |    (((mh[band*4 + 1] * 31 + mh[band*4 + 2]) % 1000000007 * 31
+      |      + mh[band*4 + 3]) % 1000000007 * 31 + mh[band*4 + 4])
+      |      % 1000000007 AS bucket
+      |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      |  WHERE mh[1] IS NOT NULL),
+      |capped AS (
+      |  SELECT * FROM banded
+      |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      |SELECT p.id_a, p.id_b,
+      |  CAST(len(list_filter(list_transform(range(1, 17),
+      |    i -> sa.mh[i] = sb.mh[i]), v -> v)) AS DOUBLE) / 16 AS est_jaccard
+      |FROM pairs p
+      |  JOIN sigs sa ON sa.doc_id = p.id_a
+      |  JOIN sigs sb ON sb.doc_id = p.id_b
+      |WHERE CAST(len(list_filter(list_transform(range(1, 17),
+      |    i -> sa.mh[i] = sb.mh[i]), v -> v)) AS DOUBLE) / 16 >= 0.75""".stripMargin
+
   /** SimHash-style 64-bit signature from token hashes — bit b of the
     * signature is the majority vote of bit b across token xxhash64 values.
     */
@@ -672,6 +771,7 @@ object LlmOps {
     "dedup_minhash_sig" -> Q(minhashSignatures _, None),
     "dedup_minhash_portable" -> Q(dedupMinhashPortable _, dedupMinhashPortableSql),
     "dedup_minhash_lsh" -> Q(dedupMinhashLsh _, None),
+    "dedup_minhash_lsh_portable" -> Q(dedupMinhashLshPortable _, dedupMinhashLshPortableSql),
     "dedup_simhash" -> Q(dedupSimhash _, None),
     "dedup_simhash_portable" -> Q(dedupSimhashPortable _, dedupSimhashPortableSql),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard _, dedupNgramJaccardSql),
