@@ -285,6 +285,34 @@ object LlmOps {
       |WHERE CAST(len(list_filter(list_transform(range(1, 17),
       |    i -> sa.mh[i] = sb.mh[i]), v -> v)) AS DOUBLE) / 16 >= 0.75""".stripMargin
 
+  /** Connected-component keeper resolution over the portable LSH pairs,
+    * oracle-checked end to end: Spark runs [[graft.operators.Dedup]]'s
+    * iterative min-label propagation (O(log diameter) rounds of compact
+    * (id, label) shuffles — the 100 TB shape); DuckDB computes the same
+    * components via a recursive-CTE transitive closure and takes the min
+    * reachable id. Equal results because near-dup clusters at the 0.75
+    * signature-agreement threshold are shallow (near-cliques), so the
+    * propagation converges well inside its iteration budget — exactly
+    * the property the oracle row now pins.
+    */
+  private def dedupCcKeepers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.resolveKeepers(
+      dedupMinhashLshPortable(s, dir).select(col("id_a"), col("id_b")))
+
+  private val dedupCcKeepersSql =
+    s"""WITH RECURSIVE base AS (
+      |  SELECT id_a, id_b FROM (
+      |$dedupMinhashLshPortableSql) t),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM base
+      |  UNION
+      |  SELECT id_b, id_a FROM base),
+      |reach AS (
+      |  SELECT a AS id, a AS r FROM edges
+      |  UNION
+      |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r)
+      |SELECT id AS doc_id, min(r) AS keeper FROM reach GROUP BY id""".stripMargin
+
   /** SimHash-style 64-bit signature from token hashes — bit b of the
     * signature is the majority vote of bit b across token xxhash64 values.
     */
@@ -772,6 +800,7 @@ object LlmOps {
     "dedup_minhash_portable" -> Q(dedupMinhashPortable _, dedupMinhashPortableSql),
     "dedup_minhash_lsh" -> Q(dedupMinhashLsh _, None),
     "dedup_minhash_lsh_portable" -> Q(dedupMinhashLshPortable _, dedupMinhashLshPortableSql),
+    "dedup_cc_keepers" -> Q(dedupCcKeepers _, dedupCcKeepersSql),
     "dedup_simhash" -> Q(dedupSimhash _, None),
     "dedup_simhash_portable" -> Q(dedupSimhashPortable _, dedupSimhashPortableSql),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard _, dedupNgramJaccardSql),
