@@ -548,18 +548,33 @@ object LlmOps {
     * the candidate-set statistics of the ANN index.
     */
   private def simAnnLshBuckets(s: SparkSession, dir: String): DataFrame = {
-    // plane p, dim j weight = ±1 from bit 0 of xxhash64(p * 1024 + j)
-    val bucketExpr =
-      """aggregate(sequence(0, 7), 0,
-        |  (acc, p) -> acc | (CASE WHEN
-        |     aggregate(sequence(0, size(e) - 1), CAST(0.0 AS DOUBLE),
-        |       (a, j) -> a + e[j] * (CASE WHEN (xxhash64(p * 1024 + j) & 1) = 1
-        |                             THEN 1.0 ELSE -1.0 END)) > 0
-        |   THEN CAST(shiftleft(1, p) AS INT) ELSE 0 END))""".stripMargin
+    // Plane p, dim j weight = ±1 from bit 0 of xxhash64(p * 1024 + j).
+    // The weights depend only on (p, j), so they are evaluated ONCE here
+    // with the exact same expression (type-identical inputs → identical
+    // hashes) and shipped as literal arrays; each plane projection is
+    // then a native DotF64 pass instead of a 64-term interpreted fold —
+    // the same literal-planes shape as dedup_emb_cosine. Dims are padded
+    // to 1024 weights per plane, of which the dot uses the first size(e)
+    // (DotF64 folds min(len) elements, matching the original
+    // sequence(0, size(e)-1) bound).
+    import graft.functions.DotF64.dotf64
+    val dims = Tables.embeddings(s, dir)
+      .select(embDouble.as("e")).select(size(col("e"))).head().getInt(0)
+    val wRow = s.sql(
+      s"""SELECT transform(sequence(0, 7), p -> transform(sequence(0, ${dims - 1}),
+         |  j -> CASE WHEN (xxhash64(p * 1024 + j) & 1) = 1
+         |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) w"""
+        .stripMargin).head().getSeq[scala.collection.Seq[Double]](0)
+    val bucket = (0 until 8)
+      .map { p =>
+        (dotf64(col("e"), array(wRow(p).toSeq.map(lit): _*)) > lit(0.0))
+          .cast(IntegerType) * lit(1 << p)
+      }
+      .reduce(_ + _)
     Tables
       .embeddings(s, dir)
       .select(col("vec_id"), embDouble.as("e"))
-      .select(col("vec_id"), expr(bucketExpr).as("bucket"))
+      .select(col("vec_id"), bucket.as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
   }

@@ -74,6 +74,30 @@ class WordpieceSpec extends AnyFunSuite {
     assert(pieces.contains("aa"))
   }
 
+  test("BPE invariants over seeded random merge tables") {
+    import graft.functions.Bpe
+    val rng = new scala.util.Random(20260812L)
+    val alphabet = "abcde"
+    def randWord(n: Int) =
+      (1 to n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    for (_ <- 1 to 200) {
+      val word = randWord(1 + rng.nextInt(12))
+      // random rank table over random symbol pairs (1-2 chars a side)
+      val pairs = (1 to rng.nextInt(8)).map { _ =>
+        (randWord(1 + rng.nextInt(2)), randWord(1 + rng.nextInt(2)))
+      }.distinct
+      val ranks = pairs.zipWithIndex.toMap
+      val pieces = Bpe.bpeWord(word, ranks)
+      // losslessness: pieces always concatenate back to the word
+      assert(pieces.mkString == word, s"$word via $ranks -> $pieces")
+      // merging monotonicity: a longer merge table never splits finer
+      val fewer = Bpe.bpeWord(word, pairs.take(pairs.size / 2).zipWithIndex.toMap)
+      assert(pieces.size <= fewer.size,
+        s"$word: ${pairs.size} merges -> ${pieces.size} pieces, " +
+          s"${pairs.size / 2} merges -> ${fewer.size}")
+    }
+  }
+
   test("text_bpe query runs over the documents table with sane shape") {
     val out = SparkEntry.queries("text_bpe")(spark, sf)
     assert(out.columns.toSeq == Seq("doc_id", "n_pieces", "head_pieces"))
