@@ -102,7 +102,29 @@ object Fuzz {
     }
 
     def query(): String = {
-      val kind = rng.nextInt(7)
+      val kind = rng.nextInt(8)
+      if (kind == 7) {
+        // documents-table template: string-heavy projections and token
+        // statistics (md5(text) agrees across engines: Spark's implicit
+        // string→binary cast is UTF-8, DuckDB hashes the UTF-8 bytes)
+        val lang = pick(Seq("en", "de", "zh", "fr", "es"))
+        val p = pick(Seq(
+          s"lang = '$lang'",
+          s"lang <> '$lang'",
+          s"source = 'src${1 + rng.nextInt(18)}'",
+          s"length(text) % ${2 + rng.nextInt(7)} = 0",
+          s"doc_id % ${2 + rng.nextInt(10)} = 0"))
+        return if (rng.nextBoolean())
+          s"""SELECT doc_id, lang, length(text) AS n1, md5(text) AS h,
+             |  substr(text, 1, ${1 + rng.nextInt(20)}) AS head,
+             |  (lang || '/' || source) AS tag
+             |FROM documents WHERE $p""".stripMargin
+        else
+          s"""SELECT lang, ${pick(Seq("source", "n_chars % 7"))} AS k2, count(*) AS n,
+             |  CAST(sum(length(text)) AS BIGINT) AS chars,
+             |  min(md5(text)) AS hmin, max(doc_id) AS dmax
+             |FROM documents WHERE $p GROUP BY 1, 2""".stripMargin
+      }
       if (kind == 6) {
         // events window template: frames ordered by the TIMESTAMP itself
         // (portable — both engines compare at µs after the CAST; the
@@ -222,6 +244,7 @@ object Fuzz {
     Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
     Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
 
     val gen = Gen(new Random(seed))
     val sqls = (0 until nQueries).map(i => f"fz_$i%03d" -> gen.query())
