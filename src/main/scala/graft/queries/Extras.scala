@@ -124,6 +124,24 @@ object Extras {
   private def sampleRows(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).sample(withReplacement = false, 0.1, seed = 42)
 
+  /** Deterministic hash-based sample — the reproducible twin of
+    * `sample_rows` and the shape a 100 TB pipeline actually wants: a
+    * pure per-row predicate on a portable key hash (the Lehmer fold
+    * both engines compute identically), so the sample is stable across
+    * runs, engines, partitionings, and re-executions, with zero RNG
+    * state. ~10% of orders.
+    */
+  private def sampleHashRows(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .filter(pmod(pmod(col("o_orderkey") * lit(48271L), lit(2147483647L)), lit(100)) < 10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val sampleHashRowsSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE ((o_orderkey * 48271) % 2147483647) % 100 < 10""".stripMargin
+
   /** reverse (copying.hpp:106): last 100 rows in reverse key order. */
   private def reverseRows(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -369,6 +387,7 @@ object Extras {
     "win_group_bfill" -> Q(groupBfill _, groupBfillSql),
     "agg_merge_lists" -> Q(mergeLists _, mergeListsSql),
     "sample_rows" -> Q(sampleRows _, None),
+    "sample_hash_rows" -> Q(sampleHashRows _, sampleHashRowsSql),
     "reverse_rows" -> Q(reverseRows _, reverseRowsSql)
   )
 }
