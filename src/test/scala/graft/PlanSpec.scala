@@ -58,7 +58,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("LSH and embedding dedup plans contain no cartesian products") {
-    for (q <- Seq("dedup_minhash_lsh", "dedup_emb_cosine", "dedup_ngram_jaccard",
+    for (q <- Seq("dedup_minhash_lsh", "dedup_minhash_lsh_portable",
+        "dedup_emb_cosine", "dedup_ngram_jaccard",
         "join_range", "join_asof")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian product")
     }
