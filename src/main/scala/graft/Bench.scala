@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val headline: Seq[String] = Seq(
     "ndsh_q1", "ndsh_q5", "ndsh_q6", "ndsh_q9", "ndsh_q10",
+    // round-5 NDS-H widening
+    "ndsh_q3", "ndsh_q4", "ndsh_q12", "ndsh_q14", "ndsh_q18",
     "dedup_minhash_lsh", "sim_cosine_topk", "dedup_exact",
     "win_group_scan", "agg_basic_stats",
     // round-3 flagship additions

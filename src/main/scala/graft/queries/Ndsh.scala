@@ -192,11 +192,184 @@ object Ndsh {
        |GROUP BY c_custkey, c_name, c_acctbal, n_name
        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** q3 (shipping priority; `q03` in the reference set), adapted: the
+    * testdata has no o_shippriority, so the order's priority column
+    * rides along instead. Orders filter before the big join; top-10 via
+    * a total (revenue desc, orderkey) order → TakeOrderedAndProject.
+    */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") > ts("1996-07-01 00:00:00"))
+      .join(
+        o.filter(col("o_orderdate") < ts("1996-07-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(c.filter(col("c_mktsegment") === "BUILDING"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("o_date"),
+        col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
+       |  ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+       |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q4 (order priority checking), adapted: no l_commitdate/receiptdate
+    * in the testdata, so "late" means shipped more than 60 days after
+    * the order date. The EXISTS is a left-semi join — build side stays
+    * the filtered orders quarter, probe is lineitem; no row explosion.
+    */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.filter(
+        col("o_orderdate") >= ts("1996-07-01 00:00:00") &&
+          col("o_orderdate") < ts("1996-10-01 00:00:00"))
+      .join(
+        l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q12 (shipping modes / priority classes), adapted: no l_shipmode
+    * column, so lines group by l_linestatus and the CASE buckets count
+    * critical (1-URGENT/2-HIGH) vs other order priorities — the same
+    * conditional-count shape as the reference query, integer-exact.
+    */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.filter(
+        col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** q14 (promo revenue %): ratio of two exact fixed-point sums; the
+    * final 100·num/den division and 6dp round are performed with the
+    * identical operand order in both engines, so the double result is
+    * bit-identical.
+    */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.filter(
+        col("l_shipdate") >= ts("1996-09-01 00:00:00") &&
+          col("l_shipdate") < ts("1996-10-01 00:00:00"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)), 6)
+          .as("promo_rev"),
+        dsum(disc, 6).as("total_rev"))
+      .select(
+        round(lit(100) * col("promo_rev") / col("total_rev"), 6)
+          .as("promo_revenue_pct"))
+  }
+
+  val q14Sql: String =
+    s"""SELECT round(100 * promo_rev / total_rev, 6) AS promo_revenue_pct
+       |FROM (
+       |  SELECT
+       |    ${dsumSql(
+      "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END",
+      6)} AS promo_rev,
+       |    ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS total_rev
+       |  FROM lineitem, part
+       |  WHERE l_partkey = p_partkey
+       |    AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')""".stripMargin
+
+  /** q18 (large-volume orders): the per-order quantity aggregation runs
+    * ONCE (exact fixed-point sum), filters on the exact value, and the
+    * surviving keys join orders/customer — no re-aggregation after the
+    * join. Top-100 by a total (totalprice desc, orderkey) order.
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val big = l
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    big
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("o_date"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    s"""SELECT c_custkey, c_name, o_orderkey,
+       |  CAST(o_orderdate AS DATE) AS o_date, o_totalprice, sum_qty
+       |FROM (
+       |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING ${dsumSql("l_quantity")} > 300) big
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ndsh_q1" -> Q(q1 _, q1Sql),
+    "ndsh_q3" -> Q(q3 _, q3Sql),
+    "ndsh_q4" -> Q(q4 _, q4Sql),
     "ndsh_q5" -> Q(q5 _, q5Sql),
     "ndsh_q6" -> Q(q6 _, q6Sql),
     "ndsh_q9" -> Q(q9 _, q9Sql),
-    "ndsh_q10" -> Q(q10 _, q10Sql)
+    "ndsh_q10" -> Q(q10 _, q10Sql),
+    "ndsh_q12" -> Q(q12 _, q12Sql),
+    "ndsh_q14" -> Q(q14 _, q14Sql),
+    "ndsh_q18" -> Q(q18 _, q18Sql)
   )
 }
