@@ -5,15 +5,22 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** NDS-H (TPC-H-derived) headline queries q1/q5/q6/q9/q10.
+/** NDS-H (TPC-H-derived) queries — 17 of the 22 ported:
+  * q1/q3/q4/q5/q6/q7/q8/q9/q10/q12/q13/q14/q15/q17/q18/q19/q22.
   *
   * Semantics follow the reference benchmark definitions
   * (`cpp/benchmarks/ndsh/q01.cpp:31-53`, `q05.cpp:29-62`, `q06.cpp:30-43`,
-  * `q09.cpp:57-95`, `q10.cpp:29-63`), adapted to the driver testdata:
+  * `q09.cpp:57-95`, `q10.cpp:29-63`; remaining queries from the public
+  * TPC-H spec), adapted to the driver testdata:
   *   - date ranges shifted into the generated 1995-2001 window;
   *   - no `partsupp` table → q9's supply cost term uses
-  *     `p_retailprice * 0.1` per unit;
+  *     `p_retailprice * 0.1` per unit; q2/q11/q16/q20 are NOT portable
+  *     (they are partsupp-centric) and q21 needs l_receiptdate —
+  *     those five stay unported, documented here;
   *   - q9's `p_name like '%green%'` → `'%red%'` (generator's color vocab);
+  *   - no o_shippriority / l_shipmode / c_phone / comment columns →
+  *     o_orderpriority and c_mktsegment stand in (q3/q12/q13/q22), and
+  *     q4's "late" = shipped >60 days after the order date;
   *   - q10 keeps only the customer columns that exist here.
   *
   * All double sums go through the exact-decimal policy in [[graft.Agg]] so
@@ -360,8 +367,280 @@ object Ndsh {
        |JOIN customer ON c_custkey = o_custkey
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** q7 (volume shipping between two nations): the (supplier nation,
+    * customer nation) pair filter lands before the aggregation; nation
+    * is fixed-cardinality → both sides broadcast-hinted safely.
+    */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    l.filter(
+        col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${dsumSql("volume", 6)} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+       |    l_extendedprice * (1 - l_discount) AS volume
+       |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+       |    AND c_nationkey = n2.n_nationkey
+       |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** q8 (national market share): NATION_2's share of ASIA-region
+    * revenue for one part type per order year — the ratio-of-exact-sums
+    * pattern (q14): both sums ride one aggregation, and the final
+    * division + 6dp round use identical operand order in both engines.
+    */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.join(p.filter(col("p_type") === "PROMO"),
+        col("p_partkey") === col("l_partkey"))
+      .join(s, col("s_suppkey") === col("l_suppkey"))
+      .join(
+        o.filter(
+          col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1998-01-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === "NATION_2", vol).otherwise(lit(0.0)), 6)
+          .as("nation_volume"),
+        dsum(vol, 6).as("total_volume"))
+      .select(col("o_year"),
+        round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8Sql: String =
+    s"""SELECT o_year, round(nation_volume / total_volume, 6) AS mkt_share
+       |FROM (
+       |  SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+       |    ${dsumSql(
+      "CASE WHEN n2.n_name = 'NATION_2' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END",
+      6)} AS nation_volume,
+       |    ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS total_volume
+       |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+       |    region
+       |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+       |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |    AND p_type = 'PROMO'
+       |  GROUP BY CAST(extract(year FROM o_orderdate) AS INT)) shares
+       |ORDER BY o_year""".stripMargin
+
+  /** q13 (customer order-count distribution): left join so customers
+    * with zero orders count, two integer-exact aggregations.
+    */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q15 (top supplier): quarter revenue per supplier; winners are the
+    * suppliers whose exact fixed-point revenue equals the exact maximum
+    * (double equality is safe — both values derive from the same BIGINT
+    * sums in both engines).
+    */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val rev = l
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev
+      .crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(s, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier, revenue
+       |WHERE s_suppkey = supplier_no
+       |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** q17 (small-quantity orders): lineitems of one brand below 20% of
+    * that part's average quantity; the per-part average is one exact
+    * grouped aggregation joined back (no correlated re-scan), and the
+    * 0.2·avg threshold is computed with identical operand order in both
+    * engines.
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val avgQ = l
+      .groupBy(col("l_partkey").as("avg_pk"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    l.join(p.filter(col("p_brand") === "Brand#23"),
+        col("p_partkey") === col("l_partkey"))
+      .join(avgQ, col("l_partkey") === col("avg_pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(dsum(col("l_extendedprice"), 6) / lit(7.0), 6)
+        .as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    s"""SELECT round(${dsumSql("l_extendedprice", 6)} / 7.0, 6) AS avg_yearly
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN (
+       |  SELECT l_partkey AS avg_pk, ${davgSql("l_quantity")} AS avg_qty
+       |  FROM lineitem GROUP BY l_partkey) pa ON l_partkey = avg_pk
+       |WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** q19 (disjunctive brand/size/quantity predicates): one scan of each
+    * table, the OR-of-conjuncts evaluated post-join on the equi-key —
+    * Catalyst pushes the common p/l conjunct bounds into both scans.
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(p, col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity") >= 20 && col("l_quantity") <= 30))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity >= 1 AND l_quantity <= 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       |       AND l_quantity >= 10 AND l_quantity <= 20)
+       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  /** q22 (global sales opportunity), adapted: no c_phone → the segment
+    * column stands in for the country code, and "never ordered" becomes
+    * "dormant since 2000" (every testdata customer has some order).
+    * Customers above the average positive balance with no recent order
+    * (anti join against the filtered window); the scalar average stays
+    * IN-PLAN (1-row broadcast cross join) so both engines compare
+    * against the bit-identical exact value.
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val avgBal = c
+      .filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(
+        o.filter(col("o_orderdate") >= ts("2000-01-01 00:00:00")),
+        col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q22Sql: String =
+    s"""SELECT c_mktsegment, count(*) AS numcust,
+       |  ${dsumSql("c_acctbal")} AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > (
+       |    SELECT ${davgSql("c_acctbal")} FROM customer WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ndsh_q1" -> Q(q1 _, q1Sql),
+    "ndsh_q7" -> Q(q7 _, q7Sql),
+    "ndsh_q8" -> Q(q8 _, q8Sql),
+    "ndsh_q13" -> Q(q13 _, q13Sql),
+    "ndsh_q15" -> Q(q15 _, q15Sql),
+    "ndsh_q17" -> Q(q17 _, q17Sql),
+    "ndsh_q19" -> Q(q19 _, q19Sql),
+    "ndsh_q22" -> Q(q22 _, q22Sql),
     "ndsh_q3" -> Q(q3 _, q3Sql),
     "ndsh_q4" -> Q(q4 _, q4Sql),
     "ndsh_q5" -> Q(q5 _, q5Sql),
