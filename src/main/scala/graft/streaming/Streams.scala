@@ -105,6 +105,33 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup with bounded state: the streaming twin of the
+    * MinHash dedup pipeline. Each document's 16-permutation minhash
+    * signature is computed map-side (stateless projection through the
+    * native MinHash64 expression), canonicalized to one string key, and
+    * near-duplicates — texts whose full signatures collide — are dropped
+    * within the watermark horizon. Signature equality is the strictest
+    * LSH band (16 of 16 rows agreeing ⇒ est. jaccard 1.0), the right
+    * streaming trade: per-band state multiplies the store ×bands, while
+    * full-signature state stays one row per surviving doc inside the
+    * watermark window.
+    */
+  def nearDedupStream(docs: DataFrame, tsCol: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val shingles = when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws("_", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2)))))
+    docs
+      .withColumn("tk", shingles)
+      .withColumn("sig",
+        graft.ArrCanon.joined(graft.functions.MinHash64.minhash64(col("tk"), 16)))
+      .drop("tk")
+      .withWatermark(tsCol, "10 minutes")
+      .dropDuplicatesWithinWatermark("sig")
+  }
+
   /** Stream-stream inner join with watermark-bounded state (capability
     * improvement over the reference — custreamz has no streaming join):
     * correlates each user's 'click'-like events with their 'view'-like

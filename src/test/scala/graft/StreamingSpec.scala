@@ -82,6 +82,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select(countDistinct(col("event_id"))).head().getLong(0) == ev.count())
   }
 
+  test("streaming near-dedup drops minhash-identical texts with bounded state") {
+    // replay the documents with fresh ids appended (identical texts →
+    // identical 16-permutation signatures): survivors = distinct sigs
+    val dir = Files.createTempDirectory("graft-neardup").toString
+    val docs = Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts",
+        expr("timestamp'2026-01-01 00:00:00' + INTERVAL 1 SECOND * (doc_id % 60)"))
+    val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    doubled.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(doubled.schema).parquet(dir)
+    val out = Streams.runToCompletion(
+      spark, Streams.nearDedupStream(stream, "ts"), "t_neardup", "append")
+    val expected = queries.LlmOps
+      .withShingles(doubled)
+      .select(ArrCanon.joined(queries.LlmOps.minhashSig(16)).as("sig"))
+      .select(countDistinct(col("sig")))
+      .head().getLong(0)
+    assert(out.count() == expected,
+      s"near-dedup survivors ${out.count()} != distinct signatures $expected")
+    // and it genuinely deduped: the doubled corpus collapsed
+    assert(out.count() <= docs.count())
+  }
+
   test("checkpointed query recovers without reprocessing") {
     // memory sink can't recover from a checkpoint — use a file sink, the
     // production shape (readStream → transform → writeStream.parquet)
