@@ -4,10 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** End-to-end near-duplicate resolution on top of LSH candidate pairs:
-  * connected components by iterative min-label propagation (the standard
-  * large-graph technique — each iteration is two shuffles on compact
-  * (id, label) pairs; converges in O(log(cluster diameter)) rounds,
-  * which for near-dup clusters is a handful).
+  * connected components by iterative min-label propagation with pointer
+  * doubling (the standard large-graph technique). Each iteration does a
+  * one-hop neighbor-min pass AND a label(label(v)) shortcut pass — both
+  * shuffles on compact (id, label) pairs — so the frontier at least
+  * doubles per round: genuinely O(log(cluster diameter)) rounds, which
+  * covers diameter 2^maxIter. If the budget is somehow exhausted before
+  * convergence the call FAILS rather than silently returning partial
+  * components (a wrong answer the caller can't detect).
   */
 object Dedup {
 
@@ -51,13 +55,24 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      // localCheckpoint truncates the lineage each round — without it the
-      // plan deepens per iteration (re-resolved from scratch on any
-      // recompute, and analysis cost itself grows superlinearly)
-      val next = labels
+      val hopped = labels
         .join(neighborLabels, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer doubling: shortcut to my label's own label. label(v) is a
+      // reachable id and only ever decreases, so label(label(v)) is also
+      // reachable and ≤ label(v) — taking it keeps the min-of-component
+      // fixed point while letting the known-min frontier double per round
+      // instead of advancing one hop.
+      val parents = hopped
+        .select(col("id").as("label"), col("label").as("plabel"))
+      // localCheckpoint truncates the lineage each round — without it the
+      // plan deepens per iteration (re-resolved from scratch on any
+      // recompute, and analysis cost itself grows superlinearly)
+      val next = hopped
+        .join(parents, Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .localCheckpoint(false)
         .cache()
       mine ++= (persistedAncestors(next.rdd) -- protectedIds)
@@ -72,6 +87,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      val persistedNow = sc.getPersistentRDDs
+      mine.foreach(id => persistedNow.get(id).foreach(_.unpersist(false)))
+      throw new IllegalStateException(
+        s"resolveKeepers did not converge within $maxIter iterations — " +
+          s"component diameter exceeds 2^$maxIter; raise maxIter")
+    }
     val out = labels.select(col("id").as("doc_id"), col("label").as("keeper"))
     // df.unpersist() frees cache entries but NOT the MEMORY_AND_DISK
     // blocks localCheckpoint pinned for dead iterations (ContextCleaner

@@ -287,13 +287,13 @@ object LlmOps {
 
   /** Connected-component keeper resolution over the portable LSH pairs,
     * oracle-checked end to end: Spark runs [[graft.operators.Dedup]]'s
-    * iterative min-label propagation (O(log diameter) rounds of compact
-    * (id, label) shuffles — the 100 TB shape); DuckDB computes the same
-    * components via a recursive-CTE transitive closure and takes the min
-    * reachable id. Equal results because near-dup clusters at the 0.75
-    * signature-agreement threshold are shallow (near-cliques), so the
-    * propagation converges well inside its iteration budget — exactly
-    * the property the oracle row now pins.
+    * min-label propagation with pointer doubling (truly O(log diameter)
+    * rounds of compact (id, label) shuffles — the 100 TB shape, covering
+    * diameter 2^maxIter and FAILING loudly rather than returning partial
+    * components if that budget is ever exceeded); DuckDB computes the
+    * same components via a recursive-CTE transitive closure and takes
+    * the min reachable id. Exact equality holds for any converged run,
+    * not just shallow clusters — the oracle row pins it.
     */
   private def dedupCcKeepers(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.resolveKeepers(
@@ -548,18 +548,24 @@ object LlmOps {
     * the candidate-set statistics of the ANN index.
     */
   private def simAnnLshBuckets(s: SparkSession, dir: String): DataFrame = {
-    // Plane p, dim j weight = ±1 from bit 0 of xxhash64(p * 1024 + j).
-    // The weights depend only on (p, j), so they are evaluated ONCE here
+    // Plane p, dim j weight = ±1 from bit 0 of xxhash64(p * 1024 + j)
+    // (1024 is only the seed stride keeping per-plane hash inputs
+    // disjoint — exactly `dims` weights are built per plane). The
+    // weights depend only on (p, j), so they are evaluated ONCE here
     // with the exact same expression (type-identical inputs → identical
     // hashes) and shipped as literal arrays; each plane projection is
     // then a native DotF64 pass instead of a 64-term interpreted fold —
-    // the same literal-planes shape as dedup_emb_cosine. Dims are padded
-    // to 1024 weights per plane, of which the dot uses the first size(e)
-    // (DotF64 folds min(len) elements, matching the original
-    // sequence(0, size(e)-1) bound).
+    // the same literal-planes shape as dedup_emb_cosine. The index
+    // assumes ONE fixed dimensionality (an embedding table mixing
+    // widths is a data bug a silent min(len) fold would hide), so the
+    // width comes from a min/max aggregate that fails on ragged input.
     import graft.functions.DotF64.dotf64
-    val dims = Tables.embeddings(s, dir)
-      .select(embDouble.as("e")).select(size(col("e"))).head().getInt(0)
+    val dimsRow = Tables.embeddings(s, dir)
+      .select(embDouble.as("e"))
+      .agg(min(size(col("e"))), max(size(col("e")))).head()
+    val dims = dimsRow.getInt(0)
+    require(dims == dimsRow.getInt(1),
+      s"ragged embedding dimensionality: min=$dims max=${dimsRow.getInt(1)}")
     val wRow = s.sql(
       s"""SELECT transform(sequence(0, 7), p -> transform(sequence(0, ${dims - 1}),
          |  j -> CASE WHEN (xxhash64(p * 1024 + j) & 1) = 1

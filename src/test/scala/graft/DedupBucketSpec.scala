@@ -38,10 +38,10 @@ class DedupBucketSpec extends AnyFunSuite {
   }
 
   test("resolveKeepers residue is bounded regardless of iteration count") {
-    // a 200-node chain forces min-label propagation through all 10
-    // iterations; persisted-RDD residue must stay a small constant, not
-    // grow per iteration (round-1 leak: every iteration's cache + the
-    // localCheckpoint blocks of dead iterations stayed pinned)
+    // a 200-node chain needs many propagation rounds; persisted-RDD
+    // residue must stay a small constant, not grow per iteration
+    // (round-1 leak: every iteration's cache + the localCheckpoint
+    // blocks of dead iterations stayed pinned)
     val chain = spark
       .createDataFrame((0L until 199L).map(i => (i, i + 1)))
       .toDF("id_a", "id_b")
@@ -51,6 +51,33 @@ class DedupBucketSpec extends AnyFunSuite {
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after - before <= 2,
       s"persistent RDDs grew $before -> $after across 10 iterations")
+  }
+
+  test("resolveKeepers converges on a diameter-199 chain (pointer doubling)") {
+    // one-hop propagation would need 199 rounds; pointer doubling must
+    // finish inside the default 10 (2^10 ≥ 199) AND resolve every node
+    // to the true component min — partial convergence was the silent
+    // wrong answer the convergence guard now forbids
+    val chain = spark
+      .createDataFrame((0L until 199L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val keepers = Dedup.resolveKeepers(chain).collect()
+    assert(keepers.length == 200)
+    assert(keepers.forall(_.getLong(1) == 0L),
+      "every node of the chain must resolve to keeper 0")
+  }
+
+  test("resolveKeepers fails loudly when the iteration budget is too small") {
+    val chain = spark
+      .createDataFrame((0L until 199L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val ex = intercept[IllegalStateException] {
+      Dedup.resolveKeepers(chain, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "failure path must release the blocks it pinned")
   }
 
   test("LSH hot-bucket cap bounds per-bucket pair counts") {

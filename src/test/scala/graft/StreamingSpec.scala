@@ -84,27 +84,43 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming near-dedup drops minhash-identical texts with bounded state") {
     // replay the documents with fresh ids appended (identical texts →
-    // identical 16-permutation signatures): survivors = distinct sigs
+    // identical 16-permutation signatures): survivors = distinct sigs,
+    // PLUS every short document (< 3 tokens — no shingles, so not a
+    // near-dedup candidate; batch semantics exclude them too). Four
+    // distinct short docs (two of them identical texts, one null) are
+    // injected to pin that none are dropped.
     val dir = Files.createTempDirectory("graft-neardup").toString
     val docs = Tables
       .documents(spark, sf)
       .select(col("doc_id"), col("text"))
       .withColumn("ts",
         expr("timestamp'2026-01-01 00:00:00' + INTERVAL 1 SECOND * (doc_id % 60)"))
-    val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val shorts = spark
+      .createDataFrame(Seq(
+        (9000001L, "hi"), (9000002L, "hi"), (9000003L, "one two"),
+        (9000004L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+      .withColumn("ts", expr("timestamp'2026-01-01 00:00:30'"))
+    val doubled = docs
+      .union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      .union(shorts)
     doubled.repartition(4).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(doubled.schema).parquet(dir)
     val out = Streams.runToCompletion(
       spark, Streams.nearDedupStream(stream, "ts"), "t_neardup", "append")
+    val longDocs = doubled.filter(size(split(col("text"), " ")) >= 3)
+    val shortRows = doubled.count() - longDocs.count() // every one survives
     val expected = queries.LlmOps
-      .withShingles(doubled)
+      .withShingles(longDocs)
       .select(ArrCanon.joined(queries.LlmOps.minhashSig(16)).as("sig"))
       .select(countDistinct(col("sig")))
-      .head().getLong(0)
+      .head().getLong(0) + shortRows
     assert(out.count() == expected,
       s"near-dedup survivors ${out.count()} != distinct signatures $expected")
+    assert(out.filter(col("doc_id") >= 9000001L).count() == 4,
+      "short documents must pass through the near-dedup untouched")
     // and it genuinely deduped: the doubled corpus collapsed
-    assert(out.count() <= docs.count())
+    assert(out.count() <= docs.count() + 4)
   }
 
   test("checkpointed query recovers without reprocessing") {
