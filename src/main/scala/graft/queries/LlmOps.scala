@@ -542,23 +542,25 @@ object LlmOps {
       |SELECT vec_id, round(cosine, 6) AS cosine_6dp
       |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
-  /** LSH-bucketed ANN scale path: 8 signed random hyperplanes (derived
-    * deterministically from xxhash64 of (plane, dim)) → 8-bit bucket;
-    * neighbors are sought only within a bucket. Output: bucket sizes —
-    * the candidate-set statistics of the ANN index.
+  /** LSH-bucketed ANN scale path: 8 signed random hyperplanes → 8-bit
+    * bucket; neighbors are sought only within a bucket. Output: bucket
+    * sizes — the candidate-set statistics of the ANN index.
+    *
+    * The ±1 plane weights come from the same portable LCG parity as
+    * `dedup_emb_cosine` (bit 16 of the LCG value at `p * 1024 + j`;
+    * 1024 is only a seed stride keeping per-plane inputs disjoint), so
+    * the whole bucketing is replicated in DuckDB and the query is fully
+    * oracle-checked — candidate statistics, not just row counts.
     */
   private def simAnnLshBuckets(s: SparkSession, dir: String): DataFrame = {
-    // Plane p, dim j weight = ±1 from bit 0 of xxhash64(p * 1024 + j)
-    // (1024 is only the seed stride keeping per-plane hash inputs
-    // disjoint — exactly `dims` weights are built per plane). The
-    // weights depend only on (p, j), so they are evaluated ONCE here
-    // with the exact same expression (type-identical inputs → identical
-    // hashes) and shipped as literal arrays; each plane projection is
-    // then a native DotF64 pass instead of a 64-term interpreted fold —
-    // the same literal-planes shape as dedup_emb_cosine. The index
-    // assumes ONE fixed dimensionality (an embedding table mixing
-    // widths is a data bug a silent min(len) fold would hide), so the
-    // width comes from a min/max aggregate that fails on ragged input.
+    // Weights depend only on (p, j): computed HERE with the exact
+    // integer formula the oracle evaluates inline, and shipped as
+    // literal arrays — each plane projection is one native DotF64 pass
+    // instead of a `dims`-term interpreted fold (the literal-planes
+    // shape of dedup_emb_cosine). The index assumes ONE fixed
+    // dimensionality (an embedding table mixing widths is a data bug a
+    // silent min(len) fold would hide), so the width comes from a
+    // min/max aggregate that fails on ragged input.
     import graft.functions.DotF64.dotf64
     val dimsRow = Tables.embeddings(s, dir)
       .select(embDouble.as("e"))
@@ -566,15 +568,13 @@ object LlmOps {
     val dims = dimsRow.getInt(0)
     require(dims == dimsRow.getInt(1),
       s"ragged embedding dimensionality: min=$dims max=${dimsRow.getInt(1)}")
-    val wRow = s.sql(
-      s"""SELECT transform(sequence(0, 7), p -> transform(sequence(0, ${dims - 1}),
-         |  j -> CASE WHEN (xxhash64(p * 1024 + j) & 1) = 1
-         |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) w"""
-        .stripMargin).head().getSeq[scala.collection.Seq[Double]](0)
+    def weight(p: Int, j: Int): Double =
+      if ((((1103515245L * (p * 1024 + j) + 12345L) % 2147483648L >> 16) & 1L) == 1L)
+        1.0 else -1.0
     val bucket = (0 until 8)
       .map { p =>
-        (dotf64(col("e"), array(wRow(p).toSeq.map(lit): _*)) > lit(0.0))
-          .cast(IntegerType) * lit(1 << p)
+        val plane = array((0 until dims).map(j => lit(weight(p, j))): _*)
+        (dotf64(col("e"), plane) > lit(0.0)).cast(IntegerType) * lit(1 << p)
       }
       .reduce(_ + _)
     Tables
@@ -584,6 +584,31 @@ object LlmOps {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
   }
+
+  /** DuckDB twin of the hyperplane bucketing: the per-plane dot product
+    * is the same ascending-index fold DotF64 runs, the ±1 weight is the
+    * same LCG-parity integer expression, and the 8 sign bits assemble
+    * with plane p at bit weight 2^p exactly as the Spark side's
+    * `(dot > 0) * (1 << p)` sum.
+    */
+  private val simAnnLshBucketsSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(0, list_transform(range(0, 8), p ->
+      |      CASE WHEN
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(0, len(e)), j ->
+      |            e[j + 1] * (CASE WHEN ((1103515245 * (p * 1024 + j) + 12345) % 2147483648 >> 16) & 1 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+      |          (a, v) -> a + v) > CAST(0.0 AS DOUBLE)
+      |      THEN CAST(1 AS INTEGER) << p ELSE 0 END)),
+      |      (a, v) -> a + v) AS bucket
+      |  FROM e)
+      |SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_vectors,
+      |  min(vec_id) AS min_vec_id
+      |FROM b GROUP BY bucket""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs, LSH-banded: candidates come
     * from 2 bands × 4 signed-random-hyperplane bits (so the self-join is
@@ -827,7 +852,7 @@ object LlmOps {
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard _, dedupNgramJaccardSql),
     "dedup_emb_cosine" -> Q(dedupEmbCosine _, dedupEmbCosineSql),
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
-    "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, None),
+    "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, simAnnLshBucketsSql),
     "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),
     "multimodal_meta" -> Q(multimodalMeta _, multimodalMetaSql)
   )
