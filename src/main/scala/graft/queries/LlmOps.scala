@@ -810,6 +810,171 @@ object LlmOps {
       |SELECT vec_id, round(cosine, 6) AS cosine_6dp
       |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------ embedding transforms
+
+  /** Int8 max-abs quantization of the embedding column — the compression
+    * pass a 100 TB vector corpus runs before shipping vectors to an ANN
+    * index (4 bytes/dim → 1). Per-vector scale = max |x|; q_j =
+    * floor(x_j / scale · 127 + 0.5) (half-up — written as the same IEEE
+    * expression in both engines rather than engine-native round(), whose
+    * tie rule differs); reconstruction error is max_j |x_j − q_j/127·s|.
+    * Pure map-side: no shuffle, linear in input bytes at any corpus
+    * size; `e` and `q` are materialized per row before any lambda
+    * indexes them.
+    */
+  private def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), embDouble.as("e"))
+      .select(col("vec_id"), col("e"),
+        expr("array_max(transform(e, x -> abs(x)))").as("scale"))
+      .select(col("vec_id"), col("e"), col("scale"),
+        when(col("scale") === 0.0, lit(1.0)).otherwise(col("scale")).as("s2"))
+      .select(col("vec_id"), col("e"), col("scale"), col("s2"),
+        expr("transform(e, x -> CAST(floor(x / s2 * 127.0D + 0.5D) AS INT))")
+          .as("q"))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        graft.ArrCanon.joined(col("q")).as("q_str"),
+        expr("""array_max(transform(sequence(0, size(e) - 1),
+          j -> abs(e[j] - q[j] / 127.0D * s2)))""").as("max_abs_err"))
+
+  /** DuckDB twin: same scale / quantize / reconstruction expressions
+    * term for term (raw doubles are safe to emit — every op is the same
+    * IEEE expression over identical inputs; no cross-row accumulation).
+    */
+  private val embQuantizeSql =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, e,
+       |    list_max(list_transform(e, x -> abs(x))) AS scale
+       |  FROM e0),
+       |sc AS (
+       |  SELECT vec_id, e, scale,
+       |    CASE WHEN scale = 0.0 THEN CAST(1.0 AS DOUBLE) ELSE scale END AS s2
+       |  FROM s),
+       |qz AS (
+       |  SELECT vec_id, e, scale, s2,
+       |    list_transform(e, x -> CAST(floor(x / s2 * 127.0 + 0.5) AS INTEGER)) AS q
+       |  FROM sc)
+       |SELECT vec_id, scale,
+       |  ${graft.ArrCanon.joinedSql("q")} AS q_str,
+       |  list_max(list_transform(range(0, len(e)),
+       |    j -> abs(e[j + 1] - q[j + 1] / 127.0 * s2))) AS max_abs_err
+       |FROM qz""".stripMargin
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * vectors are LSH-bucketed by 8 portable signed hyperplanes (the same
+    * LCG-parity plane family as `sim_ann_lsh_buckets`), each bucket's
+    * centroid is computed, and the member closest to the centroid
+    * (squared L2, vec_id tie-break) becomes the bucket's keeper — "keep
+    * one representative per semantic cluster" for a training corpus.
+    *
+    * Exactness: a per-dimension double mean over rows is order-dependent,
+    * so the centroid goes through the fixed-point trick (floor(x·1e6)
+    * summed exactly as longs per (bucket, dim), normalized by one shared
+    * /1e6/n double expression) — order-independent, bit-identical to the
+    * DuckDB twin; the dist² fold is ascending in both engines.
+    *
+    * Scale: bucketing and the dim-explode are map-side; the two
+    * aggregations shuffle compact (bucket, dim, long) rows; centroids —
+    * one row per bucket, ≤256 here — broadcast back to members, so the
+    * only wide exchange is the keeper window on (bucket), which reuses
+    * the members' bucket partitioning.
+    */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotF64.dotf64
+    import org.apache.spark.sql.expressions.Window
+    val dimsRow = Tables
+      .embeddings(s, dir)
+      .select(embDouble.as("e"))
+      .agg(min(size(col("e"))), max(size(col("e")))).head()
+    val dims = dimsRow.getInt(0)
+    require(dims == dimsRow.getInt(1),
+      s"ragged embedding dimensionality: min=$dims max=${dimsRow.getInt(1)}")
+    def weight(p: Int, j: Int): Double =
+      if ((((1103515245L * (p * 1024 + j) + 12345L) % 2147483648L >> 16) & 1L) == 1L)
+        1.0 else -1.0
+    val bucket = (0 until 8)
+      .map { p =>
+        val plane = array((0 until dims).map(j => lit(weight(p, j))): _*)
+        (dotf64(col("e"), plane) > lit(0.0)).cast(IntegerType) * lit(1 << p)
+      }
+      .reduce(_ + _)
+    val emb = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), embDouble.as("e"))
+      .select(col("vec_id"), col("e"), bucket.as("bucket"))
+    val sums = emb
+      .select(col("bucket"), posexplode(col("e")).as(Seq("j", "x")))
+      .select(col("bucket"), col("j"),
+        floor(col("x") * lit(1e6)).cast(LongType).as("fx"))
+      .groupBy(col("bucket"), col("j"))
+      .agg(sum(col("fx")).as("fsum"), count(lit(1)).as("n"))
+    val cent = sums
+      .groupBy(col("bucket"))
+      .agg(max(col("n")).as("n"),
+        sort_array(collect_list(struct(col("j"), col("fsum")))).as("cs"))
+      .select(col("bucket"), col("n"),
+        expr("transform(cs, r -> CAST(r.fsum AS DOUBLE) / 1000000.0D / CAST(n AS DOUBLE))")
+          .as("cv"))
+    emb
+      .join(broadcast(cent), Seq("bucket"))
+      .select(col("bucket"), col("n"), col("vec_id"),
+        expr("""aggregate(sequence(0, size(e) - 1), CAST(0.0 AS DOUBLE),
+          (acc, j) -> acc + (e[j] - cv[j]) * (e[j] - cv[j]))""").as("dist2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("dist2"), col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("n").as("n_vectors"),
+        col("vec_id").as("keep_vec_id"), col("dist2"))
+  }
+
+  /** DuckDB twin: same plane parity, same fixed-point centroid sums
+    * (list(fsum ORDER BY j) mirrors Spark's sort_array(collect_list)),
+    * same ascending dist² fold, same (dist2, vec_id) keeper ranking.
+    */
+  private val dedupSemanticSql =
+    """WITH e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, e,
+      |    list_reduce(list_prepend(0, list_transform(range(0, 8), p ->
+      |      CASE WHEN
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(0, len(e)), j ->
+      |            e[j + 1] * (CASE WHEN ((1103515245 * (p * 1024 + j) + 12345) % 2147483648 >> 16) & 1 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+      |          (a, v) -> a + v) > CAST(0.0 AS DOUBLE)
+      |      THEN CAST(1 AS INTEGER) << p ELSE 0 END)),
+      |      (a, v) -> a + v) AS bucket
+      |  FROM e0),
+      |ex0 AS (SELECT bucket, e, unnest(range(0, len(e))) AS j FROM b),
+      |ex AS (SELECT bucket, j,
+      |  CAST(floor(e[j + 1] * 1e6) AS BIGINT) AS fx FROM ex0),
+      |cd AS (SELECT bucket, j, sum(fx) AS fsum, count(*) AS n
+      |  FROM ex GROUP BY bucket, j),
+      |cent AS (SELECT bucket, max(n) AS n, list(fsum ORDER BY j) AS fs
+      |  FROM cd GROUP BY bucket),
+      |ct AS (SELECT bucket, n,
+      |  list_transform(fs, f -> CAST(f AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)) AS cv
+      |  FROM cent),
+      |d AS (
+      |  SELECT b.bucket, ct.n, b.vec_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, len(b.e)),
+      |        j -> (b.e[j + 1] - ct.cv[j + 1]) * (b.e[j + 1] - ct.cv[j + 1]))),
+      |      (a, v) -> a + v) AS dist2
+      |  FROM b JOIN ct ON b.bucket = ct.bucket)
+      |SELECT CAST(bucket AS INTEGER) AS bucket, n AS n_vectors,
+      |  vec_id AS keep_vec_id, dist2
+      |FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY bucket ORDER BY dist2, vec_id) AS rn FROM d)
+      |WHERE rn = 1""".stripMargin
+
   // -------------------------------------------------------- multimodal
 
   /** Multimodal binary columns: opaque payload + typed metadata struct.
@@ -854,6 +1019,8 @@ object LlmOps {
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, simAnnLshBucketsSql),
     "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),
+    "emb_quantize" -> Q(embQuantize _, embQuantizeSql),
+    "dedup_semantic" -> Q(dedupSemantic _, dedupSemanticSql),
     "multimodal_meta" -> Q(multimodalMeta _, multimodalMetaSql)
   )
 }

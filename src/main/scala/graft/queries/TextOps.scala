@@ -278,7 +278,122 @@ object TextOps {
       |WHERE length(tok) > 0
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin
 
+  /** Gopher-style repetition quality signals: per-document
+    * duplicate-word fraction and most-frequent-bigram fraction — the
+    * boilerplate/templated-page filters large-scale corpus pipelines run
+    * before training. Entirely map-side (the most-frequent-bigram count
+    * is a run-length fold over the row's own sorted bigram array, never
+    * a corpus-level group-by), so the operator has NO shuffle and scales
+    * linearly with input bytes; the token/bigram arrays are materialized
+    * once per row before any lambda indexes them.
+    */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        size(array_distinct(col("tk"))).as("n_distinct"),
+        when(size(col("tk")) >= 2,
+          expr("transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+          .otherwise(array().cast("array<string>")).as("gs"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        sort_array(col("gs")).as("sg"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("""aggregate(sg,
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,
+            'best', GREATEST(acc.best,
+              CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END)),
+          acc -> acc.best)""").as("top2_count"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("top2_count"),
+        when(col("n_tokens") >= 2,
+          col("top2_count").cast(DoubleType) / (col("n_tokens") - 1))
+          .as("top2_ratio"),
+        (lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens"))
+          .as("dup_word_ratio"))
+
+  /** DuckDB twin: the most-frequent-bigram count goes through a plain
+    * unnest + GROUP BY + max (same number, different shape — the oracle
+    * only needs correctness, not the map-side plan); the ratios are the
+    * same single IEEE divisions.
+    */
+  private val textRepetitionSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |g AS (
+      |  SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
+      |    CASE WHEN len(tk) >= 2 THEN
+      |      list_transform(range(0, len(tk) - 1), i -> tk[i + 1] || ' ' || tk[i + 2])
+      |    ELSE [] END AS gs
+      |  FROM t),
+      |gc AS (
+      |  SELECT doc_id, max(c) AS top2_count FROM (
+      |    SELECT doc_id, g2, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(gs) AS g2 FROM g)
+      |    GROUP BY doc_id, g2)
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id, n_tokens, n_distinct,
+      |  CAST(COALESCE(top2_count, 0) AS INTEGER) AS top2_count,
+      |  CASE WHEN n_tokens >= 2 THEN
+      |    CAST(COALESCE(top2_count, 0) AS DOUBLE) / (n_tokens - 1)
+      |  ELSE NULL END AS top2_ratio,
+      |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_word_ratio
+      |FROM g LEFT JOIN gc ON g.doc_id = gc.doc_id""".stripMargin
+
+  // Shared by the Spark and DuckDB sides of text_pii_redact: plain
+  // character-class patterns that parse identically under Java regex and
+  // RE2 (no lookarounds, no Java-only escapes).
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "555-[0-9]{3}"
+
+  /** PII redaction — the scrubbing pass a training-data pipeline runs
+    * before anything ships: match + count + replace emails/phone-shaped
+    * substrings. The synthetic corpus has no PII, so a deterministic
+    * contact line derived from doc_id is appended first (mirrored in the
+    * oracle) — the redaction then provably fires on every row instead of
+    * vacuously passing on zero matches. Pure per-row regex work: no
+    * shuffle, codegen'd, linear at 100 TB.
+    */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        concat(
+          col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@mail.example.com or call 555-0"),
+          lpad((col("doc_id") % 100).cast(StringType), 2, "0"),
+          lit(" now")).as("text2"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text2"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text2"), lit(phoneRe), lit(0))).as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("text2"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("redacted"))
+
+  private val piiRedactSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@mail.example.com or call 555-0' ||
+       |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' now' AS text2
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text2, '$emailRe', 0)) AS n_emails,
+       |  len(regexp_extract_all(text2, '$phoneRe', 0)) AS n_phones,
+       |  regexp_replace(
+       |    regexp_replace(text2, '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g') AS redacted
+       |FROM t""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "text_repetition" -> Q(textRepetition _, textRepetitionSql),
+    "text_pii_redact" -> Q(piiRedact _, piiRedactSql),
     "text_token_count" -> Q(tokenCount _, tokenCountSql),
     "text_top_tokens" -> Q(topTokens _, topTokensSql),
     "text_char_ngrams" -> Q(charNgrams _, charNgramsSql),
