@@ -568,6 +568,13 @@ object LlmOps {
     val dims = dimsRow.getInt(0)
     require(dims == dimsRow.getInt(1),
       s"ragged embedding dimensionality: min=$dims max=${dimsRow.getInt(1)}")
+    // The LCG seed stride (p * 1024 + j) keeps per-plane seed ranges
+    // disjoint only while dims <= 1024; wider embeddings would silently
+    // correlate the hyperplanes (both engines agree, so the oracle would
+    // stay green while bucket quality degrades). dims >= 1 also keeps the
+    // per-row index folds off the sequence(0, -1) ANSI trap.
+    require(dims >= 1 && dims <= 1024,
+      s"plane seed stride supports 1 <= dims <= 1024, got $dims")
     def weight(p: Int, j: Int): Double =
       if ((((1103515245L * (p * 1024 + j) + 12345L) % 2147483648L >> 16) & 1L) == 1L)
         1.0 else -1.0
@@ -837,8 +844,13 @@ object LlmOps {
         col("vec_id"),
         col("scale"),
         graft.ArrCanon.joined(col("q")).as("q_str"),
-        expr("""array_max(transform(sequence(0, size(e) - 1),
-          j -> abs(e[j] - q[j] / 127.0D * s2)))""").as("max_abs_err"))
+        // Guarded: an empty embedding would make sequence(0, -1) emit
+        // [0, -1] and index e[-1] — the ANSI-mode trap. NULL on empty in
+        // both engines (DuckDB's range(0, 0) is empty, so its list_max
+        // is NULL already; the CASE mirrors this shape explicitly).
+        when(size(col("e")) >= 1,
+          expr("""array_max(transform(sequence(0, size(e) - 1),
+            j -> abs(e[j] - q[j] / 127.0D * s2)))""")).as("max_abs_err"))
 
   /** DuckDB twin: same scale / quantize / reconstruction expressions
     * term for term (raw doubles are safe to emit — every op is the same
@@ -862,8 +874,10 @@ object LlmOps {
        |  FROM sc)
        |SELECT vec_id, scale,
        |  ${graft.ArrCanon.joinedSql("q")} AS q_str,
-       |  list_max(list_transform(range(0, len(e)),
-       |    j -> abs(e[j + 1] - q[j + 1] / 127.0 * s2))) AS max_abs_err
+       |  CASE WHEN len(e) >= 1 THEN
+       |    list_max(list_transform(range(0, len(e)),
+       |      j -> abs(e[j + 1] - q[j + 1] / 127.0 * s2)))
+       |  ELSE NULL END AS max_abs_err
        |FROM qz""".stripMargin
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -895,6 +909,13 @@ object LlmOps {
     val dims = dimsRow.getInt(0)
     require(dims == dimsRow.getInt(1),
       s"ragged embedding dimensionality: min=$dims max=${dimsRow.getInt(1)}")
+    // The LCG seed stride (p * 1024 + j) keeps per-plane seed ranges
+    // disjoint only while dims <= 1024; wider embeddings would silently
+    // correlate the hyperplanes (both engines agree, so the oracle would
+    // stay green while bucket quality degrades). dims >= 1 also keeps the
+    // per-row index folds off the sequence(0, -1) ANSI trap.
+    require(dims >= 1 && dims <= 1024,
+      s"plane seed stride supports 1 <= dims <= 1024, got $dims")
     def weight(p: Int, j: Int): Double =
       if ((((1103515245L * (p * 1024 + j) + 12345L) % 2147483648L >> 16) & 1L) == 1L)
         1.0 else -1.0

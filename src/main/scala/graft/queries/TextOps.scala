@@ -290,7 +290,11 @@ object TextOps {
   private def textRepetition(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
+      // null text is coalesced to '' in BOTH engines: without it Spark's
+      // size(null) = -1 would fabricate n_tokens = -1 / dup_word_ratio = 0
+      // while the twin yields NULLs — a divergence the null-free synthetic
+      // corpus can't catch but real corpora would.
+      .select(col("doc_id"), toks(coalesce(col("text"), lit(""))).as("tk"))
       .select(
         col("doc_id"),
         size(col("tk")).as("n_tokens"),
@@ -323,7 +327,7 @@ object TextOps {
     * same single IEEE divisions.
     */
   private val textRepetitionSql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    """WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents),
       |g AS (
       |  SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
       |    CASE WHEN len(tk) >= 2 THEN
