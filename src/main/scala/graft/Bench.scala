@@ -21,7 +21,9 @@ object Bench {
     // round-5: the capped n-gram verify stage and the (now fully
     // oracled) IVF probe — benched so regressions in the two paths
     // fixed this round stay visible
-    "dedup_ngram_jaccard", "sim_ivf_topk")
+    "dedup_ngram_jaccard", "sim_ivf_topk",
+    // round-7: the last five NDS-H ports (correlated-subquery family)
+    "ndsh_q2", "ndsh_q11", "ndsh_q16", "ndsh_q20", "ndsh_q21")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

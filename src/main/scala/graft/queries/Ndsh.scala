@@ -5,8 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** NDS-H (TPC-H-derived) queries — 17 of the 22 ported:
-  * q1/q3/q4/q5/q6/q7/q8/q9/q10/q12/q13/q14/q15/q17/q18/q19/q22.
+/** NDS-H (TPC-H-derived) queries — all 22 ported.
   *
   * Semantics follow the reference benchmark definitions
   * (`cpp/benchmarks/ndsh/q01.cpp:31-53`, `q05.cpp:29-62`, `q06.cpp:30-43`,
@@ -14,13 +13,17 @@ import org.apache.spark.sql.types._
   * TPC-H spec), adapted to the driver testdata:
   *   - date ranges shifted into the generated 1995-2001 window;
   *   - no `partsupp` table → q9's supply cost term uses
-  *     `p_retailprice * 0.1` per unit; q2/q11/q16/q20 are NOT portable
-  *     (they are partsupp-centric) and q21 needs l_receiptdate —
-  *     those five stay unported, documented here;
+  *     `p_retailprice * 0.1` per unit; q2/q11/q16/q20 derive the
+  *     part–supplier relationship from lineitem instead (q2's supply
+  *     cost = min unit price shipped; q11's stock value = revenue per
+  *     part; q16's pairs = distinct (partkey, suppkey); q20's availqty
+  *     threshold = relative to the largest shipper);
   *   - q9's `p_name like '%green%'` → `'%red%'` (generator's color vocab);
   *   - no o_shippriority / l_shipmode / c_phone / comment columns →
-  *     o_orderpriority and c_mktsegment stand in (q3/q12/q13/q22), and
-  *     q4's "late" = shipped >60 days after the order date;
+  *     o_orderpriority and c_mktsegment stand in (q3/q12/q13/q22),
+  *     q16's complaint suppliers → negative account balance, and
+  *     "late" = shipped >60 days after the order date (q4/q21 — no
+  *     l_receiptdate/commitdate in the testdata);
   *   - q10 keeps only the customer columns that exist here.
   *
   * All double sums go through the exact-decimal policy in [[graft.Agg]] so
@@ -632,8 +635,320 @@ object Ndsh {
        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q2 (minimum-cost supplier), adapted: no partsupp table, so the
+    * part–supplier catalog is derived from lineitem — supplier s offers
+    * part p at cost min(l_extendedprice / l_quantity) over the lines it
+    * shipped (unit-price floor; the division is the same IEEE op in both
+    * engines, and min over identical sets picks the identical double).
+    * Part filter p_size = 15 / p_type = 'STANDARD' (the generator has no
+    * '%BRASS' vocab); supplier scope region EUROPE. The spec's correlated
+    * min-cost subquery becomes a per-part min over the SAME region+part
+    * filtered set, joined back on (partkey, cost equality).
+    *
+    * Scale: the only wide shuffle is lineitem's (partkey, suppkey)
+    * group-by (map-side combined); parts, suppliers, and the per-part min
+    * table are all dimension-bounded and broadcast.
+    */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val cost = l
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
+    val pf = Tables
+      .part(spark, dir)
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_brand"))
+    val sup = Tables
+      .supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val base = cost
+      .join(broadcast(pf), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("supply_cost"))
+    val mc = base
+      .groupBy(col("p_partkey").as("mc_pk"))
+      .agg(min(col("supply_cost")).as("min_cost"))
+    base
+      .join(broadcast(mc),
+        col("p_partkey") === col("mc_pk") &&
+          col("supply_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2Sql: String =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(l_extendedprice / l_quantity) AS supply_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |base AS (
+      |  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+      |  FROM cost
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'),
+      |mc AS (
+      |  SELECT p_partkey AS mc_pk, min(supply_cost) AS min_cost
+      |  FROM base GROUP BY p_partkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+      |FROM base JOIN mc ON p_partkey = mc_pk AND supply_cost = min_cost
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** q11 (important stock), adapted: partsupp value → per-part revenue
+    * sum over lines shipped by ASIA-region suppliers, and the spec's
+    * sf-dependent `0.0001 / SF` fraction becomes a scale-invariant
+    * threshold: value > 2 × the average per-part value. Both the total
+    * and the per-part values come from the SAME fixed-point long sums
+    * ([[Agg.dsum]]), so the threshold comparison is bit-identical — the
+    * scalar stays in-plan as a 1-row broadcast (q22 style), never a
+    * collected driver constant.
+    *
+    * Scale: one shuffle (partkey group-by, map-side combined) plus a
+    * 1-row scalar aggregate; the supplier→nation→region dimension chain
+    * is broadcast into the lineitem scan.
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables
+      .supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val base = Tables
+      .lineitem(spark, dir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
+    val vals = base
+      .groupBy(col("l_partkey"))
+      .agg(dsum(col("v"), 6).as("value"))
+    val thr = base.agg(
+      (dsum(col("v"), 6) / countDistinct(col("l_partkey"))).as("avg_value"))
+    vals
+      .crossJoin(broadcast(thr))
+      .filter(col("value") > lit(2.0) * col("avg_value"))
+      .select(col("l_partkey"), col("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  val q11Sql: String =
+    s"""WITH base AS (
+       |  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+       |  FROM lineitem
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey
+       |  WHERE r_name = 'ASIA'),
+       |vals AS (
+       |  SELECT l_partkey, ${dsumSql("v", 6)} AS value
+       |  FROM base GROUP BY l_partkey),
+       |thr AS (
+       |  SELECT ${dsumSql("v", 6)} / count(DISTINCT l_partkey) AS avg_value
+       |  FROM base)
+       |SELECT l_partkey, value FROM vals, thr
+       |WHERE value > 2.0 * avg_value
+       |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** q16 (part/supplier relationship), adapted: the part–supplier pairs
+    * are the distinct lineitem (partkey, suppkey) combinations, and the
+    * spec's complaint-comment suppliers (no comment column here) become
+    * the negative-balance ones — excluded with a left-anti join, the
+    * NOT IN shape. Counts are integers, so no fixed-point policy needed.
+    *
+    * Scale: the pair-distinct and the count-distinct both shuffle on
+    * compact key tuples; part attributes and the bad-supplier set are
+    * broadcast. No row explosion anywhere.
+    */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables
+      .lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+    val pf = Tables
+      .part(spark, dir)
+      .filter(
+        col("p_brand") =!= "Brand#5" &&
+          !col("p_type").like("PROMO%") &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val bad = Tables
+      .supplier(spark, dir)
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    pairs
+      .join(broadcast(pf), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** q20 (potential part promotion), adapted: no ps_availqty, so a
+    * supplier qualifies when its 1996 shipped quantity of 'red%' parts
+    * exceeds a quarter of the LARGEST such per-supplier quantity — a
+    * relative threshold that stays meaningful at every scale factor
+    * (the spec's absolute `0.5 * availqty` has no twin here). The
+    * nested IN chain is preserved: parts IN the name class, suppliers
+    * IN the heavy-shipper set (left-semi), region filter on top.
+    *
+    * Scale: one suppkey group-by on the year+part filtered lines; the
+    * max is a 1-row in-plan broadcast; everything else is a broadcast
+    * dimension or a left-semi against the 100-row supplier table.
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val red = Tables
+      .part(spark, dir)
+      .filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val shipped = Tables
+      .lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00"))
+      .join(broadcast(red), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+    val mx = shipped.agg(max(col("qty")).as("max_qty"))
+    val qualified = shipped
+      .crossJoin(broadcast(mx))
+      .filter(col("qty") > lit(0.25) * col("max_qty"))
+      .select(col("l_suppkey"))
+    Tables
+      .supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(
+          Tables.region(spark, dir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20Sql: String =
+    s"""WITH shipped AS (
+       |  SELECT l_suppkey, ${dsumSql("l_quantity")} AS qty
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  WHERE p_name LIKE 'red%'
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY l_suppkey),
+       |mx AS (SELECT max(qty) AS max_qty FROM shipped)
+       |SELECT s_name, s_acctbal
+       |FROM supplier
+       |JOIN nation ON n_nationkey = s_nationkey
+       |JOIN region ON r_regionkey = n_regionkey
+       |WHERE r_name = 'AMERICA'
+       |  AND s_suppkey IN (
+       |    SELECT l_suppkey FROM shipped, mx WHERE qty > 0.25 * max_qty)
+       |ORDER BY s_name""".stripMargin
+
+  /** q21 (suppliers who kept orders waiting), adapted: "late" = shipped
+    * more than 60 days after the order date (q4's definition — the
+    * testdata has no receipt/commit dates), and the supplier scope is
+    * region EUROPE instead of a single nation (4 suppliers per nation
+    * here). The spec's EXISTS / NOT EXISTS pair over other suppliers'
+    * lines become a left-semi and a left-anti join against the same
+    * F-order line set, both equi-keyed on the order key with the
+    * supplier-inequality as the residual condition — no row explosion,
+    * and the count grain stays the late LINE (per the spec), not the
+    * order.
+    *
+    * Scale: lines join orders on the orderkey exchange once, and the
+    * semi/anti probes reuse that same key — three shuffles total on
+    * compact (orderkey, suppkey) pairs, dimensions broadcast.
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lo = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+    val late = lo
+      .filter(col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAY"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val supEur = Tables
+      .supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(
+        broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val others = lo.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    late
+      .join(broadcast(supEur), col("s_suppkey") === col("l_suppkey"))
+      .join(others,
+        col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"),
+        "left_semi")
+      .join(lateOthers,
+        col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |WHERE o_orderstatus = 'F' AND r_name = 'EUROPE'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "ndsh_q1" -> Q(q1 _, q1Sql),
+    "ndsh_q2" -> Q(q2 _, q2Sql),
+    "ndsh_q11" -> Q(q11 _, q11Sql),
+    "ndsh_q16" -> Q(q16 _, q16Sql),
+    "ndsh_q20" -> Q(q20 _, q20Sql),
+    "ndsh_q21" -> Q(q21 _, q21Sql),
     "ndsh_q7" -> Q(q7 _, q7Sql),
     "ndsh_q8" -> Q(q8 _, q8Sql),
     "ndsh_q13" -> Q(q13 _, q13Sql),

@@ -57,6 +57,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-7 NDS-H ports: dimensions broadcast, no cartesian blow-ups") {
+    for (q <- Seq("ndsh_q2", "ndsh_q11", "ndsh_q16", "ndsh_q20", "ndsh_q21")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q should broadcast its dimension tables")
+    }
+  }
+
   test("LSH and embedding dedup plans contain no cartesian products") {
     for (q <- Seq("dedup_minhash_lsh", "dedup_minhash_lsh_portable",
         "dedup_emb_cosine", "dedup_ngram_jaccard",
