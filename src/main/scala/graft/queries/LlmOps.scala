@@ -998,6 +998,110 @@ object LlmOps {
 
   // -------------------------------------------------------- multimodal
 
+  /** Stratified downsampling — exact k rows per (lang, source) stratum,
+    * selected by a portable LCG rank of doc_id so both engines pick the
+    * IDENTICAL sample (the deterministic twin of rand()-based stratified
+    * sampling; `sample_rows` keeps the engine-native nondeterministic
+    * path). A 100 TB corpus mixes sources at wildly different volumes;
+    * per-stratum caps are how mixture ratios are enforced before
+    * training.
+    *
+    * Scale: one exchange on the stratum key and a within-stratum sort.
+    * Strata are dimension-bounded (lang × source), so no stratum is a
+    * whole-corpus sort; a degenerate single-stratum corpus would instead
+    * use the LCG value as a pre-filter threshold (`rk < t`, the
+    * sample_hash_rows shape) to drop rows before the exchange.
+    */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        pmod(col("doc_id") * lit(48271L), lit(2147483647L)).as("rk"))
+      .withColumn("rn",
+        row_number().over(Window
+          .partitionBy(col("lang"), col("source"))
+          .orderBy(col("rk"), col("doc_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rn").cast(LongType).as("rn"))
+  }
+
+  private val sampleStratifiedSql =
+    """SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 10""".stripMargin
+
+  /** Per-document top-5 TF-IDF terms — the keyword/topic signal corpus
+    * pipelines attach before mixture balancing and retrieval indexing.
+    * The idf is the LINEAR ratio N/df, not ln(N/df): a transcendental
+    * would be the one non-portable op in the expression (libm vs JVM
+    * last-ulp differences), while counts, the two divisions, and the
+    * product are bit-identical IEEE arithmetic over identical integer
+    * inputs in both engines — so the scores AND the ranking are
+    * oracle-exact. Monotonicity in df is the same, so top-k membership
+    * matches log-idf for any fixed document.
+    *
+    * Scale: (doc, tok) counts shuffle once; doc_len rides the same
+    * doc_id exchange as a window sum; df is a second compact shuffle on
+    * tok; N is a 1-row in-plan broadcast. The final rank window
+    * partitions by doc_id — never a global sort.
+    */
+  private def textTfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val withLen = tf.withColumn("doc_len",
+      sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables
+      .documents(s, dir)
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    withLen
+      .join(dfTab, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("cnt").cast(DoubleType) / col("doc_len").cast(DoubleType)) *
+          (col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
+      .withColumn("rn",
+        row_number().over(Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok"))))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("tok"), col("tfidf"),
+        col("rn").cast(LongType).as("rn"))
+  }
+
+  private val textTfidfTopkSql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) t
+      |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+      |wl AS (
+      |  SELECT doc_id, tok, cnt,
+      |    sum(cnt) OVER (PARTITION BY doc_id) AS doc_len FROM tf),
+      |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT wl.doc_id, wl.tok,
+      |    (CAST(cnt AS DOUBLE) / CAST(doc_len AS DOUBLE)) *
+      |    (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+      |  FROM wl JOIN dfq USING (tok) CROSS JOIN nd)
+      |SELECT doc_id, tok, tfidf, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT doc_id, tok, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tfidf DESC, tok) AS rn
+      |  FROM scored) r
+      |WHERE rn <= 5""".stripMargin
+
   /** Multimodal binary columns: opaque payload + typed metadata struct.
     * Decode/feature-extract is stubbed (no image/audio libs in this
     * container) behind [[graft.multimodal.Multimodal]]; the Spark-side
@@ -1037,6 +1141,8 @@ object LlmOps {
     "dedup_simhash_portable" -> Q(dedupSimhashPortable _, dedupSimhashPortableSql),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard _, dedupNgramJaccardSql),
     "dedup_emb_cosine" -> Q(dedupEmbCosine _, dedupEmbCosineSql),
+    "sample_stratified" -> Q(sampleStratified _, sampleStratifiedSql),
+    "text_tfidf_topk" -> Q(textTfidfTopk _, textTfidfTopkSql),
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, simAnnLshBucketsSql),
     "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),
