@@ -85,16 +85,81 @@ object CustomExprs {
       |  FROM events)""".stripMargin
 
   /** wordpiece subword tokenization (wordpiece_tokenize.hpp:114) with a
-    * corpus-derived broadcast vocab; rows-only (vocab is data-derived).
+    * corpus-derived broadcast vocab — fully oracled: the vocab build
+    * (token freq >= 50, plus single chars and their "##" forms) is plain
+    * SQL, and the greedy longest-match-first walk is replicated in
+    * DuckDB as a recursive CTE over precomputed longest-prefix pointers
+    * (per distinct (word, start), the max matching end — so the
+    * recursion only follows pointers, never re-searches). Tokenization
+    * is per distinct WORD, not per token instance: dictionary-sized
+    * work in both engines, re-attached to docs by word.
     */
   private def wordpieceTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val vocab = graft.functions.Wordpiece.buildVocab(docs, minFreq = 50)
     graft.functions.Wordpiece
       .tokenize(s, docs, vocab)
-      .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+      .select(col("doc_id"),
+        size(col("pieces")).cast("long").as("n_pieces"),
         graft.ArrCanon.joined(slice(col("pieces"), 1, 5)).as("head_pieces"))
   }
+
+  /** DuckDB twin of the greedy wordpiece: same vocab, same
+    * longest-match-first semantics (the `cand` pointer table IS the
+    * inner `while (end > start)` loop, collapsed into max(e)); a word
+    * with any unmatchable position collapses to ['[UNK]'] exactly like
+    * `Wordpiece.tokenizeWord`'s early return. Null text mirrors the
+    * UDF's empty-list behavior via the final left join.
+    */
+  private val wordpieceSql =
+    s"""WITH RECURSIVE
+       |alltoks AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |         unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |freq AS (
+       |  SELECT word AS piece FROM alltoks GROUP BY word HAVING count(*) >= 50),
+       |chars AS (
+       |  SELECT DISTINCT unnest(list_transform(range(1, length(piece) + 1),
+       |    i -> substring(piece, i, 1))) AS ch
+       |  FROM freq),
+       |vocab AS (
+       |  SELECT piece FROM freq
+       |  UNION SELECT ch FROM chars
+       |  UNION SELECT '##' || ch FROM chars),
+       |words AS (SELECT DISTINCT word FROM alltoks),
+       |cand AS (
+       |  SELECT word, s, max(e) AS e FROM (
+       |    SELECT w.word, s.s, e.e
+       |    FROM words w,
+       |      LATERAL (SELECT unnest(range(0, length(w.word))) AS s) s,
+       |      LATERAL (SELECT unnest(range(s.s + 1, length(w.word) + 1)) AS e) e
+       |    WHERE (CASE WHEN s.s > 0 THEN '##' ELSE '' END ||
+       |           substring(w.word, s.s + 1, e.e - s.s)) IN (SELECT piece FROM vocab))
+       |  GROUP BY word, s),
+       |walk AS (
+       |  SELECT word, 0 AS s, CAST([] AS VARCHAR[]) AS pieces, false AS unk FROM words
+       |  UNION ALL
+       |  SELECT w.word,
+       |    CASE WHEN c.e IS NULL THEN length(w.word) ELSE c.e END,
+       |    CASE WHEN c.e IS NULL THEN ['[UNK]']
+       |         ELSE list_append(w.pieces,
+       |           CASE WHEN w.s > 0 THEN '##' ELSE '' END ||
+       |           substring(w.word, w.s + 1, c.e - w.s)) END,
+       |    c.e IS NULL
+       |  FROM walk w LEFT JOIN cand c ON c.word = w.word AND c.s = w.s
+       |  WHERE w.s < length(w.word) AND NOT w.unk),
+       |done AS (SELECT word, pieces FROM walk WHERE s >= length(word)),
+       |flat AS (
+       |  SELECT t.doc_id, flatten(list(d.pieces ORDER BY t.pos)) AS pieces
+       |  FROM alltoks t JOIN done d ON d.word = t.word
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id,
+       |  CAST(coalesce(len(pieces), 0) AS BIGINT) AS n_pieces,
+       |  ${graft.ArrCanon.joinedSql(
+             "list_slice(coalesce(pieces, CAST([] AS VARCHAR[])), 1, 5)")}
+       |    AS head_pieces
+       |FROM documents LEFT JOIN flat USING (doc_id)""".stripMargin
 
   /** merge-ranks BPE (byte_pair_encoding.hpp:129): corpus-learned merge
     * table (driver-side classic BPE training over the bounded
@@ -129,7 +194,7 @@ object CustomExprs {
     "custom_string_exprs" -> Q(customStrings _, None),
     "agg_ewma" -> Q(ewmaPerUser _, ewmaPerUserSql),
     "win_ewma_stream" -> Q(winEwmaStream _, winEwmaStreamSql),
-    "text_wordpiece" -> Q(wordpieceTokens _, None),
+    "text_wordpiece" -> Q(wordpieceTokens _, wordpieceSql),
     "text_bpe" -> Q(bpeTokens _, None),
     "agg_percentile_approx" -> Q(percentileApprox _, None)
   )
