@@ -1102,6 +1102,45 @@ object LlmOps {
       |  FROM scored) r
       |WHERE rn <= 5""".stripMargin
 
+  /** Greedy sequence packing ([[graft.operators.Packing]]): documents
+    * ordered by doc_id within each lang stream, packed into 200-token
+    * budget packs. Fully oracled — the DuckDB twin walks the same
+    * per-lang order with a recursive CTE carrying (cum, pack_id,
+    * pack_pos), the exact greedy recurrence of the Spark scan; token
+    * counts are integer-exact in both engines.
+    */
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    graft.operators.Packing
+      .packGreedy(docs, "lang", Seq("doc_id"), "n_toks", budget = 200L)
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        col("pack_id"), col("pack_pos"))
+  }
+
+  private val packSequencesSql =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |walk AS (
+      |  SELECT doc_id, lang, n_toks, rn, n_toks AS cum,
+      |    CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos
+      |  FROM docs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.doc_id, d.lang, d.n_toks, d.rn,
+      |    CASE WHEN w.cum + d.n_toks > 200 THEN d.n_toks
+      |         ELSE w.cum + d.n_toks END,
+      |    CASE WHEN w.cum + d.n_toks > 200 THEN w.pack_id + 1
+      |         ELSE w.pack_id END,
+      |    CASE WHEN w.cum + d.n_toks > 200 THEN CAST(0 AS BIGINT)
+      |         ELSE w.pack_pos + 1 END
+      |  FROM walk w JOIN docs d ON d.lang = w.lang AND d.rn = w.rn + 1)
+      |SELECT doc_id, lang, n_toks, pack_id, pack_pos FROM walk""".stripMargin
+
   /** Multimodal binary columns: opaque payload + typed metadata struct.
     * Decode/feature-extract is stubbed (no image/audio libs in this
     * container) behind [[graft.multimodal.Multimodal]]; the Spark-side
@@ -1143,6 +1182,7 @@ object LlmOps {
     "dedup_emb_cosine" -> Q(dedupEmbCosine _, dedupEmbCosineSql),
     "sample_stratified" -> Q(sampleStratified _, sampleStratifiedSql),
     "text_tfidf_topk" -> Q(textTfidfTopk _, textTfidfTopkSql),
+    "pack_sequences" -> Q(packSequences _, packSequencesSql),
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, simAnnLshBucketsSql),
     "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),

@@ -175,4 +175,37 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy(col("ts").desc).select(col("pv")).head().getDouble(0)
     assert(row.getAs[Double]("asof_pv") == expected)
   }
+
+  test("pack_sequences: greedy packing invariants hold") {
+    val rows = SparkEntry
+      .queries("pack_sequences")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("pack_pos"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("doc_id")))
+    assert(rows.nonEmpty)
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((lang, pack), members) =>
+      val sorted = members.sortBy(_._3)
+      // positions are contiguous from 0
+      assert(sorted.map(_._3).toSeq == (0L until members.length).toSeq,
+        s"$lang pack $pack has gap positions")
+      // no pack exceeds the budget unless it is a single oversized doc
+      val total = members.map(_._4).sum
+      assert(total <= 200L || members.length == 1,
+        s"$lang pack $pack overflows with ${members.length} docs: $total")
+    }
+    // greedy: every pack break was necessary — pack p's first doc would
+    // have overflowed pack p-1
+    rows.groupBy(_._1).foreach { case (lang, ms) =>
+      val byPack = ms.groupBy(_._2).toSeq.sortBy(_._1)
+      byPack.sliding(2).foreach {
+        case Seq((_, prev), (_, cur)) =>
+          val prevTotal = prev.map(_._4).sum
+          val firstNext = cur.minBy(_._3)._4
+          assert(prevTotal + firstNext > 200L,
+            s"$lang: unnecessary pack break (${prevTotal} + ${firstNext})")
+        case _ =>
+      }
+    }
+  }
 }
