@@ -1141,6 +1141,92 @@ object LlmOps {
       |  FROM walk w JOIN docs d ON d.lang = w.lang AND d.rn = w.rn + 1)
       |SELECT doc_id, lang, n_toks, pack_id, pack_pos FROM walk""".stripMargin
 
+  /** Overlapping token-window chunking — the pre-embedding split every
+    * retrieval/embedding pipeline runs: windows of 50 tokens at stride
+    * 40 (10-token overlap), last window ragged. Pure map-side explode —
+    * no shuffle, linear in corpus bytes at any scale; the token array
+    * is materialized once per row before the window lambdas index it.
+    */
+  private def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(
+          """transform(
+            |  sequence(0, CAST(ceil(greatest(n - 50, 0) / 40.0) AS INT)),
+            |  w -> slice(tk, w * 40 + 1, 50))""".stripMargin))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_toks"),
+        graft.ArrCanon.joined(col("chunk")).as("chunk_text"))
+
+  private val chunkDocumentsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, CAST(ceil(greatest(n - 50, 0) / 40.0) AS BIGINT) + 1))
+       |      AS chunk_idx,
+       |    tk, n
+       |  FROM t)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(len(list_slice(tk, chunk_idx * 40 + 1, chunk_idx * 40 + 50)) AS BIGINT)
+       |    AS chunk_toks,
+       |  ${graft.ArrCanon.joinedSql("list_slice(tk, chunk_idx * 40 + 1, chunk_idx * 40 + 50)")}
+       |    AS chunk_text
+       |FROM c""".stripMargin
+
+  /** Benchmark decontamination — flag training documents sharing any
+    * 4-token shingle with a held-out benchmark set (here the
+    * deterministic doc_id % 100 = 0 subset stands in for the benchmark;
+    * in production it is the eval suites, and the shingle is 8-13
+    * tokens — the synthetic corpus's short texts need 4 for the oracle
+    * row to be non-vacuous at every SF). The contamination join is a
+    * semi-shape on the gram hash: the benchmark gram set is BOUNDED
+    * (benchmarks are small), so at 100 TB it broadcasts and the whole
+    * check is map-side over the training corpus — no wide exchange. The
+    * count aggregation groups on (doc_id), compact keys.
+    */
+  private def decontaminateNgrams(s: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 4)
+        .select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(0, size(tk) - 4),
+              |  i -> concat_ws(' ', slice(tk, i + 1, 4)))""".stripMargin))
+            .as("g8"))
+        .distinct()
+    val docs = Tables.documents(s, dir)
+    val bench = grams(docs.filter(pmod(col("doc_id"), lit(100)) === 0))
+      .select(col("g8")).distinct()
+    grams(docs.filter(pmod(col("doc_id"), lit(100)) =!= 0))
+      .join(broadcast(bench), Seq("g8"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateNgramsSql =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, g8 FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(0, len(tk) - 3),
+      |        i -> array_to_string(list_slice(tk, i + 1, i + 4), ' '))) AS g8
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t0
+      |    WHERE len(tk) >= 4) t1),
+      |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 100 = 0),
+      |train AS (SELECT doc_id, g8 FROM g WHERE doc_id % 100 <> 0)
+      |SELECT doc_id, count(*) AS n_shared_grams
+      |FROM train WHERE g8 IN (SELECT g8 FROM bench)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Multimodal binary columns: opaque payload + typed metadata struct.
     * Decode/feature-extract is stubbed (no image/audio libs in this
     * container) behind [[graft.multimodal.Multimodal]]; the Spark-side
@@ -1183,6 +1269,8 @@ object LlmOps {
     "sample_stratified" -> Q(sampleStratified _, sampleStratifiedSql),
     "text_tfidf_topk" -> Q(textTfidfTopk _, textTfidfTopkSql),
     "pack_sequences" -> Q(packSequences _, packSequencesSql),
+    "chunk_documents" -> Q(chunkDocuments _, chunkDocumentsSql),
+    "decontaminate_ngrams" -> Q(decontaminateNgrams _, decontaminateNgramsSql),
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, simAnnLshBucketsSql),
     "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),
