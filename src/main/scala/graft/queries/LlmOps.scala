@@ -1207,7 +1207,7 @@ object LlmOps {
     val bench = grams(docs.filter(pmod(col("doc_id"), lit(100)) === 0))
       .select(col("g8")).distinct()
     grams(docs.filter(pmod(col("doc_id"), lit(100)) =!= 0))
-      .join(broadcast(bench), Seq("g8"), "left_semi")
+      .join(bench, Seq("g8"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy(col("doc_id"))

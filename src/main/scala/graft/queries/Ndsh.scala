@@ -671,22 +671,22 @@ object Ndsh {
     // attributes re-attach by broadcast after the aggregate.
     val cost = Tables
       .lineitem(spark, dir)
-      .join(broadcast(pf.select(col("p_partkey"))),
+      .join(pf.select(col("p_partkey")),
         col("p_partkey") === col("l_partkey"), "left_semi")
-      .join(broadcast(sup.select(col("s_suppkey"))),
+      .join(sup.select(col("s_suppkey")),
         col("s_suppkey") === col("l_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
     val base = cost
-      .join(broadcast(pf), col("p_partkey") === col("l_partkey"))
-      .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+      .join(pf, col("p_partkey") === col("l_partkey"))
+      .join(sup, col("s_suppkey") === col("l_suppkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_brand"), col("supply_cost"))
     val mc = base
       .groupBy(col("p_partkey").as("mc_pk"))
       .agg(min(col("supply_cost")).as("min_cost"))
     base
-      .join(broadcast(mc),
+      .join(mc,
         col("p_partkey") === col("mc_pk") &&
           col("supply_cost") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
@@ -740,7 +740,7 @@ object Ndsh {
       .select(col("s_suppkey"))
     val base = Tables
       .lineitem(spark, dir)
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
     val vals = base
@@ -800,8 +800,8 @@ object Ndsh {
       .filter(col("s_acctbal") < 0)
       .select(col("s_suppkey"))
     pairs
-      .join(broadcast(pf), col("p_partkey") === col("l_partkey"))
-      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(pf, col("p_partkey") === col("l_partkey"))
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -842,7 +842,7 @@ object Ndsh {
       .filter(
         col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
           col("l_shipdate") < ts("1997-01-01 00:00:00"))
-      .join(broadcast(red), col("p_partkey") === col("l_partkey"))
+      .join(red, col("p_partkey") === col("l_partkey"))
       .groupBy(col("l_suppkey"))
       .agg(dsum(col("l_quantity")).as("qty"))
     val mx = shipped.agg(max(col("qty")).as("max_qty"))
@@ -919,7 +919,7 @@ object Ndsh {
     val others = lo.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
     val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
     late
-      .join(broadcast(supEur), col("s_suppkey") === col("l_suppkey"))
+      .join(supEur, col("s_suppkey") === col("l_suppkey"))
       .join(others,
         col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"),
         "left_semi")
