@@ -102,7 +102,27 @@ object Fuzz {
     }
 
     def query(): String = {
-      val kind = rng.nextInt(8)
+      val kind = rng.nextInt(9)
+      if (kind == 8) {
+        // lineitem ⋈ part ⋈ supplier: the two-dimension star join shape
+        // (q2/q9/q16/q20 family). Doubles appear only under min/max
+        // (bit-copying, no arithmetic) — sums stay integer.
+        val p = pick(Seq(
+          s"p_size ${pick(Seq("<", ">=", "="))} ${1 + rng.nextInt(50)}",
+          s"p_type = '${pick(Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"))}'",
+          s"p_brand <> 'Brand#${1 + rng.nextInt(20)}'",
+          s"s_acctbal > ${rng.nextInt(5000)}",
+          pred(1)))
+        val k2 = pick(Seq("p_type", s"(p_size % ${2 + rng.nextInt(9)})"))
+        return s"""SELECT p_brand AS k1, $k2 AS k2, count(*) AS n,
+           |  CAST(sum(${intExpr()}) AS BIGINT) AS s1,
+           |  min(p_retailprice) AS mn, max(s_acctbal) AS mx,
+           |  min(s_suppkey) AS smin
+           |FROM lineitem
+           |JOIN part ON p_partkey = l_partkey
+           |JOIN supplier ON s_suppkey = l_suppkey
+           |WHERE $p GROUP BY 1, 2""".stripMargin
+      }
       if (kind == 7) {
         // documents-table template: string-heavy projections and token
         // statistics (md5(text) agrees across engines: Spark's implicit
@@ -245,6 +265,8 @@ object Fuzz {
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
     Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
     Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
 
     val gen = Gen(new Random(seed))
     val sqls = (0 until nQueries).map(i => f"fz_$i%03d" -> gen.query())
