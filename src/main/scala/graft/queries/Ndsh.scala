@@ -743,12 +743,21 @@ object Ndsh {
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
+    // One scan of the fact join: the per-part fixed-point longs roll up
+    // into the global threshold EXACTLY (long sums are associative —
+    // sum of per-part sums = the oracle's global sum over base), so the
+    // scalar derives from the small per-part aggregate instead of a
+    // second pass over lineitem.
+    val p = math.pow(10, 6)
     val vals = base
       .groupBy(col("l_partkey"))
-      .agg(dsum(col("v"), 6).as("value"))
-    val thr = base.agg(
-      (dsum(col("v"), 6) / countDistinct(col("l_partkey"))).as("avg_value"))
+      .agg(sum(floor(col("v") * lit(p)).cast("long")).as("vlong"))
+    val thr = vals.agg(
+      (sum(col("vlong")).cast(DoubleType) / lit(p) / count(lit(1)))
+        .as("avg_value"))
     vals
+      .select(col("l_partkey"),
+        (col("vlong").cast(DoubleType) / lit(p)).as("value"))
       .crossJoin(broadcast(thr))
       .filter(col("value") > lit(2.0) * col("avg_value"))
       .select(col("l_partkey"), col("value"))
@@ -784,10 +793,6 @@ object Ndsh {
     * broadcast. No row explosion anywhere.
     */
   def q16(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables
-      .lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey"))
-      .distinct()
     val pf = Tables
       .part(spark, dir)
       .filter(
@@ -799,11 +804,21 @@ object Ndsh {
       .supplier(spark, dir)
       .filter(col("s_acctbal") < 0)
       .select(col("s_suppkey"))
-    pairs
+    // The part filter (8 of 50 sizes × brand/type cuts ≈ 1/8 of rows)
+    // and the bad-supplier anti join are pushed BELOW the pair-distinct:
+    // distinct-of-filtered-pairs = filtered-distinct-pairs, and the
+    // distinct's shuffle shrinks by the filter selectivity. The part
+    // attributes ride along — functionally dependent on the partkey, so
+    // the distinct's cardinality is unchanged.
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
       .join(pf, col("p_partkey") === col("l_partkey"))
       .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .select(col("l_suppkey"), col("p_brand"), col("p_type"), col("p_size"))
+      .distinct()
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .agg(count(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
         col("p_size"))
   }
@@ -905,9 +920,17 @@ object Ndsh {
       .lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-    val late = lo
-      .filter(col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAY"))
-      .select(col("l_orderkey"), col("l_suppkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAY"))
+    // Decorrelated: the EXISTS pair collapses into per-order supplier
+    // sets computed as window aggregates riding ONE orderkey exchange
+    // (a naive semi+anti-join form re-joins lineitem⋈orders three
+    // times; a groupBy-stats form still scans the fact join twice).
+    //   EXISTS another supplier's line  ⇔ |suppliers on order| >= 2
+    //   NOT EXISTS another late supplier ⇔ |late suppliers| = 1
+    //   (l1's own supplier is in both sets, so the thresholds are
+    //   exact; sets are bounded by lines-per-order, single digits)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
     val supEur = Tables
       .supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)),
@@ -916,16 +939,13 @@ object Ndsh {
         broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"))
-    val others = lo.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-    val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
-    late
+    lo.withColumn("n_supps", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_late_supps",
+        size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)))
+      .filter(col("is_late") && col("n_supps") >= 2 &&
+        col("n_late_supps") === 1)
+      .select(col("l_orderkey"), col("l_suppkey"))
       .join(supEur, col("s_suppkey") === col("l_suppkey"))
-      .join(others,
-        col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"),
-        "left_semi")
-      .join(lateOthers,
-        col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"),
-        "left_anti")
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
