@@ -23,7 +23,10 @@ object Bench {
     // fixed this round stay visible
     "dedup_ngram_jaccard", "sim_ivf_topk",
     // round-7: the last five NDS-H ports (correlated-subquery family)
-    "ndsh_q2", "ndsh_q11", "ndsh_q16", "ndsh_q20", "ndsh_q21")
+    "ndsh_q2", "ndsh_q11", "ndsh_q16", "ndsh_q20", "ndsh_q21",
+    // round-7: the heavier new pipeline ops (packing is a sorted scan,
+    // tfidf a two-shuffle rank, wordpiece a driver vocab + per-row UDF)
+    "pack_sequences", "text_tfidf_topk", "text_wordpiece")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
