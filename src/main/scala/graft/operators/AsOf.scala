@@ -53,4 +53,36 @@ object AsOf {
       .filter(col("__tag") === 1)
       .drop("__v", "__tag")
   }
+
+  /** Forward as-of (pandas merge_asof direction='forward'): for each
+    * probe row, the EARLIEST reference row with `ref.ts >= probe.ts` in
+    * the key group. Same union+window shape and cost as the backward
+    * join, frame reversed: reference rows tag 2 so a same-ts reference
+    * sorts AFTER the probe row and lands in the [current, following]
+    * frame (>= matches at equality). Output columns `asof_fwd_<valCol>`
+    * and `asof_fwd_ts`.
+    */
+  def joinAsOfForward(probe: DataFrame, ref: DataFrame, keyCol: String,
+      tsCol: String, valCol: String): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val p = probe
+      .withColumn("__v", lit(null).cast(ref.schema(valCol).dataType))
+      .withColumn("__tag", lit(1))
+    val r0 = ref.select(
+      Seq(col(keyCol), col(tsCol), col(valCol).as("__v"), lit(2).as("__tag")) ++
+        probeCols.filterNot(Set(keyCol, tsCol)).map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val unioned = p.select((probeCols.map(col) ++ Seq(col("__v"), col("__tag"))): _*)
+      .unionByName(r0.select((probeCols.map(col) ++ Seq(col("__v"), col("__tag"))): _*))
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__tag"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    unioned
+      .withColumn(s"asof_fwd_$valCol",
+        first(when(col("__tag") === 2, col("__v")), ignoreNulls = true).over(w))
+      .withColumn("asof_fwd_ts",
+        first(when(col("__tag") === 2, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .drop("__v", "__tag")
+  }
 }

@@ -543,6 +543,101 @@ object Relational {
       |FROM events e ASOF LEFT JOIN ref r
       |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin
 
+  /** Forward as-of ([[graft.operators.AsOf.joinAsOfForward]]): first
+    * purchase at or after each event — pandas merge_asof
+    * direction='forward'. Oracle: DuckDB ASOF with the inequality
+    * flipped (`e.ts <= r.ts`). Same one-shuffle union+window cost as
+    * the backward join.
+    */
+  private def joinAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val probe = ev.select(col("user_id"), col("event_id"), col("ts"))
+    val ref = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("pv"))
+    graft.operators.AsOf
+      .joinAsOfForward(probe, ref, "user_id", "ts", "pv")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"),
+        col("asof_fwd_pv"),
+        expr("unix_micros(asof_fwd_ts)").as("asof_fwd_ts_us"))
+  }
+
+  private val joinAsofFwdSql =
+    """WITH ref AS (
+      |  SELECT user_id, ts, max(value) AS pv FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+      |  r.pv AS asof_fwd_pv, epoch_us(r.ts) AS asof_fwd_ts_us
+      |FROM events e ASOF LEFT JOIN ref r
+      |  ON e.user_id = r.user_id AND e.ts <= r.ts""".stripMargin
+
+  /** Nearest as-of (pandas merge_asof direction='nearest'): backward
+    * and forward passes composed, then the closer reference wins —
+    * ties prefer backward (<=, the pandas rule). Distances compare as
+    * exact epoch-µs longs, so the pick is engine-independent. Two
+    * window passes but still one exchange each on the key.
+    */
+  private def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val probe = ev.select(col("user_id"), col("event_id"), col("ts"))
+    val ref = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("pv"))
+    val back = graft.operators.AsOf
+      .joinAsOf(probe, ref, "user_id", "ts", "pv")
+    val both = graft.operators.AsOf
+      .joinAsOfForward(back, ref, "user_id", "ts", "pv")
+    val dBack = expr("unix_micros(ts) - unix_micros(asof_ts)")
+    val dFwd = expr("unix_micros(asof_fwd_ts) - unix_micros(ts)")
+    both
+      .withColumn("near_pv",
+        when(col("asof_ts").isNull, col("asof_fwd_pv"))
+          .when(col("asof_fwd_ts").isNull, col("asof_pv"))
+          .when(dBack <= dFwd, col("asof_pv"))
+          .otherwise(col("asof_fwd_pv")))
+      .withColumn("near_ts",
+        when(col("asof_ts").isNull, col("asof_fwd_ts"))
+          .when(col("asof_fwd_ts").isNull, col("asof_ts"))
+          .when(dBack <= dFwd, col("asof_ts"))
+          .otherwise(col("asof_fwd_ts")))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"),
+        col("near_pv"),
+        expr("unix_micros(near_ts)").as("near_ts_us"))
+  }
+
+  private val joinAsofNearestSql =
+    """WITH ref AS (
+      |  SELECT user_id, ts, max(value) AS pv FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |b AS (
+      |  SELECT e.user_id, e.event_id, e.ts, r.pv AS bpv, r.ts AS bts
+      |  FROM events e ASOF LEFT JOIN ref r
+      |    ON e.user_id = r.user_id AND e.ts >= r.ts),
+      |f AS (
+      |  SELECT e.user_id, e.event_id, e.ts, r.pv AS fpv, r.ts AS fts
+      |  FROM events e ASOF LEFT JOIN ref r
+      |    ON e.user_id = r.user_id AND e.ts <= r.ts)
+      |SELECT b.user_id, b.event_id, epoch_us(b.ts) AS ts_us,
+      |  CASE WHEN bts IS NULL THEN fpv
+      |       WHEN fts IS NULL THEN bpv
+      |       WHEN epoch_us(b.ts) - epoch_us(bts)
+      |            <= epoch_us(fts) - epoch_us(b.ts) THEN bpv
+      |       ELSE fpv END AS near_pv,
+      |  CASE WHEN bts IS NULL THEN epoch_us(fts)
+      |       WHEN fts IS NULL THEN epoch_us(bts)
+      |       WHEN epoch_us(b.ts) - epoch_us(bts)
+      |            <= epoch_us(fts) - epoch_us(b.ts) THEN epoch_us(bts)
+      |       ELSE epoch_us(fts) END AS near_ts_us
+      |FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id""".stripMargin
+
   /** Range join (graft.operators.RangeJoin, bucketed-interval shape):
     * lineitems whose ship date falls inside 14-day promotion windows
     * derived from a subset of orders. The oracle is the plain
@@ -585,6 +680,8 @@ object Relational {
 
   def queries: Map[String, Q] = Map(
     "join_asof" -> Q(joinAsof _, joinAsofSql),
+    "join_asof_fwd" -> Q(joinAsofFwd _, joinAsofFwdSql),
+    "join_asof_nearest" -> Q(joinAsofNearest _, joinAsofNearestSql),
     "join_range" -> Q(joinRange _, joinRangeSql),
     "filter_project" -> Q(filterProject _, filterProjectSql),
     "drop_nulls" -> Q(dropNulls _, dropNullsSql),
