@@ -638,6 +638,37 @@ object Relational {
       |       ELSE epoch_us(fts) END AS near_ts_us
       |FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id""".stripMargin
 
+  /** qcut — equal-frequency quantile binning (cudf.qcut / pandas qcut)
+    * in the rank-based formulation: ntile(4) over a TOTAL per-group
+    * order. Rank-based rather than value-boundary-based because ntile
+    * is integer-exact in both engines, while comparing rows against
+    * interpolated quantile boundaries can flip a boundary row on a
+    * last-ulp difference. Partitioned by priority class so the sort is
+    * per-group (the window-family scale shape), never a single global
+    * partition.
+    */
+  private def qcutBins(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice"),
+        ntile(4)
+          .over(Window
+            .partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice"), col("o_orderkey")))
+          .cast("long")
+          .as("bin"))
+  }
+
+  private val qcutBinsSql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
+      |FROM orders""".stripMargin
+
   /** Range join (graft.operators.RangeJoin, bucketed-interval shape):
     * lineitems whose ship date falls inside 14-day promotion windows
     * derived from a subset of orders. The oracle is the plain
@@ -682,6 +713,7 @@ object Relational {
     "join_asof" -> Q(joinAsof _, joinAsofSql),
     "join_asof_fwd" -> Q(joinAsofFwd _, joinAsofFwdSql),
     "join_asof_nearest" -> Q(joinAsofNearest _, joinAsofNearestSql),
+    "qcut_bins" -> Q(qcutBins _, qcutBinsSql),
     "join_range" -> Q(joinRange _, joinRangeSql),
     "filter_project" -> Q(filterProject _, filterProjectSql),
     "drop_nulls" -> Q(dropNulls _, dropNullsSql),
