@@ -278,14 +278,17 @@ object Relational {
     * sorted_order/argsort as row_number.
     */
   private def sortRankNulls(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = Tables
       .customer(s, dir)
       .select(
         col("c_custkey"),
         when(col("c_acctbal") < 0, null).otherwise(col("c_acctbal")).as("bal"))
-    val w = Window.orderBy(col("bal").asc_nulls_first, col("c_custkey"))
-    c.withColumn("sorted_order", row_number().over(w))
+    // Scalable global argsort ([[graft.operators.GlobalOrder]]): range
+    // repartition + per-partition numbering + broadcast offsets — the
+    // numbers are identical to `row_number() OVER (ORDER BY …)` (the
+    // oracle's form) but no single partition ever holds the input.
+    graft.operators.GlobalOrder.rowNumber(
+      c, Seq(col("bal").asc_nulls_first, col("c_custkey")), "sorted_order")
   }
 
   private val sortRankNullsSql =
