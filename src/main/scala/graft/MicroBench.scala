@@ -100,6 +100,19 @@ object MicroBench {
       series.groupBy(col("k")).agg(seqAgg(col("o"), col("v")).as("e")),
       "arraybuffer_s", "seq_append_s")
 
+    // Global row numbering: range-partitioned GlobalOrder vs the naive
+    // single-partition window. Same numbers, different shape — at sf0.1
+    // the window funnels 600k lineitem rows into one task.
+    val liKeys = li.select(col("l_extendedprice"), col("l_orderkey"),
+      col("l_linenumber"))
+    val order = Seq(col("l_extendedprice"), col("l_orderkey"),
+      col("l_linenumber"))
+    bench("global_rownum_ranged_vs_window",
+      graft.operators.GlobalOrder.rowNumber(liKeys, order, "rn"),
+      liKeys.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*))),
+      "ranged_offsets_s", "single_partition_window_s")
+
     spark.stop()
   }
 

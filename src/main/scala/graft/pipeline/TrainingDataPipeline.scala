@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   *     → exact dedup (content digest, keep min doc_id)
   *     → near-dup dedup (shingle MinHash → LSH bands → candidate pairs
   *       → connected-component keepers)
+  *     → benchmark decontamination (shared-shingle flagging)
   *     → tokenization (whitespace + wordpiece subwords)
+  *     → sequence packing (token-budget batch construction)
   *     → stats
   *
   * At 100 TB each arrow is a map-side pass or a shuffle on compact keys
@@ -33,7 +35,14 @@ object TrainingDataPipeline {
         * bucket (boilerplate/empty docs) is otherwise quadratic.
         */
       lshMaxBucket: Int = 1000,
-      wordpieceMinFreq: Long = 50)
+      wordpieceMinFreq: Long = 50,
+      /** Benchmark stand-in: docs with doc_id % benchMod == 0 play the
+        * held-out eval suite for the decontamination stage.
+        */
+      benchMod: Int = 100,
+      /** Token budget per training pack (sequence packing stage). */
+      packBudget: Long = 512L,
+      decontaminateGramLen: Int = 4)
 
   /** Stage 1-2: quality + language gate. */
   def qualityFilter(docs: DataFrame, cfg: Config): DataFrame =
@@ -96,6 +105,38 @@ object TrainingDataPipeline {
       .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
   }
 
+  /** Benchmark decontamination stage: remove training docs sharing any
+    * `gramLen`-token shingle with the benchmark set (bench docs remove
+    * themselves too — they share their own shingles — which is the
+    * desired semantics: eval text must not be trained on). The bench
+    * gram set is bounded in production, so the semi join broadcasts and
+    * the stage is map-side over the corpus.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame,
+      gramLen: Int = 4): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), split(col("text"), " ").as("__tk"))
+        .filter(size(col("__tk")) >= gramLen)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(__tk) - $gramLen), " +
+            s"i -> concat_ws(' ', slice(__tk, i + 1, $gramLen)))")).as("__g"))
+        .distinct()
+    val contaminated = grams(docs)
+      .join(grams(bench).select(col("__g")).distinct(), Seq("__g"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Sequence packing stage ([[graft.operators.Packing]]): per-lang
+    * greedy token-budget packs over the surviving corpus.
+    */
+  def packStage(docs: DataFrame, budget: Long): DataFrame =
+    graft.operators.Packing.packGreedy(
+      docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks")),
+      "lang", Seq("doc_id"), "n_toks", budget)
+
   /** Full pipeline; returns (clean corpus with tokens, per-stage counts). */
   def run(spark: SparkSession, docs: DataFrame,
       cfg: Config = Config()): (DataFrame, Map[String, Long]) = {
@@ -103,21 +144,28 @@ object TrainingDataPipeline {
     val lang = q.filter(col("lang") === cfg.lang).cache()
     val exact = exactDedup(lang).cache()
     val near = nearDedup(spark, exact, cfg).cache()
-    val tokenized = tokenizeStage(spark, near, cfg)
-      .join(embedStage(near), "doc_id")
+    val bench = docs.filter(pmod(col("doc_id"), lit(cfg.benchMod)) === 0)
+    val decon = decontaminate(near, bench, cfg.decontaminateGramLen).cache()
+    val packed = packStage(decon, cfg.packBudget)
+    val tokenized = tokenizeStage(spark, decon, cfg)
+      .join(embedStage(decon), "doc_id")
+      .join(packed.select(col("doc_id"), col("pack_id"), col("pack_pos")),
+        "doc_id")
     val counts = Map(
       "input" -> docs.count(),
       "after_quality" -> q.count(),
       "after_lang" -> lang.count(),
       "after_exact_dedup" -> exact.count(),
-      "after_near_dedup" -> near.count())
+      "after_near_dedup" -> near.count(),
+      "after_decontamination" -> decon.count())
     // Intermediate stage caches exist only to serve the counts above and
     // the downstream stage's first pass — release them so a long-running
-    // job doesn't accumulate one cached corpus per stage. `near` stays
+    // job doesn't accumulate one cached corpus per stage. `decon` stays
     // cached: it backs the returned (lazy) tokenized frame.
     q.unpersist()
     lang.unpersist()
     exact.unpersist()
+    near.unpersist()
     (tokenized, counts)
   }
 }

@@ -16,8 +16,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts("after_exact_dedup") <= counts("after_lang"))
     assert(counts("after_near_dedup") < counts("after_exact_dedup"),
       "near-dup stage should remove the LSH clusters")
+    assert(counts("after_decontamination") <= counts("after_near_dedup"))
     val rows = out.count()
-    assert(rows == counts("after_near_dedup"))
+    assert(rows == counts("after_decontamination"))
+    // packing stage: every surviving doc has a pack assignment and no
+    // pack position without a pack id
+    assert(out.filter(col("pack_id").isNull || col("pack_pos").isNull)
+      .count() == 0)
     // tokenization produced pieces for every surviving doc
     assert(out.filter(col("n_pieces") <= 0).count() == 0)
     assert(out.columns.toSet.contains("pieces"))
