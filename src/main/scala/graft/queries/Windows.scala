@@ -54,6 +54,53 @@ object Windows {
       |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
       |""".stripMargin
 
+  /** Rolling variance (rolling.hpp VARIANCE aggregation): 5-row moving
+    * sample variance of `value` per user via the fixed-point policy —
+    * rolling sum and sum-of-squares as exact long sums, then
+    * var = (s2 − s1²/n)/(n−1) in identical IEEE arithmetic on identical
+    * longs in both engines (the squares are squared in double FIRST,
+    * then floored — same op order both sides). NULL values leave the
+    * frame's non-null count, exactly like cudf's null-aware rolling.
+    */
+  private def rollingVar(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        (sum(floor(col("value") * 1e4).cast(LongType)).over(w)
+          .cast(DoubleType) / 1e4).as("s1"),
+        (sum(floor(col("value") * col("value") * 1e4).cast(LongType)).over(w)
+          .cast(DoubleType) / 1e4).as("s2"),
+        count(col("value")).over(w).as("nv"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("nv"),
+        when(col("nv") >= 2,
+          (col("s2") - col("s1") * col("s1") / col("nv")) / (col("nv") - 1))
+          .as("roll_var"))
+  }
+
+  private val rollingVarSql =
+    """SELECT user_id, event_id, nv,
+      |  CASE WHEN nv >= 2 THEN (s2 - s1 * s1 / nv) / (nv - 1) END AS roll_var
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    (CAST(sum(CAST(floor(value * 1e4) AS BIGINT)) OVER w AS DOUBLE) / 1e4)
+      |      AS s1,
+      |    (CAST(sum(CAST(floor(value * value * 1e4) AS BIGINT)) OVER w AS DOUBLE) / 1e4)
+      |      AS s2,
+      |    count(value) OVER w AS nv
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      |""".stripMargin
+
   /** Range (order-by-value) window: "3 days preceding"
     * (grouped_range_rolling_window, rolling.hpp:539) over order dates per
     * customer, expressed on an epoch-seconds orderBy.
@@ -233,6 +280,7 @@ object Windows {
 
   def queries: Map[String, Q] = Map(
     "win_rolling_rows" -> Q(rollingRows _, rollingRowsSql),
+    "win_rolling_var" -> Q(rollingVar _, rollingVarSql),
     "win_range_days" -> Q(rangeWindow _, rangeWindowSql),
     "win_lead_lag" -> Q(leadLag _, leadLagSql),
     "win_rank_family" -> Q(rankFamily _, rankFamilySql),

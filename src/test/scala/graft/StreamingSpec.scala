@@ -166,4 +166,15 @@ class StreamingSpec extends AnyFunSuite {
       .count()
     assert(got == exp && got > 0)
   }
+
+  test("stream-static enrichment matches the batch join, stateless") {
+    val stream = Streams.readEventStream(spark, replayDir)
+    val dim = Tables.customer(spark, sf)
+    val got = Streams
+      .runToCompletion(spark,
+        Streams.enrichWithDim(stream, dim), "t_enrich")
+      .count()
+    val exp = Streams.enrichWithDim(Tables.events(spark, sf), dim).count()
+    assert(got == exp && got > 0)
+  }
 }
