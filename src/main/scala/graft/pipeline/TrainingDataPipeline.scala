@@ -115,7 +115,8 @@ object TrainingDataPipeline {
   def decontaminate(docs: DataFrame, bench: DataFrame,
       gramLen: Int = 4): DataFrame = {
     def grams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), split(col("text"), " ").as("__tk"))
+      df.select(col("doc_id"),
+          split(coalesce(col("text"), lit("")), " ").as("__tk"))
         .filter(size(col("__tk")) >= gramLen)
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(0, size(__tk) - $gramLen), " +
@@ -134,7 +135,8 @@ object TrainingDataPipeline {
   def packStage(docs: DataFrame, budget: Long): DataFrame =
     graft.operators.Packing.packGreedy(
       docs.select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_toks")),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+          .as("n_toks")),
       "lang", Seq("doc_id"), "n_toks", budget)
 
   /** Full pipeline; returns (clean corpus with tokens, per-stage counts). */

@@ -1054,7 +1054,8 @@ object LlmOps {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables
       .documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
@@ -1082,7 +1083,7 @@ object LlmOps {
   private val textTfidfTopkSql =
     """WITH tf AS (
       |  SELECT doc_id, tok, count(*) AS cnt FROM (
-      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
       |    FROM documents) t
       |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
       |wl AS (
@@ -1113,7 +1114,8 @@ object LlmOps {
     val docs = Tables
       .documents(s, dir)
       .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_toks"))
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+          .as("n_toks"))
     graft.operators.Packing
       .packGreedy(docs, "lang", Seq("doc_id"), "n_toks", budget = 200L)
       .select(col("doc_id"), col("lang"), col("n_toks"),
@@ -1123,7 +1125,7 @@ object LlmOps {
   private val packSequencesSql =
     """WITH RECURSIVE docs AS (
       |  SELECT doc_id, lang,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_toks,
       |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
       |  FROM documents),
       |walk AS (
@@ -1150,7 +1152,8 @@ object LlmOps {
   private def chunkDocuments(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("tk"))
       .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
       .select(col("doc_id"), col("n"),
         posexplode(expr(
@@ -1166,8 +1169,8 @@ object LlmOps {
 
   private val chunkDocumentsSql =
     s"""WITH t AS (
-       |  SELECT doc_id, string_split(text, ' ') AS tk,
-       |    len(string_split(text, ' ')) AS n
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk,
+       |    len(string_split(coalesce(text, ''), ' ')) AS n
        |  FROM documents),
        |c AS (
        |  SELECT doc_id,
@@ -1195,7 +1198,8 @@ object LlmOps {
     */
   private def decontaminateNgrams(s: SparkSession, dir: String): DataFrame = {
     def grams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      df.select(col("doc_id"),
+          split(coalesce(col("text"), lit("")), " ").as("tk"))
         .filter(size(col("tk")) >= 4)
         .select(col("doc_id"),
           explode(expr(
@@ -1219,7 +1223,8 @@ object LlmOps {
       |    SELECT doc_id,
       |      unnest(list_transform(range(0, len(tk) - 3),
       |        i -> array_to_string(list_slice(tk, i + 1, i + 4), ' '))) AS g8
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t0
+      |    FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+      |          FROM documents) t0
       |    WHERE len(tk) >= 4) t1),
       |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 100 = 0),
       |train AS (SELECT doc_id, g8 FROM g WHERE doc_id % 100 <> 0)
