@@ -118,6 +118,33 @@ final case class Frame(df: DataFrame) {
       least(greatest(floor((col(c) - lo) / ((hi - lo) / bins)).cast(IntegerType),
         lit(0)), lit(bins - 1))))
 
+  /** qcut (equal-frequency quantile binning) in the rank-based
+    * formulation: ntile over a total order — see `qcut_bins` for why
+    * rank-based beats value-boundary comparison cross-engine. 1-based
+    * bins like ntile; subtract 1 for pandas' 0-based codes.
+    */
+  def qcut(c: String, bins: Int, partitionBy: Seq[String],
+      tiebreak: Seq[String], out: String): Frame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*)
+      .orderBy((c +: tiebreak).map(col): _*)
+    Frame(df.withColumn(out, ntile(bins).over(w)))
+  }
+
+  /** pandas merge_asof: nearest/backward/forward reference row per
+    * probe row ([[graft.operators.AsOf]]). `direction` ∈
+    * {"backward", "forward"}.
+    */
+  def mergeAsof(ref: Frame, key: String, ts: String, value: String,
+      direction: String = "backward"): Frame = direction match {
+    case "backward" =>
+      Frame(graft.operators.AsOf.joinAsOf(df, ref.df, key, ts, value))
+    case "forward" =>
+      Frame(graft.operators.AsOf.joinAsOfForward(df, ref.df, key, ts, value))
+    case other =>
+      throw new IllegalArgumentException(
+        s"merge_asof direction must be backward|forward, got '$other'")
+  }
+
   // --- windows --------------------------------------------------------
   /** rolling(window=n, min_periods) aggregate per group, ordered. */
   def rolling(n: Int, minPeriods: Int, valueCol: String,

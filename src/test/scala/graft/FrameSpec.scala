@@ -175,4 +175,31 @@ class FrameSpec extends AnyFunSuite {
     val d = li.describe("l_quantity").df
     assert(d.count() == 5)
   }
+
+  test("qcut yields near-equal-frequency bins; mergeAsof directions agree with window forms") {
+    val binned = li.qcut("l_extendedprice", 4,
+      partitionBy = Seq("l_returnflag"),
+      tiebreak = Seq("l_orderkey", "l_linenumber"), out = "q4")
+    val sizes = binned.df.groupBy(col("l_returnflag"), col("q4")).count()
+      .groupBy(col("l_returnflag"))
+      .agg((max(col("count")) - min(col("count"))).as("spread"))
+      .collect()
+    sizes.foreach(r => assert(r.getAs[Long]("spread") <= 1,
+      "ntile bins within a group must differ by at most one row"))
+
+    val ev = graft.engine.Frame(Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts")))
+    val ref = graft.engine.Frame(Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pv")))
+    val back = ev.mergeAsof(ref, "user_id", "ts", "pv", "backward").df
+    val fwd = ev.mergeAsof(ref, "user_id", "ts", "pv", "forward").df
+    assert(back.count() == ev.df.count() && fwd.count() == ev.df.count())
+    // backward result ts <= probe ts; forward result ts >= probe ts
+    assert(back.filter(col("asof_ts") > col("ts")).count() == 0)
+    assert(fwd.filter(col("asof_fwd_ts") < col("ts")).count() == 0)
+    intercept[IllegalArgumentException] {
+      ev.mergeAsof(ref, "user_id", "ts", "pv", "sideways")
+    }
+  }
 }
