@@ -656,6 +656,17 @@ object LlmOps {
         }
         .reduce(_ + _)
     val bucketArr = array(bandBucket(0), bandBucket(1))
+    // The plane arrays are exactly 64-wide: DotF64 folds min(len) terms,
+    // so a wider embedding table would SILENTLY project onto the first
+    // 64 dims (both engines agree — the oracle stays green while bucket
+    // quality quietly degrades). Fail loudly instead, like the
+    // ragged-dims guards in the sim_ann/semantic paths.
+    val dimsRow = Tables.embeddings(s, dir)
+      .select(embDouble.as("e"))
+      .agg(min(size(col("e"))), max(size(col("e")))).head()
+    require(dimsRow.getInt(0) == 64 && dimsRow.getInt(1) == 64,
+      s"dedupEmbCosine planes are built for 64-dim embeddings, got " +
+        s"min=${dimsRow.getInt(0)} max=${dimsRow.getInt(1)}")
     val banded0 = Tables
       .embeddings(s, dir)
       .select(col("vec_id"), embDouble.as("e"))
