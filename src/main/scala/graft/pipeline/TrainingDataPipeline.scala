@@ -121,7 +121,9 @@ object TrainingDataPipeline {
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(0, size(__tk) - $gramLen), " +
             s"i -> concat_ws(' ', slice(__tk, i + 1, $gramLen)))")).as("__g"))
-        .distinct()
+    // No pre-join distinct: the semi join is map-side (bounded bench
+    // grams broadcast), and only doc_id survives — the one distinct
+    // runs on the contaminated id set, never on corpus-scale grams.
     val contaminated = grams(docs)
       .join(grams(bench).select(col("__g")).distinct(), Seq("__g"), "left_semi")
       .select(col("doc_id"))

@@ -1217,12 +1217,17 @@ object LlmOps {
             """transform(sequence(0, size(tk) - 4),
               |  i -> concat_ws(' ', slice(tk, i + 1, 4)))""".stripMargin))
             .as("g8"))
-        .distinct()
     val docs = Tables.documents(s, dir)
     val bench = grams(docs.filter(pmod(col("doc_id"), lit(100)) === 0))
       .select(col("g8")).distinct()
+    // Distinct AFTER the semi join, not before: the join is map-side
+    // (bounded bench grams broadcast), so filtering first means the
+    // (doc_id, gram) distinct only shuffles the CONTAMINATED survivors
+    // — a distinct before the join would shuffle corpus-scale string
+    // grams for nothing. Same result: distinct commutes with the filter.
     grams(docs.filter(pmod(col("doc_id"), lit(100)) =!= 0))
       .join(bench, Seq("g8"), "left_semi")
+      .distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy(col("doc_id"))
