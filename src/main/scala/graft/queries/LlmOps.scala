@@ -1024,18 +1024,26 @@ object LlmOps {
     * sample_hash_rows shape) to drop rows before the exchange.
     */
   private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // Bounded top-k Aggregator ([[graft.agg.TopKAgg]]): O(k) state with
+    // map-side combine, so a billion-row stratum costs the same
+    // aggregation state as a thousand-row one and the stratum exchange
+    // moves only k (rank, id) pairs per map partition. A rank window
+    // computes the same rows by SORTING every stratum in full — that
+    // shape only survives while strata are small.
+    val topk = udaf(new graft.agg.TopKAgg(10))
     Tables
       .documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         pmod(col("doc_id") * lit(48271L), lit(2147483647L)).as("rk"))
-      .withColumn("rn",
-        row_number().over(Window
-          .partitionBy(col("lang"), col("source"))
-          .orderBy(col("rk"), col("doc_id"))))
-      .filter(col("rn") <= 10)
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("rn").cast(LongType).as("rn"))
+      .groupBy(col("lang"), col("source"))
+      .agg(topk(col("rk"), col("doc_id")).as("picks"))
+      .select(col("lang"), col("source"),
+        posexplode(col("picks")).as(Seq("pos", "pick")))
+      .select(
+        col("pick._2").as("doc_id"),
+        col("lang"),
+        col("source"),
+        (col("pos") + 1).cast(LongType).as("rn"))
   }
 
   private val sampleStratifiedSql =

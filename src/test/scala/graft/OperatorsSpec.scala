@@ -176,6 +176,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("asof_pv") == expected)
   }
 
+  test("TopKAgg keeps the k smallest pairs in order with bounded state") {
+    val agg = new graft.agg.TopKAgg(3)
+    val rng = new scala.util.Random(7)
+    val items = Seq.fill(500)((rng.nextLong().abs % 1000, rng.nextLong().abs))
+    val buf = items.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    assert(buf.length == 3, "buffer must stay bounded at k")
+    val expected = items.sorted.take(3)
+    assert(agg.finish(buf) == expected)
+    // merge of two halves equals one pass
+    val (l, r) = items.splitAt(250)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)),
+      r.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)))
+    assert(agg.finish(merged) == expected)
+  }
+
   test("pack_sequences: greedy packing invariants hold") {
     val rows = SparkEntry
       .queries("pack_sequences")(spark, sf)
