@@ -102,7 +102,30 @@ object Fuzz {
     }
 
     def query(): String = {
-      val kind = rng.nextInt(9)
+      val kind = rng.nextInt(11)
+      if (kind == 10) {
+        // HAVING template: post-aggregation filtering — integer-exact
+        // counts/sums, so the HAVING comparison is portable by
+        // construction
+        val key = strExpr()
+        return s"""SELECT $key AS k, count(*) AS n,
+           |  CAST(sum(${intExpr()}) AS BIGINT) AS s1
+           |FROM lineitem WHERE ${pred()}
+           |GROUP BY $key HAVING count(*) > ${1 + rng.nextInt(50)}""".stripMargin
+      }
+      if (kind == 9) {
+        // IN-subquery template: semi-join decorrelation surface (the
+        // q4/q16/q20 family) — the inner query is keyed on orders
+        val inner = s"SELECT o_orderkey FROM orders WHERE " +
+          pick(Seq(
+            s"o_orderstatus = '${pick(Seq("F", "O", "P"))}'",
+            s"o_custkey % ${2 + rng.nextInt(10)} = 0",
+            s"o_orderdate < DATE '${1996 + rng.nextInt(4)}-06-15'"))
+        return s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |  ${intExpr()} AS e1
+           |FROM lineitem
+           |WHERE l_orderkey IN ($inner) AND ${pred()}""".stripMargin
+      }
       if (kind == 8) {
         // lineitem ⋈ part ⋈ supplier: the two-dimension star join shape
         // (q2/q9/q16/q20 family). Doubles appear only under min/max
