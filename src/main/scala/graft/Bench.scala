@@ -8,6 +8,20 @@ import org.apache.spark.sql.SparkSession
   *
   * Timing forces full materialization through a noop datasource write
   * (a bare count() would let Catalyst prune the projections).
+  *
+  * Harness shape (round 8, after the round-7 driver run drifted ~1.6×
+  * on queries whose code had not changed): each query is measured as a
+  * GROUP — two warmups then five timed reps back to back — so its
+  * measurement happens immediately after its own warmup, not after a
+  * full sweep of every other query has churned the heap. Between groups
+  * the harness clears the SQL cache and forces a GC: Spark's
+  * ContextCleaner only reclaims dead broadcasts when the JVM collects
+  * their weak references, and its own periodic-GC default (30 min) never
+  * fires inside a bench run, so without the explicit GC every broadcast
+  * any earlier query created (tokenizer vocabs, hint-broadcast dims)
+  * stays on the heap for the rest of the run. A per-group stderr line
+  * records heap-used and cumulative GC time so a future drift arrives
+  * with evidence attached.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -25,8 +39,20 @@ object Bench {
     // round-7: the last five NDS-H ports (correlated-subquery family)
     "ndsh_q2", "ndsh_q11", "ndsh_q16", "ndsh_q20", "ndsh_q21",
     // round-7: the heavier new pipeline ops (packing is a sorted scan,
-    // tfidf a two-shuffle rank, wordpiece a driver vocab + per-row UDF)
+    // tfidf a two-shuffle rank, wordpiece a broadcast-vocab UDF)
     "pack_sequences", "text_tfidf_topk", "text_wordpiece")
+
+  private def heapUsedMb: Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime)
+      .sum
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,19 +77,34 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Two warmup passes (JVM/JIT/codegen-cache/file-listing — one pass
-    // leaves the C2 compiler mid-flight on the heavier queries), then
-    // per-query median of five measured runs taken back to back so each
-    // query group runs on a warm JVM. An identical-code re-run of the
-    // old min-of-2 harness swung ±50% per query — too noisy to detect a
-    // real 1.5× regression; the median of five back-to-back runs is
-    // robust to both one-sided GC outliers and bimodal scheduler noise.
+    // Drop caches and give the ContextCleaner a GC to ride: dead
+    // broadcasts/accumulators are weak-ref-triggered, and nothing else
+    // collects the old-gen during a bench run.
+    def groupCleanup(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200) // let the cleaner thread drain its queue
+    }
+
+    // One full pre-pass so global one-time costs — JVM/codegen caches,
+    // parquet footer reads, DimCache'd vocab/dims dimensions — land
+    // before ANY group is measured, keeping group order irrelevant.
     headline.foreach(run)
-    headline.foreach(run)
+    groupCleanup()
+
+    // Per-query median of five, measured inside the query's own group:
+    // warmup, then five timed runs back to back on a just-cleaned heap.
+    // Median-of-5 is robust to one-sided GC outliers; the group shape
+    // keeps cross-query heap pollution out of the number entirely.
     val reps = 5
     val results = headline.map { n =>
+      run(n) // group-local warmup (C2 finishes mid-flight compiles)
       val ts = Seq.fill(reps)(run(n))
-      n -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2))
+      val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
+      System.err.println(
+        f"[bench] $n%-22s median=$med%7.3fs heap=${heapUsedMb}%5dMB gc=${gcMillis}%6dms")
+      groupCleanup()
+      n -> med
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

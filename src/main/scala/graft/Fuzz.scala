@@ -102,7 +102,39 @@ object Fuzz {
     }
 
     def query(): String = {
-      val kind = rng.nextInt(11)
+      val kind = rng.nextInt(12)
+      if (kind == 11) {
+        // documents ⋈ embeddings template (the one table pairing the
+        // grammar didn't cover): id-equijoin + array ops. Portability:
+        // size/element_at are bridged to len/list_extract by DuckDB
+        // macros in tools/check.py (same 1-based, same null semantics);
+        // element values only ever appear CAST to DOUBLE (float→double
+        // widening is exact in both engines) and summed fixed-point.
+        // Indices stay ≤ 8 — embeddings are 64-wide, and Spark's ANSI
+        // element_at throws on out-of-bounds where DuckDB returns NULL.
+        val i1 = 1 + rng.nextInt(8)
+        val i2 = 1 + rng.nextInt(8)
+        val lang = pick(Seq("en", "de", "zh", "fr", "es"))
+        val p = pick(Seq(
+          s"lang = '$lang'",
+          s"lang <> '$lang'",
+          s"doc_id % ${2 + rng.nextInt(10)} = 0",
+          s"length(text) % ${2 + rng.nextInt(7)} = 0"))
+        val elem = (i: Int) => s"CAST(element_at(embedding, $i) AS DOUBLE)"
+        return if (rng.nextBoolean())
+          s"""SELECT doc_id, lang, CAST(size(embedding) AS BIGINT) AS dims,
+             |  CAST(floor(${elem(i1)} * 1e4) AS BIGINT) AS v1,
+             |  CAST(floor((${elem(i1)} * ${elem(i2)}) * 1e4) AS BIGINT) AS v12
+             |FROM documents JOIN embeddings ON doc_id = vec_id
+             |WHERE $p""".stripMargin
+        else
+          s"""SELECT lang AS k, count(*) AS n,
+             |  CAST(sum(CAST(floor(${elem(i1)} * 1e4) AS BIGINT)) AS BIGINT) AS s1,
+             |  min(CAST(size(embedding) AS BIGINT)) AS mnd,
+             |  max(doc_id) AS dmax
+             |FROM documents JOIN embeddings ON doc_id = vec_id
+             |WHERE $p GROUP BY 1""".stripMargin
+      }
       if (kind == 10) {
         // HAVING template: post-aggregation filtering — integer-exact
         // counts/sums, so the HAVING comparison is portable by
@@ -290,6 +322,7 @@ object Fuzz {
     Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
     Tables.part(spark, sfDir).createOrReplaceTempView("part")
     Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
 
     val gen = Gen(new Random(seed))
     val sqls = (0 until nQueries).map(i => f"fz_$i%03d" -> gen.query())

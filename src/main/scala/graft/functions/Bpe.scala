@@ -21,10 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Hard cap on the driver-collected frequent-word table the trainer
+    * iterates over — the same bounded-dimension contract as
+    * [[Wordpiece.maxVocab]]: minFreq bounds the table only as corpus
+    * diversity allows, so at 100 TB the cap is what keeps the collect
+    * driver-safe. Top entries by (count desc, word) — deterministic.
+    */
+  val maxWords: Int = 1 << 17
+
+  /** One word split into code points (not UTF-16 units — a surrogate
+    * pair is ONE initial symbol, matching code-point-indexing engines).
+    */
+  private def cpSplit(word: String): Vector[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toVector
+
   /** Tokenize one word by iterative lowest-rank merging. */
   def bpeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
     if (word.isEmpty) return Seq.empty
-    var pieces: Vector[String] = word.map(_.toString).toVector
+    var pieces: Vector[String] = cpSplit(word)
     var done = false
     while (!done && pieces.length > 1) {
       var best = -1
@@ -50,14 +66,22 @@ object Bpe {
     * (count desc, pair lexicographic) so the table is deterministic.
     */
   def learnMerges(docs: DataFrame, nMerges: Int, minFreq: Long): Seq[(String, String)] = {
-    var words: Array[(Vector[String], Long)] = docs
+    val counted = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w"))
       .count()
       .filter(col("count") >= minFreq)
+      .orderBy(col("count").desc, col("w"))
+      .limit(maxWords + 1)
       .collect()
-      .map(r => r.getString(0).map(_.toString).toVector -> r.getLong(1))
+    if (counted.length > maxWords)
+      log.warn(
+        s"BPE frequent-word table capped at $maxWords entries " +
+          s"(minFreq=$minFreq admitted more); dropping the tail")
+    var words: Array[(Vector[String], Long)] = counted
+      .take(maxWords)
+      .map(r => cpSplit(r.getString(0)) -> r.getLong(1))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var step = 0
     while (step < nMerges) {
@@ -76,6 +100,19 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  /** [[learnMerges]] computed once per (dataset dir, params) — see
+    * [[graft.DimCache]]; repeated query-builder invocations reuse the
+    * trained table instead of re-running the corpus aggregation and the
+    * 200-step driver loop.
+    */
+  def mergesFor(
+      dir: String,
+      docs: => DataFrame,
+      nMerges: Int,
+      minFreq: Long): Seq[(String, String)] =
+    graft.DimCache.cached(s"bpe-merges:$dir:$nMerges:$minFreq")(
+      learnMerges(docs, nMerges, minFreq))
 
   private def mergeOnce(syms: Vector[String], p: (String, String)): Vector[String] = {
     val out = Vector.newBuilder[String]

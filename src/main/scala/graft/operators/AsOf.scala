@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
   * join would explode candidates per probe row; a per-probe subquery
   * would be quadratic).
   *
-  * Ties: the caller must make `ref` unique per (key, ts) (pre-aggregate
-  * if needed) — standard as-of determinism requirement. Probe rows tied
-  * on (key, ts) are safe: their window result depends only on preceding
-  * reference rows. `ref.ts == probe.ts` matches (<= semantics), because
-  * tag 0 sorts before tag 1.
+  * Ties: PRECONDITION — `ref` should be unique per (key, ts)
+  * (pre-aggregate if needed), the standard as-of determinism
+  * requirement; all in-repo callers satisfy it. If it is violated, the
+  * pick among tied reference rows is still DETERMINISTIC (not
+  * plan-dependent): the window ordering carries the value as a final
+  * tiebreak, so the backward join resolves ties to the GREATEST value
+  * and the forward join to the LEAST. Probe rows tied on (key, ts) are
+  * always safe: their window result depends only on reference rows.
+  * `ref.ts == probe.ts` matches (<= semantics), because tag 0 sorts
+  * before tag 1.
   */
 object AsOf {
 
@@ -41,9 +46,12 @@ object AsOf {
         probeCols.filterNot(Set(keyCol, tsCol)).map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
     val unioned = p.select((probeCols.map(col) ++ Seq(col("__v"), col("__tag"))): _*)
       .unionByName(r0.select((probeCols.map(col) ++ Seq(col("__v"), col("__tag"))): _*))
+    // __v as final sort key: duplicate-(key, ts) reference rows (a
+    // precondition violation) resolve deterministically — last() picks
+    // the greatest value — instead of by physical row order.
     val w = Window
       .partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__tag"))
+      .orderBy(col(tsCol), col("__tag"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
       .withColumn(s"asof_$valCol",
@@ -73,9 +81,11 @@ object AsOf {
         probeCols.filterNot(Set(keyCol, tsCol)).map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
     val unioned = p.select((probeCols.map(col) ++ Seq(col("__v"), col("__tag"))): _*)
       .unionByName(r0.select((probeCols.map(col) ++ Seq(col("__v"), col("__tag"))): _*))
+    // __v tiebreak mirrors the backward join: first() among tied tag-2
+    // rows picks the least value, deterministically.
     val w = Window
       .partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__tag"))
+      .orderBy(col(tsCol), col("__tag"), col("__v"))
       .rowsBetween(0, Window.unboundedFollowing)
     unioned
       .withColumn(s"asof_fwd_$valCol",

@@ -58,8 +58,13 @@ object Similarity {
     emb
       .orderBy(pmod(col("vec_id") * lit(48271L), lit(2147483647L)), col("vec_id"))
       .limit(nCells)
+      // Bounded domain (nCells rows): the renumber legitimately runs in
+      // one partition. partitionBy(lit(0)) keeps the spec non-empty so
+      // WindowExec's single-partition warning stays meaningful for REAL
+      // unpartitioned windows elsewhere.
       .withColumn("cell_id",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast(IntegerType))
+        (row_number().over(Window.partitionBy(lit(0)).orderBy(col("vec_id"))) - 1)
+          .cast(IntegerType))
       .select(col("cell_id"), toDouble(col("embedding")).as("centroid"))
   }
 

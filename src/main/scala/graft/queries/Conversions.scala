@@ -177,8 +177,11 @@ object Conversions {
     val dict = Tables
       .part(s, dir)
       .select(col("p_type")).distinct()
+      // Bounded dictionary domain: single-partition by design; the
+      // lit(0) partition key silences WindowExec's warning without
+      // changing the ranking (see Similarity.centroids).
       .withColumn("type_code",
-        row_number().over(Window.orderBy(col("p_type"))) - 1)
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("p_type"))) - 1)
     Tables
       .part(s, dir)
       .join(broadcast(dict), "p_type")

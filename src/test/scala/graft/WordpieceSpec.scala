@@ -105,6 +105,38 @@ class WordpieceSpec extends AnyFunSuite {
     assert(out.filter(col("n_pieces") > 0).count() > 0)
   }
 
+  test("non-BMP input: code-point walk, whole-emoji vocab chars, no lone surrogates") {
+    // tokenizeWord boundaries are code points: a surrogate pair is one
+    // position, matching engines that index strings by code point
+    // (the DuckDB oracle's substring/length)
+    val vocab = Set("a", "##a", "🎉", "##🎉") // 🎉
+    assert(Wordpiece.tokenizeWord("a🎉a", vocab) ==
+      Seq("a", "##🎉", "##a"))
+    // unmatched non-BMP char → [UNK], never a half-surrogate piece
+    assert(Wordpiece.tokenizeWord("💡", vocab) == Seq("[UNK]"))
+    // buildVocab char augmentation is per code point
+    val docs = spark.createDataFrame(Seq((1L, "x🎉"))).toDF("doc_id", "text")
+    val built = Wordpiece.buildVocab(docs, minFreq = 1)
+    assert(built.contains("🎉") && built.contains("##🎉"))
+    def wellFormed(p: String): Boolean = {
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        if (Character.isHighSurrogate(c)) {
+          if (i + 1 >= p.length || !Character.isLowSurrogate(p.charAt(i + 1)))
+            return false
+          i += 2
+        } else if (Character.isLowSurrogate(c)) return false
+        else i += 1
+      }
+      true
+    }
+    assert(built.forall(wellFormed))
+    // BPE splits the same way: one symbol per code point
+    import graft.functions.Bpe
+    assert(Bpe.bpeWord("a🎉", Map.empty) == Seq("a", "🎉"))
+  }
+
   test("custom-delimiter text read (multibyte_split equivalent)") {
     // read_text on arbitrary delimiter (io/text/multibyte_split.hpp:92) →
     // textinputformat.record.delimiter

@@ -73,6 +73,12 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # Spark-name bridges for the FUZZ grammar's array ops (used only by
+    # Fuzz-generated SQL; SparkEntry.oracleSql never relies on these —
+    # the driver's own gate has no such macros). Same 1-based indexing,
+    # same null-in/null-out semantics.
+    con.execute("CREATE MACRO size(l) AS len(l)")
+    con.execute("CREATE MACRO element_at(l, i) AS list_extract(l, i)")
 
     n_pass = n_fail = n_noracle = 0
     results = sorted(p.name for p in out_dir.iterdir() if p.is_dir())
