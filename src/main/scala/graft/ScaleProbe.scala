@@ -52,12 +52,67 @@ object ScaleProbe {
         f"""{"probe":"$name","factor":$f,"n_docs":${baseN * f},"out_docs":$outN,"secs":$secs%.2f}""")
     }
 
+    // pack_sequences skew axis: replicate into ONE lang stream (every
+    // replica keeps the base lang distribution, which is already ~5
+    // langs — the giant-stream worst case is all replicas of the most
+    // common lang landing in one sorted partition scan). Wall time
+    // should stay near-linear: packing is a single forward scan per
+    // key, so a hot key costs O(its rows), never O(rows²).
+    def probePack(f: Int): Unit = {
+      val langDocs = Tables
+        .documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val big = (0 until f)
+        .map(i => langDocs.select(
+          (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+          col("lang"), col("text")))
+        .reduce(_ union _)
+        .select(col("doc_id"), col("lang"),
+          size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_toks"))
+      val t0 = System.nanoTime()
+      val packed = operators.Packing
+        .packGreedy(big, "lang", Seq("doc_id"), "n_toks", budget = 200L)
+      val nPacks = packed
+        .groupBy(col("lang")).agg(max(col("pack_id"))).count()
+      val rows = packed.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(
+        f"""{"probe":"pack_sequences","factor":$f,"n_docs":${baseN * f},"rows":$rows,"streams":$nPacks,"secs":$secs%.2f}""")
+    }
+
+    // tfidf skew axis: a corpus-wide hot token appended to EVERY doc of
+    // every replica — its (tok) df row aggregates n_docs values and its
+    // tf rows appear once per doc. The shuffles stay compact because tf
+    // pre-aggregates per (doc, tok) map-side; the hot token stresses the
+    // df aggregation and the join fan-out on the "tok" key.
+    def probeTfidf(f: Int): Unit = {
+      val big = (0 until f)
+        .map { i =>
+          val t =
+            if (i == 0) concat(col("text"), lit(" hottoken"))
+            else expr(
+              s"concat(concat_ws(' ', transform(split(text, ' '), t -> concat(t, '_r$i'))), ' hottoken')")
+          docs.select(
+            (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+            t.as("text"))
+        }
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val out = queries.LlmOps.tfidfTopkOver(big, k = 5).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(
+        f"""{"probe":"tfidf_topk_hot","factor":$f,"n_docs":${baseN * f},"out_rows":$out,"secs":$secs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
         .map(i => docs.select((col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"), col("text")))
         .reduce(_ union _)
       probe("lsh_dedup", f, replicated)
+
+      probePack(f)
+      probeTfidf(f)
 
       // realistic: salt every token per replica so all shingles differ
       // across replicas (replica 0 keeps the original text, so the base

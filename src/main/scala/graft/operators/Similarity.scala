@@ -59,11 +59,14 @@ object Similarity {
       .orderBy(pmod(col("vec_id") * lit(48271L), lit(2147483647L)), col("vec_id"))
       .limit(nCells)
       // Bounded domain (nCells rows): the renumber legitimately runs in
-      // one partition. partitionBy(lit(0)) keeps the spec non-empty so
-      // WindowExec's single-partition warning stays meaningful for REAL
-      // unpartitioned windows elsewhere.
+      // one partition. The constant partition key keeps the spec
+      // non-empty so WindowExec's single-partition warning stays
+      // meaningful for REAL unpartitioned windows elsewhere; vec_id*0
+      // (vec_id is non-null) rather than lit(0) because the optimizer
+      // prunes foldable partition keys back to an empty spec.
       .withColumn("cell_id",
-        (row_number().over(Window.partitionBy(lit(0)).orderBy(col("vec_id"))) - 1)
+        (row_number().over(
+          Window.partitionBy(col("vec_id") * lit(0)).orderBy(col("vec_id"))) - 1)
           .cast(IntegerType))
       .select(col("cell_id"), toDouble(col("embedding")).as("centroid"))
   }

@@ -178,10 +178,14 @@ object Conversions {
       .part(s, dir)
       .select(col("p_type")).distinct()
       // Bounded dictionary domain: single-partition by design; the
-      // lit(0) partition key silences WindowExec's warning without
-      // changing the ranking (see Similarity.centroids).
+      // constant partition key silences WindowExec's warning without
+      // changing the ranking. length(p_type)*0 (p_type is non-null)
+      // rather than lit(0): the optimizer prunes foldable partition
+      // keys back to an empty spec (see Similarity.centroids).
       .withColumn("type_code",
-        row_number().over(Window.partitionBy(lit(0)).orderBy(col("p_type"))) - 1)
+        row_number().over(
+          Window.partitionBy(length(col("p_type")) * lit(0))
+            .orderBy(col("p_type"))) - 1)
     Tables
       .part(s, dir)
       .join(broadcast(dict), "p_type")

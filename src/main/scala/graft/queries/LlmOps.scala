@@ -1076,10 +1076,15 @@ object LlmOps {
     * tok; N is a 1-row in-plan broadcast. The final rank window
     * partitions by doc_id — never a global sort.
     */
-  private def textTfidfTopk(s: SparkSession, dir: String): DataFrame = {
+  private def textTfidfTopk(s: SparkSession, dir: String): DataFrame =
+    tfidfTopkOver(Tables.documents(s, dir), k = 5)
+
+  /** The tf-idf top-k pipeline over an arbitrary (doc_id, text) frame —
+    * public so ScaleProbe can drive it on enlarged corpora.
+    */
+  def tfidfTopkOver(documents: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables
-      .documents(s, dir)
+    val tf = documents
       .select(col("doc_id"),
         explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -1105,7 +1110,7 @@ object LlmOps {
         row_number().over(Window
           .partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("tok"))))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= k)
       .select(col("doc_id"), col("tok"), col("tfidf"),
         col("rn").cast(LongType).as("rn"))
   }

@@ -272,6 +272,65 @@ object Relational {
       |     n_name FROM nation) n
       |ON cn IS NOT DISTINCT FROM nn""".stripMargin
 
+  /** lineitem ⋈ orders routed through the PERSISTENT bucketed layout
+    * ([[graft.sources.Bucketed]], ref partitioning.hpp applied at the
+    * storage layer): both sides written bucket-sorted on orderkey once
+    * per JVM per dataset (DimCache — write-once/join-many is the whole
+    * point of the layout), then sort-merge joined with ZERO Exchange
+    * below the join. The zero-Exchange property is REQUIRED at build
+    * time, so this correctness row fails loudly if the bucketed path
+    * ever stops planning exchange-free; the oracle computes the same
+    * aggregate from the raw parquet, so the hash also proves the
+    * bucketed copy is faithful.
+    */
+  private def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    graft.DimCache.cached(s"bucketed-li-ord:$dir") {
+      // A fresh JVM has an empty in-memory catalog, but the warehouse
+      // DIRECTORY survives from previous runs — saveAsTable(overwrite)
+      // refuses an existing location it doesn't own, so drop both the
+      // catalog entry and any stale directory before writing.
+      def reset(t: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      reset("graft_li_bkt")
+      reset("graft_ord_bkt")
+      graft.sources.Bucketed.writeBucketed(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+        "graft_li_bkt", "l_orderkey", 8)
+      graft.sources.Bucketed.writeBucketed(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_ord_bkt", "o_orderkey", 8)
+      java.lang.Boolean.TRUE
+    }
+    // merge hint: at verify SF the orders side is broadcast-sized, and a
+    // broadcast join would bypass the layout under test.
+    val j = s.table("graft_li_bkt")
+      .join(s.table("graft_ord_bkt").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = j.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    require(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+      s"bucketed join must plan exchange-free:\n$plan")
+    j.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+  }
+
+  private val joinBucketedSql =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  count(DISTINCT l_returnflag) AS n_flags
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- §2.6
 
   /** sort with explicit null ordering (sorting.hpp:111, null_order) +
@@ -734,6 +793,7 @@ object Relational {
     "join_theta" -> Q(joinTheta _, joinThetaSql),
     "join_mixed" -> Q(joinMixed _, joinMixedSql),
     "join_null_safe" -> Q(joinNullSafe _, joinNullSafeSql),
+    "join_bucketed" -> Q(joinBucketed _, joinBucketedSql),
     "sort_rank_nulls" -> Q(sortRankNulls _, sortRankNullsSql),
     "top_k" -> Q(topK _, topKSql),
     "quantile_points" -> Q(quantilePoints _, quantilePointsSql),

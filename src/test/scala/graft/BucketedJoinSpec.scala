@@ -33,11 +33,9 @@ class BucketedJoinSpec extends AnyFunSuite {
       assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
       assert(!plan.contains("Exchange"),
         s"bucketed join must not shuffle:\n$plan")
-      // and it computes the same thing as the plain join
-      val expected = l
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .count()
-      assert(j.count() == expected)
+      // and it computes the same rows as the plain join, both ways
+      val expected = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      assert(j.exceptAll(expected).isEmpty && expected.exceptAll(j).isEmpty)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
