@@ -331,6 +331,38 @@ object Relational {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** lineitem ⋈ orders through the SALTED skew join
+    * ([[graft.operators.SkewJoin]]): probe rows carry a deterministic
+    * salt, the build side replicates once per salt, the key widens to
+    * (key, salt). The salt is internal — the result is EXACTLY the
+    * plain equi-join, which is what makes the skew path fully
+    * DuckDB-oracleable (the previous spec-only row): the oracle is the
+    * unsalted join, so the hash proves replication+widening loses and
+    * invents nothing.
+    */
+  private def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val probe = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val build = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin
+      .saltedEquiJoin(probe, build, "l_orderkey", col("l_linenumber"), salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        max(col("l_linenumber")).as("max_line"))
+  }
+
+  private val joinSkewSaltedSql =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  max(l_linenumber) AS max_line
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- §2.6
 
   /** sort with explicit null ordering (sorting.hpp:111, null_order) +
@@ -794,6 +826,7 @@ object Relational {
     "join_mixed" -> Q(joinMixed _, joinMixedSql),
     "join_null_safe" -> Q(joinNullSafe _, joinNullSafeSql),
     "join_bucketed" -> Q(joinBucketed _, joinBucketedSql),
+    "join_skew_salted" -> Q(joinSkewSalted _, joinSkewSaltedSql),
     "sort_rank_nulls" -> Q(sortRankNulls _, sortRankNullsSql),
     "top_k" -> Q(topK _, topKSql),
     "quantile_points" -> Q(quantilePoints _, quantilePointsSql),

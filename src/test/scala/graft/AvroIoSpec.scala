@@ -1,0 +1,76 @@
+package graft
+
+import graft.sources.Avro
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Avro container-file IO (ref `cpp/include/cudf/io/avro.hpp:231`) —
+  * the round-7 "missing, env-bound" row closed: no spark-avro
+  * DATASOURCE jar exists offline, but avro core + avro-mapred (Spark's
+  * own dependencies) carry the Hadoop input/output formats, so
+  * [[graft.sources.Avro]] reads and writes container files distributed
+  * (sync-marker splits in, one file per partition out).
+  */
+class AvroIoSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString + "/out"
+
+  test("avro round-trip: primitives, nullables, arrays, binary, nested struct") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("flags", ArrayType(IntegerType, containsNull = false)),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("meta", StructType(Seq(
+        StructField("k", StringType, nullable = true),
+        StructField("v", LongType, nullable = false))))))
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, Seq(1, 2, 3), Array[Byte](1, 2), Row("x", 10L)),
+      Row(2L, null, null, Seq.empty[Int], null, Row(null, 0L)),
+      Row(3L, "gamma", -0.25, Seq(7), Array[Byte](), Row("z", -4L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val path = tmp("graft-avro-rt")
+    Avro.writeAvro(df, path)
+    val back = Avro.readAvro(spark, path)
+    assert(back.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+    val a = back.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)), Option(r.get(2)),
+        r.getSeq[Int](3), Option(r.get(4)).map(_.asInstanceOf[Array[Byte]].toSeq),
+        r.getStruct(5).toSeq)).toSet
+    val b = rows.map(r =>
+      (r.getLong(0), Option(r.getString(1)), Option(r.get(2)),
+        r.getSeq[Int](3), Option(r.get(4)).map(_.asInstanceOf[Array[Byte]].toSeq),
+        r.getStruct(5).toSeq)).toSet
+    assert(a == b)
+  }
+
+  test("avro read is distributed and matches the parquet source table") {
+    val src = Tables
+      .orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .repartition(4)
+    val path = tmp("graft-avro-orders")
+    Avro.writeAvro(src, path)
+    val back = Avro.readAvro(spark, path)
+    // one container file per input partition → a distributed read
+    assert(back.rdd.getNumPartitions >= 2)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("unsupported schema fails loudly") {
+    val df = spark.range(1).select(
+      org.apache.spark.sql.functions.current_timestamp().as("ts"))
+    val e = intercept[IllegalArgumentException] {
+      Avro.writeAvro(df, tmp("graft-avro-bad"))
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+}
