@@ -91,6 +91,7 @@ object Similarity {
   def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
     val cRows = cents.select(col("cell_id"), col("centroid")).collect()
       .sortBy(_.getInt(0))
+      .toIndexedSeq
     require(cRows.nonEmpty, "assignCells: empty centroid set")
     val cellIds = array(cRows.map(r => lit(r.getInt(0))): _*)
     val unitCents = array(cRows.map { r =>
