@@ -170,6 +170,78 @@ object CustomExprs {
     * greedy wordpiece above (goldens in WordpieceSpec distinguish the
     * two on the same input). Rows-only (merge table is data-derived).
     */
+  /** merge-ranks BPE APPLICATION with a FIXED literal merge table — the
+    * portable twin of `text_bpe` (pattern: `dedup_minhash_portable`).
+    * The trainer stays rows-only (sequential corpus-wide loop, no SQL
+    * twin), but the applier — iterative lowest-rank merging, first
+    * occurrence on rank ties, replayed to fixpoint — is fully oracled
+    * here: the DuckDB twin drives the same recursion per distinct word
+    * with a rank MAP, merging one pair per step exactly like
+    * [[graft.functions.Bpe.bpeWord]]'s while loop. Key-collision note:
+    * initial pieces are single code points and multi-char pieces arise
+    * only from table merges (letter-only), so the `a || ',' || b`
+    * lookup key is unambiguous even if the corpus contains commas.
+    */
+  private val bpePortableMerges = Seq(
+    ("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"), ("a", "n"), ("an", "d"))
+
+  private def bpePortable(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.functions.Bpe
+      .tokenize(s, docs, bpePortableMerges)
+      .select(col("doc_id"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        graft.ArrCanon.joined(slice(col("pieces"), 1, 5)).as("head_pieces"))
+  }
+
+  private val bpePortableSql = {
+    val rankMap = "MAP {" + Seq(
+      ("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"), ("a", "n"), ("an", "d"))
+      .zipWithIndex
+      .map { case ((a, b), r) => s"'$a,$b': $r" }
+      .mkString(", ") + "}"
+    s"""WITH RECURSIVE
+       |alltoks AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |         unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |words AS (SELECT DISTINCT word FROM alltoks WHERE length(word) > 0),
+       |init AS (
+       |  SELECT word,
+       |    list_transform(range(1, length(word) + 1),
+       |      i -> substring(word, i, 1)) AS pieces
+       |  FROM words),
+       |walk AS (
+       |  SELECT word, pieces, len(pieces) <= 1 AS done FROM init
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN best IS NULL THEN pieces
+       |         ELSE list_concat(list_concat(pieces[1:best.pos-1],
+       |                [pieces[best.pos] || pieces[best.pos+1]]),
+       |                pieces[best.pos+2:]) END,
+       |    best IS NULL
+       |  FROM (
+       |    SELECT word, pieces,
+       |      list_sort(list_filter(
+       |        list_transform(range(1, len(pieces)),
+       |          i -> struct_pack(
+       |            rnk := (($rankMap)[pieces[i] || ',' || pieces[i+1]])[1],
+       |            pos := i)),
+       |        c -> c.rnk IS NOT NULL))[1] AS best
+       |    FROM walk WHERE NOT done)),
+       |done AS (SELECT word, pieces FROM walk WHERE done),
+       |flat AS (
+       |  SELECT t.doc_id, flatten(list(d.pieces ORDER BY t.pos)) AS pieces
+       |  FROM alltoks t JOIN done d ON d.word = t.word
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id,
+       |  CAST(coalesce(len(pieces), 0) AS BIGINT) AS n_pieces,
+       |  ${graft.ArrCanon.joinedSql(
+             "list_slice(coalesce(pieces, CAST([] AS VARCHAR[])), 1, 5)")}
+       |    AS head_pieces
+       |FROM documents LEFT JOIN flat USING (doc_id)""".stripMargin
+  }
+
   private def bpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val merges =
@@ -199,6 +271,7 @@ object CustomExprs {
     "win_ewma_stream" -> Q(winEwmaStream _, winEwmaStreamSql),
     "text_wordpiece" -> Q(wordpieceTokens _, wordpieceSql),
     "text_bpe" -> Q(bpeTokens _, None),
+    "text_bpe_portable" -> Q(bpePortable _, bpePortableSql),
     "agg_percentile_approx" -> Q(percentileApprox _, None)
   )
 }

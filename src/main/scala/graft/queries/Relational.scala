@@ -284,6 +284,12 @@ object Relational {
     * bucketed copy is faithful.
     */
   private def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    // table names carry a dataset-dir fingerprint: two processes (or one
+    // JVM) verifying DIFFERENT sf dirs must not clobber each other's
+    // bucketed copies in the shared warehouse
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val liTbl = s"graft_li_bkt_$tag"
+    val ordTbl = s"graft_ord_bkt_$tag"
     graft.DimCache.cached(s"bucketed-li-ord:$dir") {
       // A fresh JVM has an empty in-memory catalog, but the warehouse
       // DIRECTORY survives from previous runs — saveAsTable(overwrite)
@@ -296,22 +302,22 @@ object Relational {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
       }
-      reset("graft_li_bkt")
-      reset("graft_ord_bkt")
+      reset(liTbl)
+      reset(ordTbl)
       graft.sources.Bucketed.writeBucketed(
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
-        "graft_li_bkt", "l_orderkey", 8)
+        liTbl, "l_orderkey", 8)
       graft.sources.Bucketed.writeBucketed(
         Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderpriority")),
-        "graft_ord_bkt", "o_orderkey", 8)
+        ordTbl, "o_orderkey", 8)
       java.lang.Boolean.TRUE
     }
     // merge hint: at verify SF the orders side is broadcast-sized, and a
     // broadcast join would bypass the layout under test.
-    val j = s.table("graft_li_bkt")
-      .join(s.table("graft_ord_bkt").hint("merge"),
+    val j = s.table(liTbl)
+      .join(s.table(ordTbl).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
     val plan = j.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
