@@ -28,10 +28,12 @@ import scala.jdk.CollectionConverters._
   * Supported schema subset (loud `IllegalArgumentException` otherwise):
   * the primitive types (boolean/int/long/float/double/string/bytes,
   * enum and fixed read as string/binary), nullable via ["null", T]
-  * unions, arrays, maps with string keys, and nested records. Logical
-  * types (decimal, timestamp-*) are read as their underlying primitive —
-  * documented, like the engine's TIMESTAMP(NANOS) µs-truncation
-  * contract.
+  * unions, arrays, maps with string keys, nested records, and the
+  * date/timestamp logical types at micros precision (avro `date` ↔
+  * DateType, `timestamp-micros` ↔ TimestampType,
+  * `local-timestamp-micros` ↔ TimestampNTZType — the engine's µs
+  * timestamp contract; millis-precision logical types and decimal are
+  * rejected loudly rather than silently re-scaled).
   */
 object Avro {
 
@@ -40,8 +42,23 @@ object Avro {
   /** avro Schema → Spark DataType (see supported subset above). */
   def sparkType(s: Schema): (DataType, Boolean) = s.getType match {
     case Schema.Type.BOOLEAN => (BooleanType, false)
-    case Schema.Type.INT     => (IntegerType, false)
-    case Schema.Type.LONG    => (LongType, false)
+    case Schema.Type.INT =>
+      s.getLogicalType match {
+        case _: org.apache.avro.LogicalTypes.Date => (DateType, false)
+        case _                                    => (IntegerType, false)
+      }
+    case Schema.Type.LONG =>
+      s.getLogicalType match {
+        case _: org.apache.avro.LogicalTypes.TimestampMicros =>
+          (TimestampType, false)
+        case _: org.apache.avro.LogicalTypes.LocalTimestampMicros =>
+          (TimestampNTZType, false)
+        case lt if lt != null && lt.getName.endsWith("-millis") =>
+          throw new IllegalArgumentException(
+            s"unsupported avro logical type (millis precision): $lt — " +
+              "only -micros timestamps are read")
+        case _ => (LongType, false)
+      }
     case Schema.Type.FLOAT   => (FloatType, false)
     case Schema.Type.DOUBLE  => (DoubleType, false)
     case Schema.Type.STRING  => (StringType, false)
@@ -76,6 +93,15 @@ object Avro {
       case BooleanType => Schema.create(Schema.Type.BOOLEAN)
       case IntegerType => Schema.create(Schema.Type.INT)
       case LongType    => Schema.create(Schema.Type.LONG)
+      case DateType =>
+        org.apache.avro.LogicalTypes.date()
+          .addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType =>
+        org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType =>
+        org.apache.avro.LogicalTypes.localTimestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
       case FloatType   => Schema.create(Schema.Type.FLOAT)
       case DoubleType  => Schema.create(Schema.Type.DOUBLE)
       case StringType  => Schema.create(Schema.Type.STRING)
@@ -104,6 +130,19 @@ object Avro {
   /** avro runtime value → Spark external value for `dt`. */
   private def toSpark(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
+    case (i: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case (l: java.lang.Long, TimestampType) =>
+      val micros = l.longValue()
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000L))
+    case (l: java.lang.Long, TimestampNTZType) =>
+      val micros = l.longValue()
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
     case (u: Utf8, StringType) => u.toString
     case (s: CharSequence, StringType) => s.toString
     case (e: AnyRef, StringType) => e.toString // GenericData.EnumSymbol
@@ -131,6 +170,18 @@ object Avro {
         schema.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
       else schema
     (v, s.getType) match {
+      case (d: java.sql.Date, Schema.Type.INT) =>
+        java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+      case (d: java.time.LocalDate, Schema.Type.INT) =>
+        java.lang.Integer.valueOf(d.toEpochDay.toInt)
+      case (t: java.sql.Timestamp, Schema.Type.LONG) =>
+        val i = t.toInstant
+        java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case (t: java.time.Instant, Schema.Type.LONG) =>
+        java.lang.Long.valueOf(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      case (t: java.time.LocalDateTime, Schema.Type.LONG) =>
+        val i = t.toInstant(java.time.ZoneOffset.UTC)
+        java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
       case (b: Array[Byte], Schema.Type.BYTES) => java.nio.ByteBuffer.wrap(b)
       case (seq: scala.collection.Seq[_], Schema.Type.ARRAY) =>
         seq.map(toAvro(_, s.getElementType)).asJava

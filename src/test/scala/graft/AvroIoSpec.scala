@@ -65,9 +65,34 @@ class AvroIoSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("date/timestamp logical types round-trip at micros precision") {
+    val df = spark.sql(
+      """SELECT id,
+        |  DATE'1994-07-15' + make_interval(0,0,0,CAST(id AS INT)) AS d,
+        |  timestamp_micros(812345678901234 + id * 1000001) AS ts,
+        |  CAST(timestamp_micros(812345678901234 + id) AS TIMESTAMP_NTZ) AS tsn
+        |FROM range(5)""".stripMargin)
+    val path = tmp("graft-avro-dt")
+    Avro.writeAvro(df, path)
+    val back = Avro.readAvro(spark, path)
+    assert(back.schema("d").dataType == org.apache.spark.sql.types.DateType)
+    assert(back.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(back.schema("tsn").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("events and lineitem tables (timestamp columns) round-trip") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val path = tmp("graft-avro-events")
+    Avro.writeAvro(ev, path)
+    val back = Avro.readAvro(spark, path)
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+  }
+
   test("unsupported schema fails loudly") {
     val df = spark.range(1).select(
-      org.apache.spark.sql.functions.current_timestamp().as("ts"))
+      org.apache.spark.sql.functions.lit(BigDecimal(1.5)).as("dec"))
     val e = intercept[IllegalArgumentException] {
       Avro.writeAvro(df, tmp("graft-avro-bad"))
     }
