@@ -91,4 +91,47 @@ class PropertySpec extends AnyFunSuite {
       if (n >= 0) assert(out.length <= n + 1)
     }
   }
+
+  test("avro and feather IO round-trip arbitrary typed rows") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("d", DoubleType, nullable = true),
+      StructField("xs", ArrayType(LongType, containsNull = false), nullable = true)))
+    val rowGen = for {
+      id <- Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)
+      s <- Gen.option(Gen.asciiPrintableStr.map(_.take(40)))
+      d <- Gen.option(Gen.oneOf(
+        Gen.chooseNum(-1e12, 1e12),
+        Gen.const(Double.MaxValue), Gen.const(Double.MinPositiveValue),
+        Gen.const(0.0), Gen.const(-0.0)).flatMap(identity(_))) // mix extremes
+      xs <- Gen.option(Gen.listOfN(3, Gen.chooseNum(-1000L, 1000L)))
+    } yield Row(id, s.orNull, d.map(Double.box).orNull, xs.orNull)
+    val spark = TestSpark.spark
+    // batch of generated rows per property sample keeps the Spark-job
+    // count bounded (one write+read per engine per batch, not per row)
+    forAll(Gen.listOfN(25, rowGen), n = 4) { (rows: List[Row]) =>
+      // distinct ids: the set-compare below must not collapse duplicates
+      val uniq = rows.zipWithIndex.map { case (r, i) =>
+        Row(i.toLong, r.get(1), r.get(2), r.get(3))
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(uniq, 2), schema)
+      def canon(rs: Array[Row]) = rs.map(r =>
+        (r.getLong(0), Option(r.getString(1)), Option(r.get(2)),
+          Option(r.get(3)).map(_.asInstanceOf[scala.collection.Seq[Long]].toList))).toSet
+      val base = canon(df.collect())
+      val avroDir = java.nio.file.Files
+        .createTempDirectory("graft-prop-avro").toString + "/o"
+      graft.sources.Avro.writeAvro(df, avroDir)
+      assert(canon(graft.sources.Avro.readAvro(spark, avroDir).collect()) == base)
+      val fPath = java.nio.file.Files
+        .createTempDirectory("graft-prop-feather").toString + "/o.feather"
+      org.apache.spark.sql.graftbridge.Feather.writeFeather(df, fPath)
+      assert(canon(org.apache.spark.sql.graftbridge.Feather
+        .readFeather(spark, fPath).collect()) == base)
+    }
+  }
 }
