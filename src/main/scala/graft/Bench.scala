@@ -40,7 +40,12 @@ object Bench {
     "ndsh_q2", "ndsh_q11", "ndsh_q16", "ndsh_q20", "ndsh_q21",
     // round-7: the heavier new pipeline ops (packing is a sorted scan,
     // tfidf a two-shuffle rank, wordpiece a broadcast-vocab UDF)
-    "pack_sequences", "text_tfidf_topk", "text_wordpiece")
+    "pack_sequences", "text_tfidf_topk", "text_wordpiece",
+    // round-8: the newly-oracled scale-join paths (bucketed pays its
+    // one-time table write in the warmup — write-once/join-many — so
+    // the measured reps time the zero-Exchange read path) and the BPE
+    // applier
+    "join_bucketed", "join_skew_salted", "text_bpe_portable")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime

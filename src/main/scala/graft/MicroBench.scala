@@ -113,6 +113,35 @@ object MicroBench {
         org.apache.spark.sql.expressions.Window.orderBy(order: _*))),
       "ranged_offsets_s", "single_partition_window_s")
 
+    // Bucketed (zero-Exchange) vs plain shuffled sort-merge join: the
+    // write-once/join-many trade quantified. Both sides hinted merge so
+    // the ONLY difference is the pre-shuffled storage layout.
+    {
+      val liJ = li.select(col("l_orderkey"), col("l_quantity"))
+      val ordJ = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val tag = "micro_" + java.lang.Integer.toHexString(sfDir.hashCode)
+      spark.sql(s"DROP TABLE IF EXISTS li_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS ord_$tag")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      for (t <- Seq(s"li_$tag", s"ord_$tag")) {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      sources.Bucketed.writeBucketed(liJ, s"li_$tag", "l_orderkey", 8)
+      sources.Bucketed.writeBucketed(ordJ, s"ord_$tag", "o_orderkey", 8)
+      def agg(j: DataFrame): DataFrame =
+        j.groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      bench("join_bucketed_vs_shuffled_smj",
+        agg(spark.table(s"li_$tag").join(
+          spark.table(s"ord_$tag").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))),
+        agg(liJ.join(ordJ.hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))),
+        "bucketed_s", "shuffled_s")
+    }
+
     spark.stop()
   }
 
