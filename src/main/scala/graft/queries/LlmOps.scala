@@ -1061,6 +1061,40 @@ object LlmOps {
       |  FROM documents) t
       |WHERE rn <= 10""".stripMargin
 
+  /** Weighted priority sampling — quality-weighted doc selection, the
+    * sampling mode a curation pipeline actually runs (upweight long /
+    * high-quality docs). Priority = u / w with u a portable Lehmer hash
+    * of doc_id in [0, 1) and w an integer quality weight (here a
+    * length proxy, 1..10); smallest-k priorities win, so expected
+    * selection odds scale with w while staying fully DETERMINISTIC and
+    * cross-engine bit-exact (u / w is one IEEE multiply-free division;
+    * no pow/ln like Efraimidis–Spirakis, whose libm-vs-JVM last-ulp
+    * drift would break the oracle — documented design trade).
+    *
+    * Scale: pure map-side expression + TakeOrderedAndProject(k) — no
+    * shuffle beyond the top-k reduction, same as `top_k`.
+    */
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val u = pmod(col("doc_id") * lit(48271L), lit(2147483647L))
+      .cast(DoubleType) / lit(2147483647.0)
+    val w = greatest(lit(1.0), least(lit(10.0),
+      floor(col("n_chars").cast(DoubleType) / lit(100.0))))
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        w.cast(LongType).as("w"), (u / w).as("pri"))
+      .orderBy(col("pri"), col("doc_id"))
+      .limit(200)
+  }
+
+  private val sampleWeightedSql =
+    """SELECT doc_id, lang, CAST(w AS BIGINT) AS w, u / w AS pri FROM (
+      |  SELECT doc_id, lang,
+      |    greatest(1.0, least(10.0, floor(n_chars / 100.0))) AS w,
+      |    CAST((doc_id * 48271) % 2147483647 AS DOUBLE) / 2147483647.0 AS u
+      |  FROM documents) t
+      |ORDER BY pri, doc_id LIMIT 200""".stripMargin
+
   /** Per-document top-5 TF-IDF terms — the keyword/topic signal corpus
     * pipelines attach before mixture balancing and retrieval indexing.
     * The idf is the LINEAR ratio N/df, not ln(N/df): a transcendental
@@ -1312,6 +1346,7 @@ object LlmOps {
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard _, dedupNgramJaccardSql),
     "dedup_emb_cosine" -> Q(dedupEmbCosine _, dedupEmbCosineSql),
     "sample_stratified" -> Q(sampleStratified _, sampleStratifiedSql),
+    "sample_weighted" -> Q(sampleWeighted _, sampleWeightedSql),
     "text_tfidf_topk" -> Q(textTfidfTopk _, textTfidfTopkSql),
     "pack_sequences" -> Q(packSequences _, packSequencesSql),
     "chunk_documents" -> Q(chunkDocuments _, chunkDocumentsSql),

@@ -175,6 +175,41 @@ object Streams {
     * batch if its underlying files change. The standard shape for
     * attaching slowly-changing reference data to a 100 TB/day stream.
     */
+  /** Streaming AS-OF enrichment -- the streaming twin of
+    * [[graft.operators.AsOf.joinAsOf]]: each probe event picks the
+    * LATEST reference event with ref.ts <= probe.ts in the same key
+    * group, bounded to a 6-hour lookback horizon (an as-of join over an
+    * unbounded stream MUST declare a horizon -- it is what lets both
+    * state stores evict; the batch operator's unbounded lookback has no
+    * streaming analogue). Two chained stateful operators: a time-range
+    * stream-stream join (state bounded by watermark + horizon) feeding
+    * a per-probe-event max aggregation keyed on the watermarked event
+    * time, so append mode emits each enriched row exactly once when the
+    * watermark passes it. Ties on ref.ts resolve to the greatest value,
+    * matching the batch operator's deterministic tiebreak.
+    */
+  def asOfEnrich(events: DataFrame, probeType: String, refType: String): DataFrame = {
+    val p = events
+      .filter(col("event_type") === probeType)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .withWatermark("p_ts", "12 hours")
+    val r = events
+      .filter(col("event_type") === refType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", "12 hours")
+    p.join(r,
+        col("p_user") === col("r_user") &&
+          col("r_ts") <= col("p_ts") &&
+          col("r_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS"))
+      .groupBy(col("p_event"), col("p_user"), col("p_ts"))
+      .agg(
+        max_by(col("r_value"), struct(col("r_ts"), col("r_value")))
+          .as("asof_value"),
+        max(col("r_ts")).as("asof_ts"))
+  }
+
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(dim, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),

@@ -167,6 +167,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp && got > 0)
   }
 
+  test("streaming as-of enrichment matches the batch as-of within the horizon") {
+    val stream = Streams.readEventStream(spark, replayDir)
+    val got = Streams
+      .runToCompletion(spark,
+        Streams.asOfEnrich(stream, "click", "purchase"), "t_asof",
+        mode = "append")
+    // batch twin: identical join + per-probe max, no watermark
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    val exp = p.join(r,
+        col("p_user") === col("r_user") &&
+          col("r_ts") <= col("p_ts") &&
+          col("r_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS"))
+      .groupBy(col("p_event"), col("p_user"), col("p_ts"))
+      .agg(
+        max_by(col("r_value"), struct(col("r_ts"), col("r_value")))
+          .as("asof_value"),
+        max(col("r_ts")).as("asof_ts"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+
   test("stream-static enrichment matches the batch join, stateless") {
     val stream = Streams.readEventStream(spark, replayDir)
     val dim = Tables.customer(spark, sf)
