@@ -395,7 +395,61 @@ object TextOps {
        |    '$phoneRe', '<PHONE>', 'g') AS redacted
        |FROM t""".stripMargin
 
+  /** Corpus-frequency token pruning — the df-based boilerplate/stopword
+    * removal a curation pipeline runs before training (drop tokens that
+    * appear in more than half of all documents). Spark-first shape: the
+    * common-token set is a 1-row aggregate (self-bounding — at df
+    * threshold t·N its size is ≤ total_tokens/(t·N)) broadcast to a
+    * pure MAP-SIDE higher-order `filter` over the split array, so
+    * token order is preserved with NO explode/reassemble exchange; the
+    * only shuffles are the compact (doc, tok)-distinct and df
+    * aggregations.
+    */
+  private def dfPrune(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val dfTab = pairs.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = pairs.agg(countDistinct(col("doc_id")).as("n"))
+    val commons = dfTab
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df").cast(DoubleType) > col("n").cast(DoubleType) * lit(0.5))
+      .agg(sort_array(collect_list(col("tok"))).as("commons"))
+    Tables
+      .documents(s, dir)
+      .crossJoin(broadcast(commons))
+      .select(col("doc_id"),
+        expr("filter(split(coalesce(text, ''), ' '), " +
+          "t -> length(t) > 0 AND NOT array_contains(commons, t))").as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        graft.ArrCanon.joined(slice(col("kept"), 1, 8)).as("head_kept"))
+  }
+
+  private val dfPruneSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+       |    FROM documents) t
+       |  WHERE length(tok) > 0),
+       |dfq AS (SELECT tok, count(*) AS df FROM pairs GROUP BY tok),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n FROM pairs),
+       |common AS (
+       |  SELECT coalesce(list_sort(list(tok)), CAST([] AS VARCHAR[])) AS commons
+       |  FROM dfq, nd WHERE CAST(df AS DOUBLE) > CAST(n AS DOUBLE) * 0.5)
+       |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+       |  ${graft.ArrCanon.joinedSql("list_slice(kept, 1, 8)")} AS head_kept
+       |FROM (
+       |  SELECT doc_id,
+       |    list_filter(string_split(coalesce(text, ''), ' '),
+       |      t -> length(t) > 0 AND NOT list_contains(commons, t)) AS kept
+       |  FROM documents, common)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "text_df_prune" -> Q(dfPrune _, dfPruneSql),
     "text_repetition" -> Q(textRepetition _, textRepetitionSql),
     "text_pii_redact" -> Q(piiRedact _, piiRedactSql),
     "text_token_count" -> Q(tokenCount _, tokenCountSql),
