@@ -102,7 +102,46 @@ object Fuzz {
     }
 
     def query(): String = {
-      val kind = rng.nextInt(12)
+      val kind = rng.nextInt(14)
+      if (kind == 13) {
+        // ROLLUP template: super-aggregate rows with NULL group keys —
+        // exercises grouping-set semantics and NULL-key canonical
+        // sorting in the compare harness. Counts/sums stay integer.
+        // Two dialect traps found by this fuzzer (seed 815/fz_004) are
+        // designed around: (1) on EMPTY input DuckDB still emits the
+        // grand-total grouping set as (NULL, 0) while Spark's
+        // Expand+Aggregate emits zero rows — `HAVING count(*) > 0` is a
+        // no-op on non-empty input (every group incl. the grand total
+        // has n >= 1) and reconciles the empty case; (2) duplicate
+        // rollup keys, ROLLUP(a, a): in the (a) grouping set DuckDB
+        // fills BOTH output columns with the value, Spark NULLs the
+        // second instance — so the two keys must be distinct columns.
+        val key2 = "l_linestatus" // distinct from k1 by construction
+        return s"""SELECT l_returnflag AS k1, $key2 AS k2, count(*) AS n,
+           |  CAST(sum(${intExpr()}) AS BIGINT) AS s1
+           |FROM lineitem WHERE ${pred()}
+           |GROUP BY ROLLUP (l_returnflag, $key2)
+           |HAVING count(*) > 0""".stripMargin
+      }
+      if (kind == 12) {
+        // NOT EXISTS anti-join template (q21/q22 family): correlated
+        // anti semantics are a classic dialect trap (NOT IN vs NOT
+        // EXISTS null handling differ; NOT EXISTS is null-safe in both
+        // engines)
+        val innerPred = pick(Seq(
+          s"l_quantity >= ${40 + rng.nextInt(10)}",
+          s"l_linenumber = ${1 + rng.nextInt(7)}",
+          s"l_shipdate >= DATE '${1996 + rng.nextInt(3)}-06-01'"))
+        return s"""SELECT o_orderkey, o_custkey, o_orderstatus
+           |FROM orders
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM lineitem
+           |  WHERE l_orderkey = o_orderkey AND $innerPred)
+           |AND ${pick(Seq(
+                s"o_totalprice > ${rng.nextInt(200000)}",
+                s"o_orderstatus <> '${pick(Seq("F", "O", "P"))}'",
+                s"o_custkey % ${2 + rng.nextInt(8)} = 0"))}""".stripMargin
+      }
       if (kind == 11) {
         // documents ⋈ embeddings template (the one table pairing the
         // grammar didn't cover): id-equijoin + array ops. Portability:
