@@ -228,7 +228,44 @@ object Conversions {
       |  CAST(o_orderkey % 256 AS INTEGER) AS low_byte
       |FROM orders WHERE o_orderkey < 30000""".stripMargin
 
+  /** Z-order (Morton) code of (l_partkey, l_suppkey) — the clustering
+    * key behind `operators.ZOrder.clusterByZ` (file-skipping layout; see
+    * that object's doc for the 100 TB rationale). The bit-interleave is
+    * pure shift/and/or integer arithmetic, mirrored step-for-step in the
+    * oracle's CTE chain, so the 32-bit code is bit-exact across engines.
+    * `zbucket` (code >> 24) is the coarse range a file would cover.
+    */
+  private def zorderCode(s: SparkSession, dir: String): DataFrame = {
+    val z = graft.operators.ZOrder.zValue2(col("l_partkey"), col("l_suppkey"))
+    Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        z.as("z"),
+        shiftrightunsigned(z, 24).as("zbucket"))
+  }
+
+  private val zorderCodeSql =
+    """WITH m AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |    (l_partkey & 65535) AS xa, (l_suppkey & 65535) AS xb
+      |  FROM lineitem),
+      |s1 AS (SELECT *, ((xa | (xa << 8)) & 16711935) AS a1,
+      |               ((xb | (xb << 8)) & 16711935) AS b1 FROM m),
+      |s2 AS (SELECT *, ((a1 | (a1 << 4)) & 252645135) AS a2,
+      |               ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+      |s3 AS (SELECT *, ((a2 | (a2 << 2)) & 858993459) AS a3,
+      |               ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+      |s4 AS (SELECT *, ((a3 | (a3 << 1)) & 1431655765) AS a4,
+      |               ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3)
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(a4 | (b4 << 1) AS BIGINT) AS z,
+      |  CAST((a4 | (b4 << 1)) >> 24 AS BIGINT) AS zbucket
+      |FROM s4""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "conv_zorder" -> Q(zorderCode _, zorderCodeSql),
     "conv_byte_cast" -> Q(byteCast _, byteCastSql),
     "conv_cast_roundtrip" -> Q(castRoundtrip _, castRoundtripSql),
     "conv_ipv4" -> Q(ipv4Conv _, ipv4ConvSql),

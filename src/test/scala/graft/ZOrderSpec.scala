@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: Morton-code correctness (golden + n-dim agreement)
+  * and the property the operator exists for — a z-clustered parquet
+  * layout prunes files on EVERY clustered column, where a linear sort
+  * prunes only its own.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("zValue2 matches the interleave definition (goldens)") {
+    // z(3, 5): a-bits at even positions, b-bits at odd -> 0b100111 = 39
+    val df = spark.range(1).select(
+      operators.ZOrder.zValue2(lit(3), lit(5)).as("z1"),
+      operators.ZOrder.zValue2(lit(0), lit(0)).as("z0"),
+      operators.ZOrder.zValue2(lit(0xFFFF), lit(0xFFFF)).as("zmax"),
+      operators.ZOrder.zValue2(lit(0xFFFF), lit(0)).as("zeven"))
+    val r = df.head()
+    assert(r.getAs[Long]("z1") == 39L)
+    assert(r.getAs[Long]("z0") == 0L)
+    assert(r.getAs[Long]("zmax") == 0xFFFFFFFFL)
+    assert(r.getAs[Long]("zeven") == 0x55555555L)
+  }
+
+  test("zValue2 agrees with the general zValueN bit-loop") {
+    val pairs = spark.range(500).select(
+      (col("id") * 2654435761L % 65536).as("a"),
+      (col("id") * 48271 % 65536).as("b"))
+    val mismatches = pairs
+      .select(
+        operators.ZOrder.zValue2(col("a"), col("b")).as("z2"),
+        operators.ZOrder.zValueN(Seq(col("a"), col("b")), 16).as("zn"))
+      .filter(col("z2") =!= col("zn"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("z-order is monotone in each coordinate quadrant (locality smoke)") {
+    // points in the same 2^8-aligned tile share their z high bits: the
+    // curve maps spatial tiles to contiguous code ranges
+    val df = spark.range(1000).select(
+      (col("id") * 7 % 65536).as("a"), (col("id") * 13 % 65536).as("b"))
+    val bad = df.filter(
+      shiftrightunsigned(operators.ZOrder.zValue2(col("a"), col("b")), 16)
+        =!= operators.ZOrder.zValue2(
+          shiftrightunsigned(col("a"), 8), shiftrightunsigned(col("b"), 8)))
+      .count()
+    assert(bad == 0)
+  }
+
+  private def filesOverlapping(dir: String, column: String, lo: Int, hi: Int): Long = {
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(column)).as("mn"), max(col(column)).as("mx"))
+    perFile.filter(col("mx") >= lo && col("mn") <= hi).count()
+  }
+
+  test("clusterByZ prunes files on BOTH columns; linear sort on one only") {
+    // 64x64 grid, 16 files: linear-by-x files each span the full y range,
+    // z-clustered files cover ~16x16 tiles
+    val grid = spark.range(64L * 64)
+      .select((col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    val base = Files.createTempDirectory("zorder").toString
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    operators.ZOrder.clusterByZ(grid, Seq("x", "y"), 16)
+      .write.mode("overwrite").parquet(s"$base/zorder")
+
+    // row parity: layout must not change content
+    def sig(df: DataFrame) =
+      df.agg(count(lit(1)), sum(col("x") * 64 + col("y"))).head().toSeq
+    assert(sig(spark.read.parquet(s"$base/zorder")) == sig(grid))
+
+    // a narrow y-slice: linear layout cannot prune (every file overlaps);
+    // the z layout keeps only the files whose tiles meet the slice
+    val linearY = filesOverlapping(s"$base/linear", "y", 10, 17)
+    val zY = filesOverlapping(s"$base/zorder", "y", 10, 17)
+    assert(linearY == 16, s"expected all 16 linear files to overlap, got $linearY")
+    assert(zY <= 8, s"z layout should prune the y-slice to <=8 files, got $zY")
+
+    // and x-pruning survives on the z layout (worse than linear's perfect
+    // pruning, but still partial)
+    val zX = filesOverlapping(s"$base/zorder", "x", 10, 17)
+    assert(zX <= 8, s"z layout should prune the x-slice to <=8 files, got $zX")
+  }
+
+  test("clusterByZ on lineitem preserves content and tightens suppkey ranges") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    val base = Files.createTempDirectory("zorder-li").toString
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    operators.ZOrder.clusterByZ(li, Seq("l_partkey", "l_suppkey"), 8)
+      .write.mode("overwrite").parquet(s"$base/zorder")
+
+    def sig(df: DataFrame) = df.agg(
+      count(lit(1)), sum("l_orderkey"), sum("l_partkey"), sum("l_suppkey"),
+      sum(col("l_quantity") * 100 cast "long")).head().toSeq
+    assert(sig(spark.read.parquet(s"$base/zorder")) == sig(li))
+
+    // per-file suppkey spans: z layout must beat the linear-by-partkey
+    // layout on the column it did NOT sort by
+    def meanSpan(dir: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("l_suppkey") - min("l_suppkey")).as("span"))
+        .agg(avg("span")).head().getDouble(0)
+      spans
+    }
+    val (linSpan, zSpan) = (meanSpan(s"$base/linear"), meanSpan(s"$base/zorder"))
+    assert(zSpan < linSpan,
+      s"z-cluster suppkey span $zSpan should be tighter than linear $linSpan")
+  }
+}
