@@ -1334,7 +1334,41 @@ object LlmOps {
       |  source AS origin, lang AS language
       |FROM documents""".stripMargin
 
+  /** Deterministic seeded corpus shuffle into training shards: every doc
+    * gets a portable Lehmer-hash position (hash = doc_id·48271 + seed mod
+    * 2^31−1 — the same public-constant family as `sample_hash_rows`), a
+    * shard assignment (hash mod n_shards), and an EXACT within-shard
+    * order rank. This is the reproducible-corpus-order contract training
+    * runs need: any engine, any partitioning, any rerun yields the same
+    * shard files in the same order. Scale shape: the hash and shard are
+    * map-side; the rank window partitions by shard (n_shards-way
+    * parallelism, each shard ~N/n_shards rows — at 100 TB pick n_shards
+    * ≈ output-file count so the window IS the shard writer's sort).
+    */
+  private def corpusShardShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(col("doc_id") * lit(48271L) + lit(12345L), lit(2147483647L))
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        h.as("h"), pmod(h, lit(8)).as("shard"))
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+          - 1).cast(LongType))
+  }
+
+  private val corpusShardShuffleSql =
+    """SELECT doc_id, lang, source, h, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+      |    AS BIGINT) AS pos
+      |FROM (SELECT doc_id, lang, source,
+      |    ((doc_id * 48271 + 12345) % 2147483647) AS h,
+      |    ((doc_id * 48271 + 12345) % 2147483647) % 8 AS shard
+      |  FROM documents)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "corpus_shard_shuffle" -> Q(corpusShardShuffle _, corpusShardShuffleSql),
     "dedup_exact" -> Q(dedupExact _, dedupExactSql),
     "dedup_minhash_sig" -> Q(minhashSignatures _, None),
     "dedup_minhash_portable" -> Q(dedupMinhashPortable _, dedupMinhashPortableSql),
