@@ -142,6 +142,60 @@ object MicroBench {
         "bucketed_s", "shuffled_s")
     }
 
+    // Z-order vs linear layout: both written once; the bench times a
+    // selective scan filtered on the column the linear layout did NOT
+    // sort by. Linear-by-partkey files all span the full suppkey range
+    // (no row-group pruning); z-clustered files cover suppkey tiles, so
+    // parquet min/max stats skip most row groups.
+    {
+      // 32× replication so files are IO-sized (~600k rows each): at bare
+      // sf0.1 every file is one tiny row group and the 32-task scheduling
+      // floor hides the pruning win this case exists to measure
+      val liZ = li.select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+        .crossJoin(spark.range(32).select(col("id").as("__rep")))
+        .drop("__rep")
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_zorder_" + java.lang.Integer.toHexString(sfDir.hashCode)
+      liZ.repartitionByRange(32, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(s"$base/linear")
+      operators.ZOrder.clusterByZ(liZ, Seq("l_partkey", "l_suppkey"), 32)
+        .write.mode("overwrite").parquet(s"$base/zorder")
+      val st = liZ.agg(min("l_suppkey"), max("l_suppkey")).head()
+      val (sMin, sMax) = (st.getLong(0), st.getLong(1))
+      // a ~3% slice in the middle of the suppkey domain
+      val lo = sMin + (sMax - sMin) * 40 / 100
+      val hi = sMin + (sMax - sMin) * 43 / 100
+      def scan(dir: String): DataFrame =
+        spark.read.parquet(dir)
+          .filter(col("l_suppkey").between(lo, hi))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_quantity")).as("q"))
+      bench("scan_zorder_vs_linear_nonsort_col",
+        scan(s"$base/zorder"), scan(s"$base/linear"),
+        "zorder_s", "linear_s")
+      // wall time at this data size sits on the task-scheduling floor;
+      // the layout's real effect is how many rows parquet row-group
+      // min/max stats let the scan SKIP — read it off the scan metrics
+      def rowsRead(dir: String): Long = {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val df = scan(dir)
+        df.collect() // execute THIS QueryExecution so its metrics populate
+        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: QueryStageExec => scans(q.plan)
+          case s: FileSourceScanExec => Seq(s)
+          case other => other.children.flatMap(scans)
+        }
+        scans(df.queryExecution.executedPlan)
+          .map(_.metrics("numOutputRows").value).sum
+      }
+      val (zr, lr) = (rowsRead(s"$base/zorder"), rowsRead(s"$base/linear"))
+      println(s"""{"case":"scan_zorder_rows_read","zorder_rows":$zr,"linear_rows":$lr,"pruned_factor":${lr.toDouble / zr max 1}}""")
+    }
+
     spark.stop()
   }
 
