@@ -73,4 +73,26 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian product")
     }
   }
+
+  test("conv_zorder is a pure map-side projection: zero Exchange") {
+    val p = plan("conv_zorder")
+    assert(!p.contains("Exchange"),
+      s"the Morton code must compute scan-side with no shuffle:\n$p")
+    assert(p.contains("codegen id"),
+      "the bit-interleave arithmetic must stay inside codegen")
+  }
+
+  test("corpus_shard_shuffle shuffles exactly once, on the shard key") {
+    val p = plan("corpus_shard_shuffle")
+    // one hashpartitioning Exchange feeding the rank window — the hash
+    // and shard assignment themselves are map-side
+    val exchangeNodes = p.linesIterator
+      .filter(l => l.matches("""\(\d+\) Exchange.*""")).toSeq
+    assert(exchangeNodes.length == 1,
+      s"expected exactly one Exchange, got $exchangeNodes:\n$p")
+    val exchangeArgs = p.linesIterator
+      .filter(l => l.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchangeArgs.length == 1 && exchangeArgs.head.contains("shard"),
+      s"the Exchange must hash-partition by shard: $exchangeArgs")
+  }
 }
