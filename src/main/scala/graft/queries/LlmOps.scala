@@ -1291,6 +1291,51 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Scale path for decontamination when the benchmark gram set outgrows
+    * a broadcast semi join: a Bloom sketch of the bench grams replaces
+    * the exact gram set, and training grams test membership MAP-SIDE —
+    * zero join, no shuffle until the per-doc count. The error is
+    * one-sided: false negatives are impossible (no contaminated doc
+    * escapes), false positives are bounded by the configured fpp — the
+    * right trade for a flag-for-review filter. The sketch build is a
+    * bounded driver action cached once per dataset via [[graft.DimCache]]
+    * (the 100 TB contract: bits ∝ bench grams, NOT corpus size).
+    * Rows-only: the bit layout is Spark's BloomFilter impl with no
+    * cross-engine twin; the exact `decontaminate_ngrams` is this
+    * family's oracled representative, and `DecontaminateBloomSpec` pins
+    * the superset + FP-bound contract against it.
+    */
+  private def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+          split(coalesce(col("text"), lit("")), " ").as("tk"))
+        .filter(size(col("tk")) >= 4)
+        .select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(0, size(tk) - 4),
+              |  i -> concat_ws(' ', slice(tk, i + 1, 4)))""".stripMargin))
+            .as("g8"))
+    val docs = Tables.documents(s, dir)
+    val bloom = graft.DimCache.cached(s"decontamBloom:$dir") {
+      val bench = grams(docs.filter(pmod(col("doc_id"), lit(100)) === 0))
+        .select(col("g8")).distinct()
+      // per-gram fpp compounds per document (a doc testing k grams is
+      // falsely flagged with prob 1-(1-fpp)^k, k ≈ 150 here), so the
+      // per-gram rate must sit well below 1/k for a usable doc-level
+      // flag; the sketch is sized by the BOUNDED bench-gram count, so
+      // the extra bits of 1e-5 cost nothing at any corpus scale
+      bench.stat.bloomFilter("g8", math.max(bench.count(), 1L), 1e-5)
+    }
+    val bc = s.sparkContext.broadcast(bloom)
+    val might = udf((g: String) => g != null && bc.value.mightContainString(g))
+    grams(docs.filter(pmod(col("doc_id"), lit(100)) =!= 0))
+      .filter(might(col("g8")))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   private val decontaminateNgramsSql =
     """WITH g AS (
       |  SELECT DISTINCT doc_id, g8 FROM (
@@ -1385,6 +1430,7 @@ object LlmOps {
     "pack_sequences" -> Q(packSequences _, packSequencesSql),
     "chunk_documents" -> Q(chunkDocuments _, chunkDocumentsSql),
     "decontaminate_ngrams" -> Q(decontaminateNgrams _, decontaminateNgramsSql),
+    "decontaminate_bloom" -> Q(decontaminateBloom _, None),
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, simAnnLshBucketsSql),
     "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),
