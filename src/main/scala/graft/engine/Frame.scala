@@ -245,6 +245,14 @@ final case class Frame(df: DataFrame) {
   /** DataFrame.describe() — count/mean/stddev/min/max summary. */
   def describe(cols: String*): Frame = Frame(df.describe(cols: _*))
 
+  /** Cluster rows along the Morton curve of `cols` into `numFiles`
+    * write partitions (the Delta/Iceberg OPTIMIZE ZORDER layout shape);
+    * writing the result yields parquet whose min/max stats prune on
+    * EVERY clustered column. See [[graft.operators.ZOrder]].
+    */
+  def zorderBy(cols: Seq[String], numFiles: Int): Frame =
+    Frame(graft.operators.ZOrder.clusterByZ(df, cols, numFiles))
+
   // --- text namespace (nvtext ops) -----------------------------------
   def strSwapcase(c: String, out: String): Frame =
     Frame(df.withColumn(out, GraftFunctions.swapcase(col(c))))

@@ -202,4 +202,13 @@ class FrameSpec extends AnyFunSuite {
       ev.mergeAsof(ref, "user_id", "ts", "pv", "sideways")
     }
   }
+
+  test("zorderBy preserves content and produces the requested partitioning") {
+    val z = li.zorderBy(Seq("l_partkey", "l_suppkey"), 8)
+    assert(z.df.rdd.getNumPartitions == 8)
+    val sig = (f: graft.engine.Frame) => f.df
+      .agg(count(lit(1)), sum(col("l_partkey")), sum(col("l_suppkey")))
+      .head().toSeq
+    assert(sig(z) == sig(li))
+  }
 }
