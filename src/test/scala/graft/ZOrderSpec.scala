@@ -90,6 +90,18 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zX <= 8, s"z layout should prune the x-slice to <=8 files, got $zX")
   }
 
+  test("clusterByZ with three columns (zValueN path) preserves content") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val z = operators.ZOrder.clusterByZ(
+      li, Seq("l_partkey", "l_suppkey", "l_orderkey"), 8)
+    assert(z.rdd.getNumPartitions == 8)
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)), sum("l_orderkey"), sum("l_partkey"), sum("l_suppkey"))
+      .head().toSeq
+    assert(sig(z) == sig(li))
+  }
+
   test("clusterByZ on lineitem preserves content and tightens suppkey ranges") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
