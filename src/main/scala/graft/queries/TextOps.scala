@@ -278,6 +278,51 @@ object TextOps {
       |WHERE length(tok) > 0
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin
 
+  /** Two-pass heavy hitters — the 100 TB pattern when even the
+    * vocabulary-sized shuffle of `text_top_tokens` is too wide (web-scale
+    * token/URL/ngram domains): pass 1 runs Spark's Misra-Gries-family
+    * `stat.freqItems` sketch, a single map-side pass producing a bounded
+    * (≤ 1/support) candidate array with NO false negatives — every item
+    * with frequency ≥ support is guaranteed present; pass 2 exactly
+    * counts ONLY the candidates (broadcast isin filter, so the groupBy
+    * keyspace is ≤ 1/support rows) and thresholds in-plan with integer
+    * arithmetic (cnt·32 > N ⟺ freq > 1/32 — STRICT, matching the
+    * sketch's guarantee, which covers items appearing strictly more
+    * than support·N times; an inclusive exact threshold could admit a
+    * boundary item the sketch legitimately dropped). The false positives
+    * are eliminated by the exact pass, so the result equals the direct
+    * computation — which is why this query is FULLY oracled even though
+    * a sketch is involved. Candidates are DimCache'd per dataset (the
+    * sketch pass is a bounded driver action, run once, not per rep).
+    */
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    def toksOf(df: DataFrame): DataFrame = df
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val toks = toksOf(Tables.documents(s, dir))
+    val cands = graft.DimCache.cached(s"heavyHitters:$dir") {
+      toks.stat.freqItems(Seq("tok"), 1.0 / 32)
+        .head().getSeq[String](0).toArray
+    }
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.filter(col("tok").isin(cands.toIndexedSeq: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * 32 > col("n_total"))
+      .select(col("tok"), col("cnt"))
+  }
+
+  private val heavyHittersSql =
+    """WITH t AS (
+      |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+      |  FROM documents),
+      |t2 AS (SELECT tok FROM t WHERE length(tok) > 0),
+      |n AS (SELECT count(*) AS n_total FROM t2)
+      |SELECT tok, count(*) AS cnt
+      |FROM t2 CROSS JOIN n
+      |GROUP BY tok, n_total
+      |HAVING count(*) * 32 > n_total""".stripMargin
+
   /** Gopher-style repetition quality signals: per-document
     * duplicate-word fraction and most-frequent-bigram fraction — the
     * boilerplate/templated-page filters large-scale corpus pipelines run
@@ -454,6 +499,7 @@ object TextOps {
     "text_pii_redact" -> Q(piiRedact _, piiRedactSql),
     "text_token_count" -> Q(tokenCount _, tokenCountSql),
     "text_top_tokens" -> Q(topTokens _, topTokensSql),
+    "text_heavy_hitters" -> Q(heavyHitters _, heavyHittersSql),
     "text_char_ngrams" -> Q(charNgrams _, charNgramsSql),
     "text_word_ngrams" -> Q(wordNgrams _, wordNgramsSql),
     "text_fingerprint" -> Q(fingerprint _, fingerprintSql),
