@@ -21,12 +21,22 @@ package graft
 object DimCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  /** A thunk evaluated at most once; `lazy val` gives the per-key
+    * memoization lock, so the map's bin lock never holds a Spark job.
+    */
+  private final class Memo(f: () => AnyRef) { lazy val value: AnyRef = f() }
+
   /** Return the cached value for `key`, computing (and caching) it on
     * first use. `compute` may run Spark jobs; concurrent first callers of
-    * the same key serialize on the map entry.
+    * the same key serialize on the entry's memo lock — NOT inside
+    * `computeIfAbsent`, which would hold the hash-bin lock for the whole
+    * job (blocking unrelated keys in the same bin) and turn any
+    * re-entrant `cached` call from inside a compute into
+    * IllegalStateException("Recursive update").
     */
   def cached[T <: AnyRef](key: String)(compute: => T): T =
-    cache.computeIfAbsent(key, _ => compute).asInstanceOf[T]
+    cache.computeIfAbsent(key, _ => new Memo(() => compute))
+      .asInstanceOf[Memo].value.asInstanceOf[T]
 
   /** Test hook: drop all cached entries. */
   def clear(): Unit = cache.clear()

@@ -70,19 +70,30 @@ object ZOrder {
     */
   def clusterByZ(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
     require(cols.size >= 2, "z-order needs at least two columns")
+    // Code width must match the interleave width: for n >= 4 only
+    // 63/n < 16 bits per dimension fit a long, so normalize into exactly
+    // that many bits — bucketing to 16 bits and interleaving fewer would
+    // silently drop each code's high bits (opposite halves of a column's
+    // range would collide and the layout/pruning contract would break).
+    val bitsPerDim = (63 / cols.size).min(16)
+    val buckets = 1L << bitsPerDim
     val aggExprs =
       cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(aggExprs.head, aggExprs.tail: _*).head()
     val codes = cols.zipWithIndex.map { case (c, i) =>
-      val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
-      if (mx <= mn) lit(0L) // degenerate constant column
-      // width_bucket is 1-based and right-open per bucket; +1 on the max
-      // keeps the max value inside bucket 65536 rather than overflowing
-      else (width_bucket(col(c).cast("double"), lit(mn), lit(mx + 1), lit(65536)) - 1)
-        .cast("long")
+      // empty input or all-null column → no range; treat as constant
+      if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) lit(0L)
+      else {
+        val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+        if (mx <= mn) lit(0L) // degenerate constant column
+        // width_bucket is 1-based and right-open per bucket; +1 on the max
+        // keeps the max value inside the top bucket rather than overflowing
+        else (width_bucket(col(c).cast("double"), lit(mn), lit(mx + 1), lit(buckets)) - 1)
+          .cast("long")
+      }
     }
     val z = if (codes.size == 2) zValue2(codes(0), codes(1))
-            else zValueN(codes, (63 / codes.size).min(16))
+            else zValueN(codes, bitsPerDim)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

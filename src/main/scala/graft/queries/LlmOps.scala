@@ -398,13 +398,24 @@ object LlmOps {
   /** See [[dedupNgramJaccard]]'s doc above. The band self-join is shaped
     * exactly like [[lshCandidatePairs]]: a windowed hot-bucket cap rides
     * the same (band, bucket) exchange the join shuffles (a degenerate
-    * boilerplate bucket would otherwise go quadratic alone), the shingle
-    * arrays ride the LEFT side only (the right side is compact
+    * boilerplate bucket would otherwise go quadratic alone), the payload
+    * rides the LEFT side only (the right side is compact
     * (band, bucket, id) rows), the per-pair distinct groups on bare ids
-    * taking first(ga), and `g3` for the b-side re-attaches by id after —
+    * taking first(ha), and the b-side set re-attaches by id after —
     * so pair dedup never hashes arrays and quadratic blowup is bounded
     * per bucket. The cap is mirrored in the DuckDB oracle (QUALIFY), so
     * it is part of the checked semantics, not a silent drop.
+    *
+    * The payload that rides the exchange and the verify join is the
+    * DISTINCT int64 poly-hash set of the shingles (`hs`), NOT the string
+    * 3-gram arrays — the hashes are already computed for banding, a
+    * bigint weighs a fraction of a `tokA_tokB_tokC` string, and the
+    * oracle computes the identical fold so the check stays bit-exact.
+    * Jaccard over hashed sets equals jaccard over shingle sets unless
+    * two distinct shingles of the SAME doc pair collide mod 1e9+7
+    * (union ≤ ~2·10³ shingles → collision odds ~10⁻³ per pair, and both
+    * engines agree regardless); the verify stage was always an
+    * estimate-of-exact step, so the contract is unchanged.
     */
   private[graft] def ngramJaccardPairs(docs: DataFrame, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -421,12 +432,13 @@ object LlmOps {
     // naive per-band fold. The pp/ww arrays are materialized in their
     // own projection: a lambda reference would re-run the fold per band.
     val prehashed = grams
-      .select(col("doc_id"), col("g3"),
+      .select(col("doc_id"),
         graft.functions.PolyHash31.polyhash31(col("g3")).as("ph"))
-      .select(col("doc_id"), col("g3"),
+      .select(col("doc_id"),
+        array_distinct(col("ph.pp")).as("hs"),
         col("ph.pp").as("pp"), col("ph.ww").as("ww"))
     val banded = prehashed
-      .select(col("doc_id"), col("g3"),
+      .select(col("doc_id"), col("hs"),
         posexplode(expr(
           """transform(sequence(0, 3), b ->
             |  array_min(zip_with(pp, ww,
@@ -438,19 +450,19 @@ object LlmOps {
         count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
-    val a = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("g3").as("ga"))
+    val a = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("hs").as("ha"))
     val b = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("ga")).as("ga"))
+      .agg(first(col("ha")).as("ha"))
     pairs
-      .join(grams.select(col("doc_id").as("id_b"), col("g3").as("gb")), "id_b")
+      .join(prehashed.select(col("doc_id").as("id_b"), col("hs").as("hb")), "id_b")
       .select(
         col("id_a"),
         col("id_b"),
-        (size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
-          size(array_union(col("ga"), col("gb")))).as("jaccard3"))
+        (size(array_intersect(col("ha"), col("hb"))).cast(DoubleType) /
+          size(array_union(col("ha"), col("hb")))).as("jaccard3"))
       .filter(col("jaccard3") >= 0.2)
   }
 
@@ -476,8 +488,10 @@ object LlmOps {
       |        list_prepend(CAST(1 AS BIGINT), range(1, length(g) + 1)),
       |        (w, i) -> (w * 31) % 1000000007)) AS ww
       |  FROM grams),
+      |hsets AS (
+      |  SELECT doc_id, list_distinct(pp) AS hs FROM prehashed),
       |banded AS (
-      |  SELECT doc_id, g3, band,
+      |  SELECT doc_id, band,
       |    list_min(list_transform(range(1, len(pp) + 1),
       |      i -> (CAST(band AS BIGINT) * ww[i] + pp[i]) % 1000000007)) AS bucket
       |  FROM prehashed CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands
@@ -490,13 +504,13 @@ object LlmOps {
       |  FROM capped a JOIN capped b
       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
       |SELECT p.id_a, p.id_b,
-      |  CAST(len(list_intersect(ga.g3, gb.g3)) AS DOUBLE) /
-      |    len(list_distinct(ga.g3 || gb.g3)) AS jaccard3
+      |  CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+      |    len(list_distinct(ha.hs || hb.hs)) AS jaccard3
       |FROM pairs p
-      |  JOIN grams ga ON ga.doc_id = p.id_a
-      |  JOIN grams gb ON gb.doc_id = p.id_b
-      |WHERE CAST(len(list_intersect(ga.g3, gb.g3)) AS DOUBLE) /
-      |    len(list_distinct(ga.g3 || gb.g3)) >= 0.2""".stripMargin
+      |  JOIN hsets ha ON ha.doc_id = p.id_a
+      |  JOIN hsets hb ON hb.doc_id = p.id_b
+      |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+      |    len(list_distinct(ha.hs || hb.hs)) >= 0.2""".stripMargin
 
   // -------------------------------------------------------- similarity
 
@@ -1336,6 +1350,58 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Driver-gate twin of `DecontaminateBloomSpec`: the Bloom path's
+    * one-sided-error contract expressed as DATA the oracle can check.
+    * Joins the bloom flag set against the exact flag set and emits, per
+    * exactly-flagged doc, `bloom_flagged` = (doc present bloom-side with
+    * >= gram count) — the superset property — plus a constant
+    * `fp_within_bound` = (bloom-only docs ≤ max(1, clean-docs/10)),
+    * both computed IN the plan. The oracle pins both columns to TRUE,
+    * so a bloom regression (a lost doc, an undercount, an fpp blowout)
+    * hash-mismatches in CORRECTNESS rather than only failing a spec.
+    */
+  private def decontaminateBloomVsExact(s: SparkSession, dir: String): DataFrame = {
+    val exact = decontaminateNgrams(s, dir)
+    val bloom = decontaminateBloom(s, dir)
+      .select(col("doc_id").as("b_doc"), col("n_flagged_grams"))
+    val j = exact.join(bloom, col("doc_id") === col("b_doc"), "full_outer")
+    val trainDocs = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(100)) =!= 0)
+      .agg(countDistinct(col("doc_id")).as("n_train"))
+    // fp·10 ≤ max(10, clean) ⇔ fp ≤ max(1, clean/10): the same cushion
+    // the spec uses (fpp=1e-5 × ~150 grams/doc ⇒ per-doc FP ~1.5e-3,
+    // far under the 10% cap — see decontaminateBloom's sizing note)
+    val bounds = j
+      .agg(
+        sum(when(col("doc_id").isNull, lit(1L)).otherwise(lit(0L))).as("fp_docs"),
+        sum(when(col("doc_id").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_exact"))
+      .crossJoin(trainDocs)
+      .select((col("fp_docs") * 10 <=
+        greatest(lit(10L), col("n_train") - col("n_exact"))).as("fp_within_bound"))
+    j.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("n_shared_grams"),
+        (col("b_doc").isNotNull &&
+          col("n_flagged_grams") >= col("n_shared_grams")).as("bloom_flagged"))
+      .crossJoin(broadcast(bounds))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateBloomVsExactSql =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, g8 FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(0, len(tk) - 3),
+      |        i -> array_to_string(list_slice(tk, i + 1, i + 4), ' '))) AS g8
+      |    FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+      |          FROM documents) t0
+      |    WHERE len(tk) >= 4) t1),
+      |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 100 = 0),
+      |train AS (SELECT doc_id, g8 FROM g WHERE doc_id % 100 <> 0)
+      |SELECT doc_id, count(*) AS n_shared_grams,
+      |  TRUE AS bloom_flagged, TRUE AS fp_within_bound
+      |FROM train WHERE g8 IN (SELECT g8 FROM bench)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val decontaminateNgramsSql =
     """WITH g AS (
       |  SELECT DISTINCT doc_id, g8 FROM (
@@ -1431,6 +1497,8 @@ object LlmOps {
     "chunk_documents" -> Q(chunkDocuments _, chunkDocumentsSql),
     "decontaminate_ngrams" -> Q(decontaminateNgrams _, decontaminateNgramsSql),
     "decontaminate_bloom" -> Q(decontaminateBloom _, None),
+    "decontaminate_bloom_vs_exact" ->
+      Q(decontaminateBloomVsExact _, decontaminateBloomVsExactSql),
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, simAnnLshBucketsSql),
     "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),

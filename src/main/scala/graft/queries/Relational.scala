@@ -286,8 +286,11 @@ object Relational {
   private def joinBucketed(s: SparkSession, dir: String): DataFrame = {
     // table names carry a dataset-dir fingerprint: two processes (or one
     // JVM) verifying DIFFERENT sf dirs must not clobber each other's
-    // bucketed copies in the shared warehouse
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // bucketed copies in the shared warehouse; a 64-bit SHA-256 prefix —
+    // a 32-bit String.hashCode can collide across dirs, silently joining
+    // (and reset()-deleting) another dataset's bucketed copy
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val liTbl = s"graft_li_bkt_$tag"
     val ordTbl = s"graft_ord_bkt_$tag"
     graft.DimCache.cached(s"bucketed-li-ord:$dir") {

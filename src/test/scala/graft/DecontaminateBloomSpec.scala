@@ -24,10 +24,12 @@ class DecontaminateBloomSpec extends AnyFunSuite {
       assert(bloom(doc) >= n,
         s"doc $doc: bloom count ${bloom(doc)} < exact $n")
     }
-    // false positives exist only bloom-side and must stay rare: with
-    // fpp=0.01 the expected extra flagged grams are ~1% of tested grams,
-    // so allow docs flagged ONLY by bloom but cap them well below the
-    // clean-doc population (a 10x-fpp cushion keeps this non-flaky)
+    // false positives exist only bloom-side and must stay rare: the
+    // production filter is sized at fpp=1e-5 per gram, and a doc testing
+    // k ≈ 150 grams is falsely flagged with prob 1-(1-1e-5)^k ≈ 1.5e-3 —
+    // so expected bloom-only docs are ~0.15% of the clean population.
+    // The cap of clean/10 is a ~60x cushion over that expectation,
+    // loose enough to never flake yet far below any real fpp blowout
     val cleanDocs = SparkEntry.queries("chunk_documents")(spark, sf)
       .select("doc_id").distinct().count() - exact.size
     val fpDocs = (bloom.keySet -- exact.keySet).size

@@ -102,6 +102,30 @@ class ZOrderSpec extends AnyFunSuite {
     assert(sig(z) == sig(li))
   }
 
+  test("clusterByZ n=4: the high bit of each code survives the interleave") {
+    // with 4 dims only 15 bits/dim fit a long, so normalization must
+    // bucket into 2^15 — bucketing to 16 bits and interleaving 15 would
+    // drop bit 15, making a=0 and a=32768 interleave identically and
+    // share files (the layout/pruning contract breaks for n >= 4)
+    val vals = Seq(0L, 32768L, 65535L)
+    val rows = for { v <- vals; _ <- 1 to 100 } yield (v, v, 0L, 0L)
+    val df = spark.createDataFrame(rows).toDF("a", "b", "c", "d")
+    val base = Files.createTempDirectory("zorder4").toString
+    operators.ZOrder.clusterByZ(df, Seq("a", "b", "c", "d"), 3)
+      .write.mode("overwrite").parquet(base)
+    val bad = spark.read.parquet(base)
+      .groupBy(input_file_name())
+      .agg(min(col("a")).as("mn"), max(col("a")).as("mx"))
+      .filter(col("mn") === 0 && col("mx") >= 32768)
+      .count()
+    assert(bad == 0, "a=0 and a=32768 share a file: code high bit was dropped")
+  }
+
+  test("clusterByZ on empty input is a no-op, not an NPE") {
+    val empty = spark.range(0).select(col("id").as("a"), col("id").as("b"))
+    assert(operators.ZOrder.clusterByZ(empty, Seq("a", "b"), 2).count() == 0)
+  }
+
   test("clusterByZ on lineitem preserves content and tightens suppkey ranges") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
