@@ -45,7 +45,12 @@ object Bench {
     // one-time table write in the warmup — write-once/join-many — so
     // the measured reps time the zero-Exchange read path) and the BPE
     // applier
-    "join_bucketed", "join_skew_salted", "text_bpe_portable")
+    "join_bucketed", "join_skew_salted", "text_bpe_portable",
+    // round-9: the z-order layout's read path (the one-time clustered
+    // write lands in the pre-pass via DimCache; reps time the pruned
+    // scan). The harness prints its rows-read vs the full table after
+    // the group so the pruning factor is measured on driver hardware.
+    "scan_zorder_pruned")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime
@@ -62,6 +67,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Local-iteration hook: SPARK_GRAFT_BENCH_ONLY=q1,q2 measures just
+    // those queries under the identical group harness. The driver leaves
+    // it unset, so official BENCH_r{N} numbers always cover the full set.
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(only => headline.filter(only.contains))
+      .getOrElse(headline)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -94,7 +106,7 @@ object Bench {
     // One full pre-pass so global one-time costs — JVM/codegen caches,
     // parquet footer reads, DimCache'd vocab/dims dimensions — land
     // before ANY group is measured, keeping group order irrelevant.
-    headline.foreach(run)
+    selected.foreach(run)
     groupCleanup()
 
     // Per-query median of five, measured inside the query's own group:
@@ -102,7 +114,7 @@ object Bench {
     // Median-of-5 is robust to one-sided GC outliers; the group shape
     // keeps cross-query heap pollution out of the number entirely.
     val reps = 5
-    val results = headline.map { n =>
+    val results = selected.map { n =>
       run(n) // group-local warmup (C2 finishes mid-flight compiles)
       val ts = Seq.fill(reps)(run(n))
       val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
@@ -110,6 +122,28 @@ object Bench {
         f"[bench] $n%-22s median=$med%7.3fs heap=${heapUsedMb}%5dMB gc=${gcMillis}%6dms")
       groupCleanup()
       n -> med
+    }
+    // Layout-pruning evidence for the z-order scan: rows the parquet
+    // scan actually READ (post row-group min/max skipping) vs the full
+    // table — the factor file-level stats bought on this hardware.
+    if (selected.contains("scan_zorder_pruned")) {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val df = SparkEntry.queries("scan_zorder_pruned")(spark, sfDir)
+      df.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val read = scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value)
+        .sum
+      val total = Tables.lineitem(spark, sfDir).count()
+      System.err.println(
+        f"[bench] scan_zorder_pruned rows_read=$read total_rows=$total " +
+          f"pruned_factor=${total.toDouble / math.max(read, 1L)}%.1f")
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -88,14 +88,26 @@ object Similarity {
     * Ties resolve to the lowest cell_id (centroids ship sorted;
     * array_position returns the first match).
     */
-  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val cRows = cents.select(col("cell_id"), col("centroid")).collect()
-      .sortBy(_.getInt(0))
+  /** Collect a bounded centroid set to driver arrays — the shippable
+    * dimension [[assignCells]] broadcasts as literals. Deterministic per
+    * (dataset, nCells), so callers that rebuild plans repeatedly (bench
+    * reps, verify runs) should cache the result via [[graft.DimCache]]
+    * instead of paying the collect job per invocation.
+    */
+  def centroidArrays(cents: DataFrame): IndexedSeq[(Int, Seq[Double])] =
+    cents.select(col("cell_id"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
       .toIndexedSeq
+
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(emb, centroidArrays(cents))
+
+  def assignCells(emb: DataFrame, cRows: IndexedSeq[(Int, Seq[Double])]): DataFrame = {
     require(cRows.nonEmpty, "assignCells: empty centroid set")
-    val cellIds = array(cRows.map(r => lit(r.getInt(0))): _*)
+    val cellIds = array(cRows.map(r => lit(r._1)): _*)
     val unitCents = array(cRows.map { r =>
-      val v = r.getSeq[Double](1)
+      val v = r._2
       val n = math.sqrt(v.map(x => x * x).sum)
       array(v.map(x => lit(if (n == 0d) 0d else x / n)): _*)
     }: _*)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.Agg.{dsum, dsumSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -264,8 +265,80 @@ object Conversions {
       |  CAST((a4 | (b4 << 1)) >> 24 AS BIGINT) AS zbucket
       |FROM s4""".stripMargin
 
+  /** One-time z-order-clustered lineitem copy for [[scanZorderPruned]]
+    * (write-once/scan-many via [[graft.DimCache]], the same lifecycle as
+    * `join_bucketed`'s bucketed tables). 64 files ⇒ ~8×8 tiles of the
+    * (partkey, suppkey) space, so a ~15% slice on EACH key overlaps only
+    * ~2 tiles per dimension.
+    */
+  private def zorderedLineitemPath(s: SparkSession, dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val path = System.getProperty("java.io.tmpdir") + s"/graft_zscan_$tag"
+    graft.DimCache.cached(s"zscan-layout:$dir") {
+      graft.operators.ZOrder.clusterByZ(
+        Tables.lineitem(s, dir).select(
+          col("l_partkey"), col("l_suppkey"),
+          col("l_returnflag"), col("l_quantity")),
+        Seq("l_partkey", "l_suppkey"), 64)
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+  }
+
+  /** Slice bounds at 35%–50% of each key's range, in pure BIGINT
+    * arithmetic so the oracle's scalar subquery computes the identical
+    * values (`//` in DuckDB = Scala Long division for non-negatives).
+    */
+  private def zscanBounds(s: SparkSession, dir: String): (Long, Long, Long, Long) =
+    graft.DimCache.cached(s"zscan-bounds:$dir") {
+      val r = Tables.lineitem(s, dir)
+        .agg(min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+          min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long"))
+        .head()
+      val (pmn, pmx, smn, smx) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      (pmn + (pmx - pmn) * 7 / 20, pmn + (pmx - pmn) * 10 / 20,
+        smn + (smx - smn) * 7 / 20, smn + (smx - smn) * 10 / 20)
+    }
+
+  /** The read path the z-order layout exists for: a selective
+    * two-predicate scan (one predicate on EACH clustered key) over the
+    * z-written lineitem copy. Parquet row-group min/max stats prune most
+    * files because every file covers one compact (partkey, suppkey)
+    * tile — no reader cooperation needed beyond ordinary pushdown. The
+    * oracle computes the same aggregate from the RAW lineitem parquet,
+    * so the green row proves the clustered copy is faithful; the Bench
+    * entry times this scan and reports its rows-read metric (ref
+    * `cpp/src/io/parquet/predicate_pushdown.cpp:100-176` — the same
+    * stats-based pruning, here via layout instead of a reader rewrite).
+    */
+  private def scanZorderPruned(s: SparkSession, dir: String): DataFrame = {
+    val (pkLo, pkHi, skLo, skHi) = zscanBounds(s, dir)
+    s.read.parquet(zorderedLineitemPath(s, dir))
+      .filter(col("l_partkey").between(pkLo, pkHi) &&
+        col("l_suppkey").between(skLo, skHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  private val scanZorderPrunedSql =
+    s"""WITH b AS (
+       |  SELECT min(l_partkey) + (max(l_partkey) - min(l_partkey)) * 7 // 20 AS pk_lo,
+       |         min(l_partkey) + (max(l_partkey) - min(l_partkey)) * 10 // 20 AS pk_hi,
+       |         min(l_suppkey) + (max(l_suppkey) - min(l_suppkey)) * 7 // 20 AS sk_lo,
+       |         min(l_suppkey) + (max(l_suppkey) - min(l_suppkey)) * 10 // 20 AS sk_hi
+       |  FROM lineitem)
+       |SELECT l_returnflag, count(*) AS n_rows,
+       |  ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem, b
+       |WHERE l_partkey BETWEEN pk_lo AND pk_hi
+       |  AND l_suppkey BETWEEN sk_lo AND sk_hi
+       |GROUP BY l_returnflag""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "conv_zorder" -> Q(zorderCode _, zorderCodeSql),
+    "scan_zorder_pruned" -> Q(scanZorderPruned _, scanZorderPrunedSql),
     "conv_byte_cast" -> Q(byteCast _, byteCastSql),
     "conv_cast_roundtrip" -> Q(castRoundtrip _, castRoundtripSql),
     "conv_ipv4" -> Q(ipv4Conv _, ipv4ConvSql),
