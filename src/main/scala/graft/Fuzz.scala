@@ -102,7 +102,31 @@ object Fuzz {
     }
 
     def query(): String = {
-      val kind = rng.nextInt(14)
+      val kind = rng.nextInt(15)
+      if (kind == 14) {
+        // RANGE window-frame template: value-based frames over epoch
+        // micros — the frame family where engine dialects actually
+        // diverge (bound inclusion, peer handling; the ROWS templates
+        // never reach it). ORDER BY a numeric epoch key with random
+        // second-scale bounds in µs; every aggregate over the frame is
+        // peer-complete, so ties in ts need no tiebreaker to be
+        // deterministic. `unix_micros` is bridged to DuckDB's
+        // `epoch_us` by a tools/check.py macro (same µs BIGINT).
+        val part = pick(Seq("user_id", "event_type"))
+        val lo = (1 + rng.nextInt(600)) * 1000000L
+        val hi =
+          if (rng.nextBoolean()) "CURRENT ROW"
+          else s"${(1 + rng.nextInt(120)) * 1000000L} FOLLOWING"
+        val over =
+          s"OVER (PARTITION BY $part ORDER BY unix_micros(CAST(ts AS TIMESTAMP)) " +
+            s"RANGE BETWEEN $lo PRECEDING AND $hi)"
+        return s"""SELECT event_id, user_id,
+           |  CAST(sum(CAST(floor(value * 1e4) AS BIGINT)) $over AS BIGINT) AS r_sv,
+           |  count(*) $over AS r_n,
+           |  min(event_id) $over AS r_mid,
+           |  max(user_id) $over AS r_mu
+           |FROM events WHERE ${eventsPred()}""".stripMargin
+      }
       if (kind == 13) {
         // ROLLUP template: super-aggregate rows with NULL group keys —
         // exercises grouping-set semantics and NULL-key canonical

@@ -372,7 +372,66 @@ object Extras {
       |  ltrim(p_name, 'rs') AS ltrim_chars
       |FROM part""".stripMargin
 
+  // ------------------------------------------------- Frame façade gate
+  // The two most-used pandas entry points routed THROUGH the façade
+  // (graft.engine.Frame, ref python/cudf/cudf/core/dataframe.py) so the
+  // migration surface sits in the driver correctness gate, not only in
+  // FrameSpec goldens.
+
+  /** `Frame.valueCounts` (Series.value_counts): the façade's groupBy +
+    * count lowering, oracled 1:1.
+    */
+  private def frameValueCounts(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Frame(Tables.part(s, dir).select(col("p_brand")))
+      .valueCounts("p_brand").df
+
+  private val frameValueCountsSql =
+    """SELECT p_brand, count(*) AS count FROM part GROUP BY p_brand"""
+
+  /** `Frame.describe` over integer key columns, parsed back from
+    * describe's string cells to fixed-point BIGINT. The stddev row is
+    * excluded ON PURPOSE: its moment accumulation is the one
+    * order-dependent double in describe's output (count/min/max are
+    * exact; mean = an exactly-representable integer sum — every partial
+    * sum < 2^53 — followed by one IEEE division, so floor(x·10⁴) is
+    * deterministic cross-engine). The full five-row shape including
+    * stddev is golden-pinned in FrameSpec.
+    */
+  private def frameDescribe(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.engine.Frame(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
+      .describe().df
+    def fx(c: String) =
+      floor(col(c).cast(DoubleType) * 10000).cast(LongType).as(c)
+    d.filter(col("summary").isin("count", "mean", "min", "max"))
+      .select(col("summary"), fx("l_orderkey"), fx("l_partkey"), fx("l_suppkey"))
+  }
+
+  private val frameDescribeSql =
+    """WITH d AS (
+      |  SELECT 'count' AS summary,
+      |    CAST(count(l_orderkey) AS DOUBLE) AS ok,
+      |    CAST(count(l_partkey) AS DOUBLE) AS pk,
+      |    CAST(count(l_suppkey) AS DOUBLE) AS sk
+      |  FROM lineitem
+      |  UNION ALL SELECT 'mean', avg(l_orderkey), avg(l_partkey),
+      |    avg(l_suppkey) FROM lineitem
+      |  UNION ALL SELECT 'min', CAST(min(l_orderkey) AS DOUBLE),
+      |    CAST(min(l_partkey) AS DOUBLE), CAST(min(l_suppkey) AS DOUBLE)
+      |  FROM lineitem
+      |  UNION ALL SELECT 'max', CAST(max(l_orderkey) AS DOUBLE),
+      |    CAST(max(l_partkey) AS DOUBLE), CAST(max(l_suppkey) AS DOUBLE)
+      |  FROM lineitem)
+      |SELECT summary,
+      |  CAST(floor(ok * 10000) AS BIGINT) AS l_orderkey,
+      |  CAST(floor(pk * 10000) AS BIGINT) AS l_partkey,
+      |  CAST(floor(sk * 10000) AS BIGINT) AS l_suppkey
+      |FROM d""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "frame_value_counts" -> Q(frameValueCounts _, frameValueCountsSql),
+    "frame_describe" -> Q(frameDescribe _, frameDescribeSql),
     "str_partition_points" -> Q(strPartitionPoints _, strPartitionPointsSql),
     "interval_overlap" -> Q(intervalOverlap _, intervalOverlapSql),
     "resample_asfreq" -> Q(resampleAsfreq _, resampleAsfreqSql),

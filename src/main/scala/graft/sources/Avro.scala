@@ -28,12 +28,17 @@ import scala.jdk.CollectionConverters._
   * Supported schema subset (loud `IllegalArgumentException` otherwise):
   * the primitive types (boolean/int/long/float/double/string/bytes,
   * enum and fixed read as string/binary), nullable via ["null", T]
-  * unions, arrays, maps with string keys, nested records, and the
+  * unions, arrays, maps with string keys, nested records, the
   * date/timestamp logical types at micros precision (avro `date` ↔
   * DateType, `timestamp-micros` ↔ TimestampType,
   * `local-timestamp-micros` ↔ TimestampNTZType — the engine's µs
-  * timestamp contract; millis-precision logical types and decimal are
-  * rejected loudly rather than silently re-scaled).
+  * timestamp contract; millis-precision logical types are rejected
+  * loudly rather than silently re-scaled), and `decimal` over
+  * bytes/fixed ↔ DecimalType(p, s) — cudf's avro surface is read-only
+  * primitives, but DECIMAL32/64/128 is a first-class engine type
+  * (SURVEY §1.2), so the decimal contract stays symmetric across all
+  * four IO formats (two's-complement big-endian unscaled int per the
+  * avro spec).
   */
 object Avro {
 
@@ -63,8 +68,12 @@ object Avro {
     case Schema.Type.DOUBLE  => (DoubleType, false)
     case Schema.Type.STRING  => (StringType, false)
     case Schema.Type.ENUM    => (StringType, false)
-    case Schema.Type.BYTES   => (BinaryType, false)
-    case Schema.Type.FIXED   => (BinaryType, false)
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      s.getLogicalType match {
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          (DecimalType(d.getPrecision, d.getScale), false)
+        case _ => (BinaryType, false)
+      }
     case Schema.Type.ARRAY =>
       val (et, en) = sparkType(s.getElementType)
       (ArrayType(et, containsNull = en), false)
@@ -106,6 +115,9 @@ object Avro {
       case DoubleType  => Schema.create(Schema.Type.DOUBLE)
       case StringType  => Schema.create(Schema.Type.STRING)
       case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case dt: DecimalType =>
+        org.apache.avro.LogicalTypes.decimal(dt.precision, dt.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
       case ArrayType(et, cn) =>
         Schema.createArray(wrap(field(et, path + ".elem"), cn))
       case MapType(StringType, vt, vn) =>
@@ -149,6 +161,11 @@ object Avro {
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
     case (f: org.apache.avro.generic.GenericFixed, BinaryType) => f.bytes().clone()
+    case (b: java.nio.ByteBuffer, dt: DecimalType) =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out)
+      new java.math.BigDecimal(new java.math.BigInteger(out), dt.scale)
+    case (f: org.apache.avro.generic.GenericFixed, dt: DecimalType) =>
+      new java.math.BigDecimal(new java.math.BigInteger(f.bytes()), dt.scale)
     case (l: java.util.Collection[_], ArrayType(et, _)) =>
       l.asScala.map(toSpark(_, et)).toSeq
     case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
@@ -182,6 +199,14 @@ object Avro {
       case (t: java.time.LocalDateTime, Schema.Type.LONG) =>
         val i = t.toInstant(java.time.ZoneOffset.UTC)
         java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case (d: java.math.BigDecimal, Schema.Type.BYTES) =>
+        val lt = s.getLogicalType
+        require(lt.isInstanceOf[org.apache.avro.LogicalTypes.Decimal],
+          s"BigDecimal written to non-decimal avro bytes: $s")
+        val scale = lt.asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+        // setScale is exact (same scale as the Spark DecimalType the
+        // schema was derived from); a mismatch throws rather than rounds
+        java.nio.ByteBuffer.wrap(d.setScale(scale).unscaledValue().toByteArray)
       case (b: Array[Byte], Schema.Type.BYTES) => java.nio.ByteBuffer.wrap(b)
       case (seq: scala.collection.Seq[_], Schema.Type.ARRAY) =>
         seq.map(toAvro(_, s.getElementType)).asJava

@@ -90,9 +90,33 @@ class AvroIoSpec extends AnyFunSuite {
     assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
   }
 
+  test("decimal logical type round-trips bytes-exact, nulls and negatives") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("price", DecimalType(10, 2), nullable = true),
+      StructField("wide", DecimalType(38, 10), nullable = true)))
+    def dec(s: String, scale: Int) =
+      new java.math.BigDecimal(s).setScale(scale)
+    val rows = Seq(
+      Row(1L, dec("12345.67", 2), dec("98765432109876543210.0123456789", 10)),
+      Row(2L, dec("-0.01", 2), dec("-1.0000000001", 10)),
+      Row(3L, null, null),
+      Row(4L, dec("0.00", 2), dec("0.0000000000", 10)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val path = tmp("graft-avro-dec")
+    Avro.writeAvro(df, path)
+    val back = Avro.readAvro(spark, path)
+    assert(back.schema("price").dataType == DecimalType(10, 2))
+    assert(back.schema("wide").dataType == DecimalType(38, 10))
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("unsupported schema fails loudly") {
     val df = spark.range(1).select(
-      org.apache.spark.sql.functions.lit(BigDecimal(1.5)).as("dec"))
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit(1),
+        org.apache.spark.sql.functions.lit("a")).as("intkeyed"))
     val e = intercept[IllegalArgumentException] {
       Avro.writeAvro(df, tmp("graft-avro-bad"))
     }

@@ -147,6 +147,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == n1)
   }
 
+  test("near-dedup state survives a mid-stream kill: no duplicate survivors across restart") {
+    // The state-store contract a 100 TB streaming dedup depends on: the
+    // seen-signature state must come back after a crash, so a duplicate
+    // arriving AFTER the restart of a killed query is still dropped, and
+    // a batch in flight at the kill replays exactly-once into the file
+    // sink. Shape: originals + one duplicate wave land, the query is
+    // killed after its first committed batch with input still pending
+    // (maxFilesPerTrigger=1 forces multi-batch), a second duplicate wave
+    // arrives while the query is DOWN, then the query resumes from the
+    // checkpoint and drains. Any lost state shows up as a repeated
+    // signature in the output; any replayed output as a count overshoot.
+    val in = Files.createTempDirectory("graft-ndkill-in").toString
+    val cp = Files.createTempDirectory("graft-ndkill-cp").toString
+    val outDir = Files.createTempDirectory("graft-ndkill-out").toString
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 3)
+      .orderBy(col("doc_id")).limit(200)
+      .withColumn("ts", expr("timestamp'2026-01-01 00:00:00'"))
+      .cache()
+    def appendWave(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(in)
+    appendWave(base)
+    appendWave(base.withColumn("doc_id", col("doc_id") + 1000000L))
+    def stream = Streams.nearDedupStream(
+      spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in), "ts")
+    def writer(s: org.apache.spark.sql.DataFrame) = s.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", cp)
+
+    val q1 = writer(stream).start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop()
+    q1.awaitTermination()
+
+    appendWave(base.withColumn("doc_id", col("doc_id") + 2000000L))
+    val q2 = writer(stream)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+
+    val out = spark.read.parquet(outDir)
+    val distinctSigs = out.select(countDistinct(col("sig"))).head().getLong(0)
+    assert(out.count() == distinctSigs,
+      s"${out.count()} survivors but only $distinctSigs distinct signatures — " +
+        "a duplicate survived the restart (state store lost)")
+    val expected = queries.LlmOps.withShingles(base)
+      .select(ArrCanon.joined(queries.LlmOps.minhashSig(16)).as("sig"))
+      .select(countDistinct(col("sig"))).head().getLong(0)
+    assert(out.count() == expected,
+      s"survivors ${out.count()} != corpus distinct-signature count $expected")
+  }
+
   test("stream-stream click/view join matches the batch range join") {
     val stream = Streams.readEventStream(spark, replayDir)
     val got = Streams

@@ -79,6 +79,11 @@ def main():
     # same null-in/null-out semantics.
     con.execute("CREATE MACRO size(l) AS len(l)")
     con.execute("CREATE MACRO element_at(l, i) AS list_extract(l, i)")
+    # the untyped macro param binds as NULL at definition time, so pin
+    # the overload with an explicit TIMESTAMP cast (lossless: the fuzz
+    # grammar only ever passes CAST(ts AS TIMESTAMP))
+    con.execute(
+        "CREATE MACRO unix_micros(t) AS epoch_us(CAST(t AS TIMESTAMP))")
 
     n_pass = n_fail = n_noracle = 0
     results = sorted(p.name for p in out_dir.iterdir() if p.is_dir())
