@@ -123,6 +123,88 @@ object Similarity {
       .select(col("vec_id"), col("cell_id"), col("e"))
   }
 
+  // -------------------------------------------------- product quantization
+
+  /** Elementwise squared-L2 between two equal-length double arrays, as
+    * the ascending-index fold `acc + (x_i - y_i)²` — one IEEE rounding
+    * per subtract/multiply/add, mirrored verbatim by DuckDB's
+    * `list_reduce`, so distances are bit-identical cross-engine (the
+    * same contract DotF64 gives the dot-product paths). HOF evaluation
+    * is fine here: PQ encode touches each vector once at WRITE time
+    * (the whole point is that queries then touch only the codes).
+    */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic PQ codebooks: the same Lehmer-strided pick as
+    * [[centroids]] selects `k` exemplar vectors (renumbered by vec_id),
+    * and codeword `(m)(c)` is exemplar c's m-th length-`dsub` subvector.
+    * A k-means refinement would tighten the cells but costs determinism
+    * (iteration order) — the strided pick keeps the ENTIRE pipeline
+    * replicable in ANSI SQL, the property every sketch in this repo
+    * trades for. Bounded dimension: collect once per JVM per dataset
+    * via [[graft.DimCache]] at the call site.
+    */
+  def pqCodebooks(emb: DataFrame, m: Int, k: Int, dsub: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val picked = emb
+      .orderBy(pmod(col("vec_id") * lit(48271L), lit(2147483647L)), col("vec_id"))
+      .limit(k)
+      .orderBy(col("vec_id"))
+      .select(col("e"))
+      .collect()
+      .map(_.getSeq[Double](0))
+      .toIndexedSeq
+    require(picked.size == k, s"pqCodebooks: need $k exemplars, got ${picked.size}")
+    require(picked.forall(_.length == m * dsub),
+      s"pqCodebooks: dims must be uniform ${m}x$dsub")
+    (0 until m).map(mm => picked.map(v => v.slice(mm * dsub, (mm + 1) * dsub).toIndexedSeq))
+  }
+
+  /** Map-side PQ encode: each vector gains `c0..c{M-1}` — the index of
+    * its nearest codeword per subspace (argmin over k literal codewords;
+    * ties to the lowest index via array_position-first-match). A pure
+    * Project over the scan: no Exchange, no join. At 100 TB this is the
+    * similarity family's memory lever — M small ints replace the float
+    * vector for candidate generation (64×f32 → 8 codes = 32× smaller),
+    * so the ANN working set fits executor memory long after raw
+    * embeddings stop fitting anywhere.
+    */
+  def encodePq(emb: DataFrame, cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], dsub: Int): DataFrame = {
+    // distance arrays materialized in their own projection so the
+    // argmin's two references don't recompute the folds
+    val distCols = cb.indices.map { m =>
+      val sub = slice(col("e"), m * dsub + 1, dsub)
+      array(cb(m).map(w => l2(sub, array(w.map(lit): _*))): _*).as(s"d$m")
+    }
+    emb.select(Seq(col("vec_id"), col("e")) ++ distCols: _*)
+      .select(Seq(col("vec_id"), col("e")) ++ cb.indices.map(m =>
+        (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1)
+          .cast(IntegerType).as(s"c$m")): _*)
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: the
+    * query keeps full precision, every corpus row is scored from its
+    * codes alone — M codeword-table lookups + M small L2 folds, summed
+    * in fixed subspace order (bit-exact cross-engine). Plan: broadcast
+    * 1-row query → map-side score → TakeOrdered(k). Zero shuffles.
+    */
+  def pqTopK(encoded: DataFrame, cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      dsub: Int, queryVecId: Long, k: Int): DataFrame = {
+    val q = encoded.filter(col("vec_id") === queryVecId).select(col("e").as("qe"))
+    val adc = cb.indices.map { m =>
+      val qsub = slice(col("qe"), m * dsub + 1, dsub)
+      val cwords = array(cb(m).map(w => array(w.map(lit): _*)): _*)
+      l2(qsub, element_at(cwords, col(s"c$m") + 1))
+    }.reduce(_ + _)
+    encoded.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("adc", adc)
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("adc"), 6).as("adc_dist_6dp"))
+  }
+
   /** IVF query: probe the nProbe cells nearest to the query vector and
     * rank candidates only within them.
     */

@@ -798,6 +798,78 @@ object LlmOps {
       .select(col("vec_id"), round(col("cosine"), 6).as("cosine_6dp"))
   }
 
+  /** IVF-PQ-style product quantization (FAISS practice, public
+    * algorithm): 8 subspaces × 16 codewords from the deterministic
+    * Lehmer exemplar pick, map-side encode (8 small ints replace the
+    * 64-float vector — the 32× memory lever that keeps ANN candidate
+    * state in executor memory at 100 TB), then ADC top-k: the query at
+    * full precision, every corpus row scored from codes alone. Fully
+    * oracled — every fold, argmin tie, and subspace-sum order is
+    * mirrored bit-exact in the DuckDB twin (see pqTopK scaladoc).
+    */
+  private def simIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
+    val M = 8
+    val K = 16
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val (dmin, dmax) = embDims(s, dir)
+    require(dmin == dmax && dmin % M == 0,
+      s"PQ needs uniform dims divisible by $M, got [$dmin,$dmax]")
+    val dsub = dmin / M
+    val cb = graft.DimCache.cached(s"pq-codebooks:$dir:$M:$K") {
+      graft.operators.Similarity.pqCodebooks(emb, M, K, dsub)
+    }
+    graft.operators.Similarity.pqTopK(
+      graft.operators.Similarity.encodePq(emb, cb, dsub), cb, dsub,
+      queryVecId = 0L, k = 10)
+  }
+
+  /** DuckDB twin of the PQ pipeline: exemplar pick = the IVF centroid
+    * CTE, per-(vector, subspace, codeword) distances via the same
+    * ascending list_reduce fold, argmin tie to the lowest codeword
+    * (ORDER BY d, k = array_position first-match), and the ADC sum
+    * folded in subspace order (list(t ORDER BY m) — matches the fixed
+    * left-to-right Spark reduce; 0.0 + t0 ≡ t0 in IEEE for the
+    * non-negative distances here).
+    */
+  private val simIvfpqTopkSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |picked AS (
+      |  SELECT vec_id, e FROM ev
+      |  ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 16),
+      |cw AS (
+      |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS k, e FROM picked),
+      |ms AS (SELECT unnest(range(0, 8)) AS m),
+      |dists AS (
+      |  SELECT v.vec_id, ms.m, c.k,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, 9), j ->
+      |        (v.e[ms.m * 8 + j] - c.e[ms.m * 8 + j])
+      |          * (v.e[ms.m * 8 + j] - c.e[ms.m * 8 + j]))),
+      |      (acc, x) -> acc + x) AS d
+      |  FROM ev v CROSS JOIN cw c CROSS JOIN ms),
+      |codes AS (
+      |  SELECT vec_id, m, k FROM dists
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) = 1),
+      |qv AS (SELECT e AS qe FROM ev WHERE vec_id = 0),
+      |terms AS (
+      |  SELECT co.vec_id, co.m,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, 9), j ->
+      |        (q.qe[co.m * 8 + j] - c.e[co.m * 8 + j])
+      |          * (q.qe[co.m * 8 + j] - c.e[co.m * 8 + j]))),
+      |      (acc, x) -> acc + x) AS t
+      |  FROM codes co JOIN cw c ON c.k = co.k CROSS JOIN qv q
+      |  WHERE co.vec_id <> 0),
+      |adc AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY m)),
+      |      (acc, x) -> acc + x) AS a
+      |  FROM terms GROUP BY vec_id)
+      |SELECT vec_id, round(a, 6) AS adc_dist_6dp
+      |FROM adc ORDER BY a, vec_id LIMIT 10""".stripMargin
+
   /** DuckDB twin of the whole IVF pipeline. Every dot product is the
     * same ascending-index fold DotF64 runs (one rounding per multiply,
     * one per add), the centroid unit-normalization mirrors the
@@ -1514,6 +1586,7 @@ object LlmOps {
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, simAnnLshBucketsSql),
     "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),
+    "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
     "emb_quantize" -> Q(embQuantize _, embQuantizeSql),
     "dedup_semantic" -> Q(dedupSemantic _, dedupSemanticSql),
     "multimodal_meta" -> Q(multimodalMeta _, multimodalMetaSql)

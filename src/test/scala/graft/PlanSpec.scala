@@ -82,6 +82,17 @@ class PlanSpec extends AnyFunSuite {
       "the bit-interleave arithmetic must stay inside codegen")
   }
 
+  test("PQ encode + ADC top-k: zero shuffle Exchange end to end") {
+    val p = plan("sim_ivfpq_topk")
+    // broadcast of the 1-row query is fine; a shuffle Exchange is not —
+    // encode is a Project over the scan, scoring is map-side, the top-k
+    // is TakeOrderedAndProject
+    val shuffles = p.linesIterator
+      .filter(l => l.matches("""\(\d+\) Exchange.*""")).toSeq
+    assert(shuffles.isEmpty, s"PQ path must not shuffle: $shuffles\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "expected top-k short-circuit")
+  }
+
   test("corpus_shard_shuffle shuffles exactly once, on the shard key") {
     val p = plan("corpus_shard_shuffle")
     // one hashpartitioning Exchange feeding the rank window — the hash
