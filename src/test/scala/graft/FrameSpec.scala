@@ -168,12 +168,28 @@ class FrameSpec extends AnyFunSuite {
     assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
   }
 
-  test("sample is deterministic per seed; describe has the 5 summary rows") {
+  test("sample is deterministic per seed; describe matches direct aggregates incl. stddev") {
     val a = li.sample(0.1, 42L).df.count()
     val b = li.sample(0.1, 42L).df.count()
     assert(a == b)
-    val d = li.describe("l_quantity").df
-    assert(d.count() == 5)
+    // full five-row shape golden: describe's string cells parse back to
+    // the direct aggregate values — including stddev, which the oracled
+    // frame_describe row excludes as the one order-dependent double
+    // (this differential check is within ONE engine, so it is exact
+    // modulo the string round-trip)
+    val d = li.describe("l_quantity").df.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d.keySet == Set("count", "mean", "stddev", "min", "max"))
+    val g = li.df.agg(
+      count(col("l_quantity")), avg(col("l_quantity")),
+      stddev_samp(col("l_quantity")),
+      min(col("l_quantity")).cast("double"),
+      max(col("l_quantity")).cast("double")).head()
+    assert(d("count").toLong == g.getLong(0))
+    assert(math.abs(d("mean").toDouble - g.getDouble(1)) < 1e-9)
+    assert(math.abs(d("stddev").toDouble - g.getDouble(2)) < 1e-9)
+    assert(d("min").toDouble == g.getDouble(3))
+    assert(d("max").toDouble == g.getDouble(4))
   }
 
   test("qcut yields near-equal-frequency bins; mergeAsof directions agree with window forms") {
