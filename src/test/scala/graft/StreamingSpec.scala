@@ -202,6 +202,27 @@ class StreamingSpec extends AnyFunSuite {
       s"survivors ${out.count()} != corpus distinct-signature count $expected")
   }
 
+  test("streaming PQ encode matches the batch encode (stateless ANN ingest)") {
+    // The PQ encode is a pure projection over literal codebooks, so the
+    // SAME operator runs unchanged on a stream — the shape that lets a
+    // streaming ingest pipeline assign ANN codes to arriving embeddings
+    // with zero state and zero shuffles. Differential: codes from the
+    // streamed table must equal the batch codes row for row.
+    val dir = Files.createTempDirectory("graft-pq-stream").toString
+    val emb = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+    emb.repartition(4).write.mode("overwrite").parquet(dir)
+    val cb = operators.Similarity.pqCodebooks(emb, 8, 16, 8)
+    val stream = spark.readStream.schema(emb.schema).parquet(dir)
+    val out = Streams.runToCompletion(
+      spark, operators.Similarity.encodePq(stream, cb, 8).drop("e"),
+      "t_pq_stream", "append")
+    val batch = operators.Similarity.encodePq(emb, cb, 8).drop("e")
+    assert(out.count() == batch.count())
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty,
+      "streamed PQ codes must equal the batch codes")
+  }
+
   test("stream-stream click/view join matches the batch range join") {
     val stream = Streams.readEventStream(spark, replayDir)
     val got = Streams
