@@ -52,7 +52,12 @@ object Bench {
     // the group so the pruning factor is measured on driver hardware),
     // and the PQ encode + ADC top-k path (codebooks DimCache'd in the
     // pre-pass; reps time encode + scoring)
-    "scan_zorder_pruned", "sim_ivfpq_topk")
+    "scan_zorder_pruned", "sim_ivfpq_topk",
+    // round-9: incremental near-dedup against the persisted LSH index
+    // (index build lands in the warmup pre-pass via DimCache — the
+    // write-once/query-many contract — so reps time the steady-state
+    // delta-proportional cost a daily ingest actually pays)
+    "dedup_incremental_lsh")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime

@@ -417,27 +417,35 @@ object LlmOps {
     * engines agree regardless); the verify stage was always an
     * estimate-of-exact step, so the contract is unchanged.
     */
-  private[graft] def ngramJaccardPairs(docs: DataFrame, maxBucket: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
+  /** Per-document distinct hashed-shingle sets: (doc_id, hs, pp, ww)
+    * where `pp`/`ww` are the seed-0 poly-hash and 31^len arrays the band
+    * hashes are derived from. Shared by the self-join dedup
+    * ([[ngramJaccardPairs]]) and the incremental index
+    * ([[dedupIncrementalLsh]]).
+    */
+  private def prehashedShingles(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesOfToks(col("toks")).as("g3"))
-    // One minhash per band: min over shingles of the poly-hash seeded by
-    // band. The seeded fold factors algebraically: h_b(g) = (b·31^len(g)
-    // + P(g)) mod M with P = the seed-0 fold — so each shingle is
-    // char-folded ONCE (computing P and 31^len together), and every
-    // band hash is an O(1) combination instead of its own char fold.
-    // Residues are unchanged (each fold step reduces mod M), so the
-    // bucket values — and the DuckDB oracle — are bit-identical to the
-    // naive per-band fold. The pp/ww arrays are materialized in their
-    // own projection: a lambda reference would re-run the fold per band.
-    val prehashed = grams
       .select(col("doc_id"),
         graft.functions.PolyHash31.polyhash31(col("g3")).as("ph"))
       .select(col("doc_id"),
         array_distinct(col("ph.pp")).as("hs"),
         col("ph.pp").as("pp"), col("ph.ww").as("ww"))
-    val banded = prehashed
+
+  /** One minhash per band: min over shingles of the poly-hash seeded by
+    * band. The seeded fold factors algebraically: h_b(g) = (b·31^len(g)
+    * + P(g)) mod M with P = the seed-0 fold — so each shingle is
+    * char-folded ONCE (computing P and 31^len together), and every
+    * band hash is an O(1) combination instead of its own char fold.
+    * Residues are unchanged (each fold step reduces mod M), so the
+    * bucket values — and the DuckDB oracle — are bit-identical to the
+    * naive per-band fold. The pp/ww arrays are materialized in their
+    * own projection ([[prehashedShingles]]): a lambda reference would
+    * re-run the fold per band. Output: (doc_id, hs, band, bucket).
+    */
+  private def bandedBuckets(prehashed: DataFrame): DataFrame =
+    prehashed
       .select(col("doc_id"), col("hs"),
         posexplode(expr(
           """transform(sequence(0, 3), b ->
@@ -445,7 +453,11 @@ object LlmOps {
             |    (p, w) -> (CAST(b AS BIGINT) * w + p) % 1000000007)))""".stripMargin))
           .as(Seq("band", "bucket")))
       .filter(col("bucket").isNotNull) // docs with no shingles: no candidates
-    val capped = banded
+
+  private[graft] def ngramJaccardPairs(docs: DataFrame, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prehashed = prehashedShingles(docs)
+    val capped = bandedBuckets(prehashed)
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bucket_n") <= maxBucket)
@@ -511,6 +523,178 @@ object LlmOps {
       |  JOIN hsets hb ON hb.doc_id = p.id_b
       |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
       |    len(list_distinct(ha.hs || hb.hs)) >= 0.2""".stripMargin
+
+  /** Incremental near-dedup: a DELTA batch (doc_id % 10 = 0 stands in
+    * for "today's crawl") checked against a PERSISTED corpus LSH index
+    * (the other 90%), without ever re-scanning corpus text. The index —
+    * capped (band, bucket, doc_id) rows plus a (doc_id, hs) signature
+    * store — is built and written ONCE per dataset per JVM
+    * ([[graft.DimCache]], the write-once/query-many contract shared with
+    * join_bucketed and the PQ codes index), so steady-state cost is
+    * proportional to the DELTA, not the corpus: the delta is banded
+    * map-side, joined to the bucket index on compact (band, bucket)
+    * keys, and only matched pairs touch the signature store. That is
+    * the shape a 100 TB ingest actually runs daily — the alternative
+    * (re-running self-join dedup over corpus+delta) re-pays the whole
+    * corpus every batch. Hot corpus buckets are capped at index-build
+    * time (property of the stored index, mirrored in the oracle's
+    * QUALIFY). The oracle recomputes BOTH sides from the raw documents
+    * table, so the green row also proves the persisted index faithful.
+    * Reference: nvtext jaccard.hpp:73 pairwise verify; minhash.hpp:72
+    * banding.
+    */
+  private def dedupIncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idxDir = graft.DimCache.cached(s"lsh-index:$dir") {
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val p = System.getProperty("java.io.tmpdir") + s"/graft_lshidx_$tag"
+      val pre = prehashedShingles(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(10)) =!= 0))
+      bandedBuckets(pre)
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+        .filter(col("bucket_n") <= 1000)
+        .select(col("band"), col("bucket"), col("doc_id"))
+        .write.mode("overwrite").parquet(p + "/buckets")
+      pre.select(col("doc_id"), col("hs"))
+        .write.mode("overwrite").parquet(p + "/sigs")
+      p
+    }
+    val delta = prehashedShingles(
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0))
+    // Delta signatures ride the left side of the bucket join; the index
+    // side is compact ids. Pair-distinct groups on bare ids taking
+    // first(ha); the corpus signature re-attaches by id after — the
+    // same never-hash-arrays shape as ngramJaccardPairs.
+    val pairs = bandedBuckets(delta)
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("id_d"), col("hs").as("ha"))
+      .join(
+        s.read.parquet(idxDir + "/buckets").withColumnRenamed("doc_id", "id_c"),
+        Seq("band", "bucket"))
+      .groupBy(col("id_d"), col("id_c"))
+      .agg(first(col("ha")).as("ha"))
+    pairs
+      .join(
+        s.read.parquet(idxDir + "/sigs")
+          .select(col("doc_id").as("id_c"), col("hs").as("hb")),
+        "id_c")
+      .select(
+        col("id_d"),
+        col("id_c"),
+        (size(array_intersect(col("ha"), col("hb"))).cast(DoubleType) /
+          size(array_union(col("ha"), col("hb")))).as("jaccard3"))
+      .filter(col("jaccard3") >= 0.2)
+  }
+
+  /** DuckDB twin of [[dedupIncrementalLsh]]: same prehash/band CTEs as
+    * the self-join oracle, split into corpus (capped) and delta sides.
+    */
+  private val dedupIncrementalLshSql =
+    """WITH grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |      i -> concat(string_split(text, ' ')[i], '_',
+      |                  string_split(text, ' ')[i + 1], '_',
+      |                  string_split(text, ' ')[i + 2]))) AS g3
+      |  FROM documents),
+      |prehashed AS (
+      |  SELECT doc_id, g3,
+      |    list_transform(g3, g ->
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(g) + 1),
+      |                         i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
+      |        (h, c) -> (h * 31 + c) % 1000000007)) AS pp,
+      |    list_transform(g3, g ->
+      |      list_reduce(
+      |        list_prepend(CAST(1 AS BIGINT), range(1, length(g) + 1)),
+      |        (w, i) -> (w * 31) % 1000000007)) AS ww
+      |  FROM grams),
+      |hsets AS (
+      |  SELECT doc_id, list_distinct(pp) AS hs FROM prehashed),
+      |banded AS (
+      |  SELECT doc_id, band,
+      |    list_min(list_transform(range(1, len(pp) + 1),
+      |      i -> (CAST(band AS BIGINT) * ww[i] + pp[i]) % 1000000007)) AS bucket
+      |  FROM prehashed CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands
+      |  WHERE len(g3) > 0),
+      |corpus AS (
+      |  SELECT * FROM banded WHERE doc_id % 10 != 0
+      |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+      |delta AS (SELECT * FROM banded WHERE doc_id % 10 = 0),
+      |pairs AS (
+      |  SELECT DISTINCT d.doc_id AS id_d, c.doc_id AS id_c
+      |  FROM delta d JOIN corpus c
+      |    ON d.band = c.band AND d.bucket = c.bucket)
+      |SELECT p.id_d, p.id_c,
+      |  CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+      |    len(list_distinct(ha.hs || hb.hs)) AS jaccard3
+      |FROM pairs p
+      |  JOIN hsets ha ON ha.doc_id = p.id_d
+      |  JOIN hsets hb ON hb.doc_id = p.id_c
+      |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+      |    len(list_distinct(ha.hs || hb.hs)) >= 0.2""".stripMargin
+
+  /** Data-mixture token-budget capping: every corpus recipe ends with
+    * "take at most B tokens per source/domain, chosen reproducibly".
+    * Priority is the portable Lehmer hash of doc_id (the
+    * sample_hash_rows family — stable across runs, engines, and
+    * partitionings, zero RNG state); a source keeps its docs in
+    * priority order while the running token total stays within budget,
+    * so the crossing doc and everything after it are dropped.
+    *
+    * Scale shape: the per-source totals are one map-side-combined row
+    * per source; sources already under budget BYPASS the sort entirely
+    * (broadcast anti-join, map-side pass-through) — at 100 TB that is
+    * the long tail of small sources costing nothing — and only
+    * over-budget sources pay the cumulative-sum window, which
+    * partitions by source (the shard-writer's sort shape, never a
+    * global order).
+    */
+  private def mixTokenBudget(s: SparkSession, dir: String): DataFrame =
+    mixTokenBudgetOf(Tables.documents(s, dir), budget = 1200L)
+
+  private[graft] def mixTokenBudgetOf(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(col("text"), " ")).as("n_tok"),
+        pmod(col("doc_id") * lit(48271L), lit(2147483647L)).as("pri"))
+    val over = toks
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tot"))
+      .filter(col("tot") > budget)
+      .select(col("source"))
+    val pass = toks.join(broadcast(over), Seq("source"), "left_anti")
+    val capped = toks
+      .join(broadcast(over), Seq("source"))
+      .withColumn("cum",
+        sum(col("n_tok")).over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("pri"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+    pass
+      .select(col("doc_id"), col("source"), col("n_tok"))
+      .unionByName(capped.select(col("doc_id"), col("source"), col("n_tok")))
+  }
+
+  private val mixTokenBudgetSql =
+    """WITH t AS (
+      |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+      |    (doc_id * 48271) % 2147483647 AS pri
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, n_tok FROM c WHERE cum <= 1200""".stripMargin
 
   // -------------------------------------------------------- similarity
 
@@ -1593,6 +1777,8 @@ object LlmOps {
     "dedup_simhash" -> Q(dedupSimhash _, None),
     "dedup_simhash_portable" -> Q(dedupSimhashPortable _, dedupSimhashPortableSql),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard _, dedupNgramJaccardSql),
+    "dedup_incremental_lsh" -> Q(dedupIncrementalLsh _, dedupIncrementalLshSql),
+    "mix_token_budget" -> Q(mixTokenBudget _, mixTokenBudgetSql),
     "dedup_emb_cosine" -> Q(dedupEmbCosine _, dedupEmbCosineSql),
     "sample_stratified" -> Q(sampleStratified _, sampleStratifiedSql),
     "sample_weighted" -> Q(sampleWeighted _, sampleWeightedSql),

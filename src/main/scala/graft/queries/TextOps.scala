@@ -144,6 +144,63 @@ object TextOps {
        |        FROM documents))""".stripMargin
   }
 
+  /** Per-language quality-quantile filtering: "drop the bottom quartile
+    * of each language" — the relative-threshold corpus cut every
+    * multilingual recipe applies (an absolute score cutoff would gut
+    * low-resource languages whose score distribution sits lower). The
+    * quality formula is [[qualityScore]]'s; the per-lang p25 threshold
+    * is an exact linear-interpolation percentile (types.hpp:192), 5
+    * rows, broadcast back onto the corpus — the filter itself is
+    * map-side. Both sides compare at 6-decimal resolution so the
+    * boundary doc can't flip on last-ulp interpolation differences
+    * between engines.
+    *
+    * 100 TB posture: the thresholds stay a broadcast regardless of
+    * corpus size (one row per language); swap the exact percentile for
+    * approx_percentile when per-group buffering matters — identical
+    * plan shape, the gate uses the exact form because it demands
+    * bit-exact oracle agreement (the agg_percentile_approx precedent).
+    */
+  private def filterQualityQuantile(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val q = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        (expr(s"size(filter(tk, t -> t IN (${stop.map("'" + _ + "'").mkString(",")})))")
+          .cast(DoubleType) / size(col("tk")) * 0.5 +
+          (lit(1d) -
+            expr("size(filter(tk, t -> length(t) <= 2))").cast(DoubleType) /
+              size(col("tk"))) * 0.5).as("quality"))
+    val thr = q
+      .groupBy(col("lang"))
+      .agg(round(expr("percentile(quality, 0.25D)"), 6).as("thr"))
+    q.join(broadcast(thr), Seq("lang"))
+      .filter(round(col("quality"), 6) >= col("thr"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
+  private val filterQualityQuantileSql = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+      .map("'" + _ + "'").mkString(",")
+    s"""WITH q AS (
+       |  SELECT doc_id, lang,
+       |    (CAST(len(list_filter(tk, t -> t IN ($stop))) AS DOUBLE)
+       |       / len(tk)) * 0.5 +
+       |    (1.0 - CAST(len(list_filter(tk, t -> length(t) <= 2)) AS DOUBLE)
+       |       / len(tk)) * 0.5 AS quality
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+       |        FROM documents)),
+       |t AS (
+       |  SELECT lang, round(quantile_cont(quality, 0.25), 6) AS thr
+       |  FROM q GROUP BY lang)
+       |SELECT q.doc_id, q.lang, q.quality
+       |FROM q JOIN t ON q.lang = t.lang
+       |WHERE round(q.quality, 6) >= t.thr""".stripMargin
+  }
+
   /** language-id heuristic (stopword-profile scoring — the n-gram
     * heuristic of large-scale pipeline langid, deterministic integer
     * scores + fixed tie-break order).
@@ -504,6 +561,7 @@ object TextOps {
     "text_word_ngrams" -> Q(wordNgrams _, wordNgramsSql),
     "text_fingerprint" -> Q(fingerprint _, fingerprintSql),
     "text_quality_score" -> Q(qualityScore _, qualityScoreSql),
+    "filter_quality_quantile" -> Q(filterQualityQuantile _, filterQualityQuantileSql),
     "text_lang_id" -> Q(langId _, langIdSql),
     "text_edit_distance" -> Q(editDistancePairs _, editDistancePairsSql),
     "text_jaccard_pairs" -> Q(jaccardPairs _, jaccardPairsSql),

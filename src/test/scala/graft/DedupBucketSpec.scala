@@ -153,4 +153,24 @@ class DedupBucketSpec extends AnyFunSuite {
       assert(joined.count() == Tables.lineitem(spark, sf).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("incremental LSH dedup equals the self-join restricted to the split") {
+    // the persisted-index delta query must find exactly the self-join's
+    // cross-split pairs: pairs (a < b) with one side in the delta
+    // (doc_id % 10 = 0) and the other in the corpus, re-oriented to
+    // (id_d, id_c). Caps don't bind at this scale, so equality is exact.
+    val inc = SparkEntry.queries("dedup_incremental_lsh")(spark, sf)
+      .select(col("id_d"), col("id_c"), col("jaccard3"))
+    val self = queries.LlmOps
+      .ngramJaccardPairs(Tables.documents(spark, sf), maxBucket = Int.MaxValue)
+      .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
+      .select(
+        when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b")).as("id_d"),
+        when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a")).as("id_c"),
+        col("jaccard3"))
+    assert(inc.exceptAll(self).isEmpty && self.exceptAll(inc).isEmpty,
+      "incremental pairs must equal the self-join's cross-split pairs")
+    // every flagged doc is genuinely in the delta partition of the split
+    assert(inc.filter(col("id_d") % 10 =!= 0 || col("id_c") % 10 === 0).isEmpty)
+  }
 }

@@ -93,6 +93,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "expected top-k short-circuit")
   }
 
+  test("mix_token_budget: threshold set broadcast, no sort-merge join") {
+    val p = plan("mix_token_budget")
+    // the over-budget source set is a handful of rows — both the
+    // anti-join bypass and the window-side equi-join must broadcast it;
+    // a SortMergeJoin here would shuffle the whole corpus twice
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"over-budget source set should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against a 20-row threshold set:\n$p")
+    // the window partitions by source — never a global window
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("source"), s"window not partitioned by source: $l")
+    }
+  }
+
+  test("incremental LSH dedup has no cartesian product and caps its windows") {
+    val p = plan("dedup_incremental_lsh")
+    assert(!p.contains("CartesianProduct"), "incremental dedup went cartesian")
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("band"), s"cap window not partitioned by band/bucket: $l")
+    }
+  }
+
   test("corpus_shard_shuffle shuffles exactly once, on the shard key") {
     val p = plan("corpus_shard_shuffle")
     // one hashpartitioning Exchange feeding the rank window — the hash

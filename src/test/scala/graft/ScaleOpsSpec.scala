@@ -105,4 +105,67 @@ class ScaleOpsSpec extends AnyFunSuite {
       .groupBy(spark_partition_id()).count().collect().map(_.getLong(1).toDouble)
     assert(sizes.max / sizes.min < 1.5)
   }
+
+  test("token-budget mixing: greedy priority prefix per source, both branches") {
+    // source "small" fits its budget (pass-through branch, no window);
+    // source "big" must be cut at the budget boundary (window branch)
+    val rows =
+      (1L to 3L).map(i => (i, "small", (1 to 10).map(_ => "w").mkString(" "))) ++
+        (10L to 40L).map(i => (i, "big", (1 to 10).map(_ => "w").mkString(" ")))
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "source", "text")
+    val kept = queries.LlmOps.mixTokenBudgetOf(docs, budget = 100L)
+
+    // under-budget source passes through whole
+    assert(kept.filter(col("source") === "small").count() == 3)
+
+    // over-budget source: exactly budget/10 = 10 docs survive, and they
+    // are the 10 smallest by (Lehmer priority, doc_id) — the greedy
+    // prefix, not an arbitrary subset
+    val keptBig = kept.filter(col("source") === "big")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(keptBig.size == 10, s"expected 10 kept, got ${keptBig.size}")
+    val expected = (10L to 40L)
+      .sortBy(i => ((i * 48271L) % 2147483647L, i)).take(10).toSet
+    assert(keptBig == expected, s"kept $keptBig, expected greedy prefix $expected")
+
+    // the differential vs a single-window reference on real data: the
+    // two-phase plan (broadcast anti-join bypass + window only on
+    // over-budget sources) must equal the naive one-window formulation
+    import org.apache.spark.sql.expressions.Window
+    val real = Tables.documents(spark, sf)
+    val res = queries.LlmOps.mixTokenBudgetOf(real, budget = 300L)
+    val ref = real
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tok"),
+        pmod(col("doc_id") * lit(48271L), lit(2147483647L)).as("pri"))
+      .withColumn("cum",
+        sum(col("n_tok")).over(
+          Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= 300L)
+      .select(col("doc_id"), col("source"), col("n_tok"))
+    assert(res.exceptAll(ref).isEmpty && ref.exceptAll(res).isEmpty)
+  }
+
+  test("quality-quantile filter: per-lang threshold cut, nothing above dropped") {
+    val res = SparkEntry.queries("filter_quality_quantile")(spark, sf)
+    val all = SparkEntry.queries("text_quality_score")(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val n = all.count()
+    val k = res.count()
+    assert(k < n, "bottom quartile should drop something")
+    assert(k >= (n * 0.70).toLong, s"kept $k of $n — far below the p25 cut")
+    // threshold semantics: within each lang, every dropped doc scores
+    // strictly below every kept doc at the 6-decimal compare resolution
+    val dropped = all.exceptAll(res)
+    val maxDropped = dropped.groupBy(col("lang"))
+      .agg(max(round(col("quality"), 6)).as("max_dropped"))
+    val minKept = res.groupBy(col("lang"))
+      .agg(min(round(col("quality"), 6)).as("min_kept"))
+    maxDropped.join(minKept, "lang").collect().foreach { r =>
+      assert(r.getDouble(1) < r.getDouble(2),
+        s"lang ${r.getString(0)}: dropped ${r.getDouble(1)} >= kept ${r.getDouble(2)}")
+    }
+  }
 }
