@@ -104,6 +104,38 @@ object ScaleProbe {
         f"""{"probe":"tfidf_topk_hot","factor":$f,"n_docs":${baseN * f},"out_rows":$out,"secs":$secs%.2f}""")
     }
 
+    // incremental-dedup axis: the DELTA stays fixed (the base corpus'
+    // doc_id%10=0 slice) while the indexed corpus grows ×N with salted
+    // distinct replicas. The claim under test is the persisted-index
+    // contract: the daily delta query re-bands only ITSELF and streams
+    // the compact (band,bucket,id) index — so delta_secs should grow
+    // far slower than the corpus, and the matched-pair count stays
+    // CONSTANT (salted replicas share no shingles with the delta).
+    // Index build time is reported separately: it is the once-per-batch
+    // amortized cost, not the steady state.
+    def probeIncremental(f: Int): Unit = {
+      val corpusBase = docs.filter(col("doc_id") % 10 =!= 0)
+      val corpus = (0 until f)
+        .map { i =>
+          val t =
+            if (i == 0) col("text")
+            else expr(s"concat_ws(' ', transform(split(text, ' '), t -> concat(t, '_r$i')))")
+          corpusBase.select(
+            (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"), t.as("text"))
+        }
+        .reduce(_ union _)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val p = System.getProperty("java.io.tmpdir") + s"/graft_lshidx_probe_$f"
+      val tb0 = System.nanoTime()
+      queries.LlmOps.buildLshIndex(corpus, p)
+      val buildSecs = (System.nanoTime() - tb0) / 1e9
+      val t0 = System.nanoTime()
+      val nPairs = queries.LlmOps.incrementalLshPairs(spark, delta, p).count()
+      val deltaSecs = (System.nanoTime() - t0) / 1e9
+      println(
+        f"""{"probe":"incremental_lsh","factor":$f,"corpus_docs":${corpus.count()},"pairs":$nPairs,"build_secs":$buildSecs%.2f,"delta_secs":$deltaSecs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
@@ -113,6 +145,7 @@ object ScaleProbe {
 
       probePack(f)
       probeTfidf(f)
+      probeIncremental(f)
 
       // realistic: salt every token per replica so all shingles differ
       // across replicas (replica 0 keeps the original text, so the base

@@ -544,29 +544,45 @@ object LlmOps {
     * banding.
     */
   private def dedupIncrementalLsh(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val idxDir = graft.DimCache.cached(s"lsh-index:$dir") {
       val tag = java.security.MessageDigest.getInstance("SHA-256")
         .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val p = System.getProperty("java.io.tmpdir") + s"/graft_lshidx_$tag"
-      val pre = prehashedShingles(
-        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(10)) =!= 0))
-      bandedBuckets(pre)
-        .withColumn("bucket_n",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-        .filter(col("bucket_n") <= 1000)
-        .select(col("band"), col("bucket"), col("doc_id"))
-        .write.mode("overwrite").parquet(p + "/buckets")
-      pre.select(col("doc_id"), col("hs"))
-        .write.mode("overwrite").parquet(p + "/sigs")
+      buildLshIndex(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(10)) =!= 0), p)
       p
     }
-    val delta = prehashedShingles(
-      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0))
-    // Delta signatures ride the left side of the bucket join; the index
-    // side is compact ids. Pair-distinct groups on bare ids taking
-    // first(ha); the corpus signature re-attaches by id after — the
-    // same never-hash-arrays shape as ngramJaccardPairs.
+    incrementalLshPairs(s,
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0), idxDir)
+  }
+
+  /** Write the corpus LSH index: capped (band, bucket, doc_id) rows
+    * under `path`/buckets plus the (doc_id, hs) signature store under
+    * `path`/sigs. See [[dedupIncrementalLsh]].
+    */
+  private[graft] def buildLshIndex(corpus: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = prehashedShingles(corpus)
+    bandedBuckets(pre)
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= 1000)
+      .select(col("band"), col("bucket"), col("doc_id"))
+      .write.mode("overwrite").parquet(path + "/buckets")
+    pre.select(col("doc_id"), col("hs"))
+      .write.mode("overwrite").parquet(path + "/sigs")
+  }
+
+  /** The steady-state delta query of [[dedupIncrementalLsh]]. Delta
+    * signatures ride the left side of the bucket join; the index side
+    * is compact ids (a small delta broadcasts, so the index streams
+    * map-side). Pair-distinct groups on bare ids taking first(ha); the
+    * corpus signature re-attaches by id after — the same
+    * never-hash-arrays shape as [[ngramJaccardPairs]].
+    */
+  private[graft] def incrementalLshPairs(
+      s: SparkSession, deltaDocs: DataFrame, idxDir: String): DataFrame = {
+    val delta = prehashedShingles(deltaDocs)
     val pairs = bandedBuckets(delta)
       .select(col("band"), col("bucket"),
         col("doc_id").as("id_d"), col("hs").as("ha"))
