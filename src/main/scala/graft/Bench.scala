@@ -57,7 +57,10 @@ object Bench {
     // (index build lands in the warmup pre-pass via DimCache — the
     // write-once/query-many contract — so reps time the steady-state
     // delta-proportional cost a daily ingest actually pays)
-    "dedup_incremental_lsh")
+    "dedup_incremental_lsh",
+    // round-9: CDC upsert — the broadcast-anti-join snapshot refresh
+    // (matched rows replaced, inserts appended, base never shuffled)
+    "merge_upsert")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime

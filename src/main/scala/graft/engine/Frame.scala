@@ -45,6 +45,27 @@ final case class Frame(df: DataFrame) {
     else Frame(df.join(other.df, on, mapped))
   }
 
+  /** pandas/cudf update (dataframe.py:2671): non-null cells of `other`
+    * overwrite this frame's cells, matched on the `on` key columns; rows
+    * and columns of this frame are preserved (no inserts — see the
+    * `merge_upsert` query for insert-or-update). Lowers to one left
+    * join + per-column coalesce, so the left side never shuffles when
+    * `other` broadcasts.
+    */
+  def update(other: Frame, on: Seq[String]): Frame = {
+    val updCols = other.df.columns.filterNot(on.contains)
+      .filter(df.columns.contains)
+    val renamed = updCols.foldLeft(other.df.select((on ++ updCols).map(col): _*)) {
+      (d, c) => d.withColumnRenamed(c, s"__upd_$c")
+    }
+    val joined = df.join(renamed, on, "left")
+    val out = df.columns.map { c =>
+      if (updCols.contains(c)) coalesce(col(s"__upd_$c"), df(c)).as(c)
+      else df(c)
+    }
+    Frame(joined.select(out.toIndexedSeq: _*))
+  }
+
   // --- dedup ----------------------------------------------------------
   /** drop_duplicates with cudf keep semantics (ANY/FIRST/LAST/NONE,
     * stream_compaction.hpp:223); FIRST/LAST need an explicit order.

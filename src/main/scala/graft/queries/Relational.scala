@@ -812,6 +812,59 @@ object Relational {
       |FROM probe JOIN iv ON ship_d >= start_d AND ship_d < end_d
       |GROUP BY promo_id""".stripMargin
 
+  /** CDC upsert — the insert-or-update refresh a periodically re-crawled
+    * snapshot needs (pandas/cudf `DataFrame.update` generalized to also
+    * insert unmatched rows, ref python/cudf/cudf/core/dataframe.py:2671).
+    * The delta batch is derived deterministically from orders itself:
+    * every orderkey%10==0 row re-priced ×1.1 (updates) plus a disjoint
+    * negated-key slice (inserts). Matched base rows are replaced, the
+    * rest stream through, inserts append.
+    *
+    * Scale shape: the delta is broadcast, so the big base side anti-joins
+    * MAP-SIDE — zero shuffle, zero sort of the snapshot — then the delta
+    * unions on top. At 100 TB this is the whole point: a daily refresh
+    * touches the snapshot once, sequentially, with no exchange; combined
+    * with [[LlmOps.dedupIncrementalLsh]]'s persisted index it completes
+    * the ingest-day story (upsert the rows, delta-query the index).
+    */
+  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = base
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"))
+    val inserts = base
+      .filter(col("o_orderkey") % 10 === 5)
+      .select(
+        (-col("o_orderkey")).as("o_orderkey"),
+        lit("N").as("o_orderstatus"),
+        col("o_totalprice"))
+    val delta = updates.unionByName(inserts)
+    base
+      .join(broadcast(delta.select(col("o_orderkey"))), Seq("o_orderkey"), "left_anti")
+      .unionByName(delta)
+  }
+
+  private val mergeUpsertSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |delta AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus,
+      |    o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice
+      |  FROM base WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT -o_orderkey, 'N', o_totalprice
+      |  FROM base WHERE o_orderkey % 10 = 5)
+      |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+      |FROM base b
+      |WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM delta""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "join_asof" -> Q(joinAsof _, joinAsofSql),
     "join_asof_fwd" -> Q(joinAsofFwd _, joinAsofFwdSql),
@@ -835,6 +888,7 @@ object Relational {
     "join_mixed" -> Q(joinMixed _, joinMixedSql),
     "join_null_safe" -> Q(joinNullSafe _, joinNullSafeSql),
     "join_bucketed" -> Q(joinBucketed _, joinBucketedSql),
+    "merge_upsert" -> Q(mergeUpsert _, mergeUpsertSql),
     "join_skew_salted" -> Q(joinSkewSalted _, joinSkewSaltedSql),
     "sort_rank_nulls" -> Q(sortRankNulls _, sortRankNullsSql),
     "top_k" -> Q(topK _, topKSql),

@@ -36,6 +36,30 @@ class FrameSpec extends AnyFunSuite {
     assert(outer.count() >= Tables.orders(spark, sf).count())
   }
 
+  test("update overwrites matched non-null cells, preserves the rest") {
+    val delta = Frame(Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice")))
+    val got = orders.update(delta, Seq("o_orderkey")).df
+    // row count and columns unchanged — update never inserts
+    assert(got.count() == Tables.orders(spark, sf).count())
+    assert(got.columns.sameElements(Tables.orders(spark, sf).columns))
+    // matched rows take the delta's non-null status...
+    assert(got.filter(col("o_orderkey") % 100 === 0 &&
+      col("o_orderstatus") =!= "U").count() == 0)
+    // ...but keep their own totalprice where the delta cell is null
+    val kept = got.filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val orig = Tables.orders(spark, sf).filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    assert(kept.exceptAll(orig).isEmpty && orig.exceptAll(kept).isEmpty)
+    // unmatched rows are bit-identical to the input
+    val untouched = got.filter(col("o_orderkey") % 100 =!= 0)
+    val origRest = Tables.orders(spark, sf).filter(col("o_orderkey") % 100 =!= 0)
+    assert(untouched.exceptAll(origRest).isEmpty)
+  }
+
   test("dropDuplicates keep=first matches window formulation; keep=none") {
     val first = li
       .dropDuplicates(Seq("l_orderkey"), "first",

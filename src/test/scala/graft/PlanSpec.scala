@@ -108,6 +108,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("merge_upsert anti-joins the snapshot against a broadcast delta") {
+    val p = plan("merge_upsert")
+    // the delta key set broadcasts, so the big base side streams
+    // map-side — a SortMergeJoin here would sort the whole snapshot
+    // just to subtract a sliver of keys
+    assert(p.contains("BroadcastHashJoin"),
+      s"delta keys should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"snapshot must not sort-merge against the delta key set:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("incremental LSH dedup has no cartesian product and caps its windows") {
     val p = plan("dedup_incremental_lsh")
     assert(!p.contains("CartesianProduct"), "incremental dedup went cartesian")
