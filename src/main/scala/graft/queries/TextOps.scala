@@ -550,7 +550,90 @@ object TextOps {
        |      t -> length(t) > 0 AND NOT list_contains(commons, t)) AS kept
        |  FROM documents, common)""".stripMargin
 
+  /** CCNet-style statistical-LM quality scoring: train a bigram LM on
+    * the corpus itself (add-one smoothing over the observed vocab), then
+    * score every document by its average bigram log-probability — the
+    * "does this read like the corpus" filter large-scale pipelines run
+    * to drop gibberish/boilerplate before training. `rare_bigrams`
+    * (bigrams occurring exactly once corpus-wide) is the companion
+    * novelty signal. Documents with fewer than two tokens have no
+    * bigrams and are excluded by contract.
+    *
+    * Scale shape: the model IS two aggregate tables (unigram and bigram
+    * counts — map-side combined, orders of magnitude smaller than the
+    * corpus), and scoring joins the exploded bigram stream against them
+    * on compact single-token/bigram keys, then reduces per doc. Every
+    * shuffle key is a token or doc id — never text payloads; at 100 TB
+    * the model tables are reusable write-once artifacts and the hot
+    * grams are exactly the keys AQE skew-handles. Log-probs ride the
+    * fixed-point [[Agg.dsum]] path so the per-doc sum is
+    * order-independent and hash-exact across engines.
+    */
+  private def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks(coalesce(col("text"), lit(""))).as("tk"))
+    // exploded bigram stream: (doc_id, first token, "w1 w2")
+    val e = docs
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - 2)).as("i"))
+      .select(
+        col("doc_id"),
+        expr("tk[i]").as("w1"),
+        expr("concat(tk[i], ' ', tk[i + 1])").as("g"))
+    val uni = docs
+      .select(explode(col("tk")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c1"))
+    val big = e.groupBy(col("g")).agg(count(lit(1)).as("c12"))
+    // |V| for the smoothing denominator = the unigram table's row count
+    val v = uni.agg(count(lit(1)).as("v"))
+    e.join(big, Seq("g"))
+      .join(uni, col("w1") === col("w"))
+      .crossJoin(broadcast(v))
+      .select(
+        col("doc_id"),
+        log((col("c12") + 1).cast(DoubleType) / (col("c1") + col("v")))
+          .as("lp"),
+        (col("c12") === 1).cast("long").as("rare"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("rare")).as("rare_bigrams"),
+        Agg.dsum(col("lp"), 6).as("sum_logp"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("rare_bigrams"),
+        col("sum_logp"),
+        round(col("sum_logp") / col("n_bigrams"), 6).as("avg_logp"))
+  }
+
+  private val textLmScoreSql = {
+    val lp = "ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))"
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, tk[i + 1] AS w1, tk[i + 1] || ' ' || tk[i + 2] AS g
+       |  FROM d, unnest(range(0, len(tk) - 1)) AS u(i)),
+       |uni AS (
+       |  SELECT w, count(*) AS c1
+       |  FROM (SELECT unnest(tk) AS w FROM d) GROUP BY w),
+       |big AS (SELECT g, count(*) AS c12 FROM e GROUP BY g),
+       |v AS (SELECT count(*) AS v FROM uni),
+       |p AS (
+       |  SELECT e.doc_id, $lp AS lp,
+       |    CASE WHEN c12 = 1 THEN 1 ELSE 0 END AS rare
+       |  FROM e JOIN big ON e.g = big.g JOIN uni ON e.w1 = uni.w CROSS JOIN v)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(rare) AS BIGINT) AS rare_bigrams,
+       |  ${Agg.dsumSql("lp", 6)} AS sum_logp,
+       |  round(${Agg.dsumSql("lp", 6)} / count(*), 6) AS avg_logp
+       |FROM p GROUP BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "text_lm_score" -> Q(textLmScore _, textLmScoreSql),
     "text_df_prune" -> Q(dfPrune _, dfPruneSql),
     "text_repetition" -> Q(textRepetition _, textRepetitionSql),
     "text_pii_redact" -> Q(piiRedact _, piiRedactSql),

@@ -168,4 +168,34 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"lang ${r.getString(0)}: dropped ${r.getDouble(1)} >= kept ${r.getDouble(2)}")
     }
   }
+
+  test("bigram LM score: per-doc invariants and smoothing bounds") {
+    val res = SparkEntry.queries("text_lm_score")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(coalesce(col("text"), lit("")), " ")).as("n_tok"))
+    // every doc with >=2 tokens scored, none with fewer; n_bigrams = n_tok-1
+    val joined = res.join(docs, "doc_id")
+    assert(joined.count() == docs.filter(col("n_tok") >= 2).count())
+    assert(joined.filter(col("n_bigrams") =!= col("n_tok") - 1).isEmpty)
+    // add-one smoothing: every bigram prob is in (0,1) strictly, so the
+    // average log-prob is strictly negative and finite
+    val r = res.agg(max(col("avg_logp")), min(col("avg_logp"))).head()
+    assert(r.getDouble(0) < 0.0, s"max avg_logp ${r.getDouble(0)} not < 0")
+    assert(!r.getDouble(1).isInfinite && !r.getDouble(1).isNaN)
+    // rare bigrams are a subset of all bigrams
+    assert(res.filter(col("rare_bigrams") > col("n_bigrams")).isEmpty)
+    // independent recount: total rare (count-1) bigram OCCURRENCES equals
+    // the number of distinct bigrams seen exactly once corpus-wide
+    val rareTotal = res.agg(sum(col("rare_bigrams"))).head().getLong(0)
+    val grams = Tables.documents(spark, sf)
+      .select(split(coalesce(col("text"), lit("")), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))")).as("g"))
+      .groupBy(col("g")).count()
+    val singletons = grams.filter(col("count") === 1).count()
+    assert(rareTotal == singletons, s"rare=$rareTotal singletons=$singletons")
+    res.unpersist()
+  }
 }
