@@ -253,4 +253,72 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  // ------------------------------------------------------- k-means (Lloyd)
+
+  /** One Lloyd update step for spherical k-means over the current
+    * centroid set: assign every vector map-side ([[assignCells]] —
+    * cosine argmax against unit-normalized centroids), then replace
+    * each non-empty cell's centroid with the per-dimension mean of its
+    * members; empty cells keep their previous centroid. Because
+    * [[assignCells]] re-normalizes whatever it is given, the raw mean
+    * is the OPTIMAL update for the spherical objective
+    * Σᵢ max_c eᵢ·ĉ (for a fixed assignment the unit vector maximizing
+    * Σ eᵢ·ĉ is the normalized cell sum), so the objective is
+    * nondecreasing across iterations — the Lloyd guarantee.
+    *
+    * Scale shape per iteration: a pure Project over the scan (no join)
+    * + one exchange keyed (cell_id, dim) whose payload is a single
+    * double — partial-aggregated map-side, so the shuffle carries at
+    * most k×dim rows per map partition regardless of corpus size. The
+    * k×dim result is a bounded design dimension, collected like
+    * [[centroidArrays]]. Means ride the fixed-point [[graft.Agg.dsum]]
+    * path so training is deterministic across partitionings and runs.
+    */
+  def kmeansStep(emb: DataFrame,
+      cRows: IndexedSeq[(Int, Seq[Double])]): IndexedSeq[(Int, Seq[Double])] = {
+    val updated = assignCells(emb, cRows)
+      .select(col("cell_id"), posexplode(col("e")).as(Seq("dim", "x")))
+      .groupBy(col("cell_id"), col("dim"))
+      .agg(count(lit(1)).as("n"), graft.Agg.dsum(col("x"), 6).as("sx"))
+      .select(col("cell_id"), col("dim"), (col("sx") / col("n")).as("c"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    cRows.map { case (cell, old) => (cell, updated.getOrElse(cell, old)) }
+  }
+
+  /** Train k centroids: deterministic Lehmer-strided init
+    * ([[centroids]]) refined by `iters` Lloyd steps. Centroid quality
+    * directly sets IVF probe recall; the strided pick stays the
+    * oracle-replicable default while this is the offline refinement a
+    * deployment would run once per index build (FAISS `train()`
+    * practice). Driver cost: `iters` bounded collects of k×dim rows.
+    */
+  def kmeansTrain(emb: DataFrame, nCells: Int,
+      iters: Int): IndexedSeq[(Int, Seq[Double])] = {
+    var c = centroidArrays(centroids(emb, nCells))
+    var i = 0
+    while (i < iters) { c = kmeansStep(emb, c); i += 1 }
+    c
+  }
+
+  /** Spherical k-means objective Σᵢ max_c eᵢ·ĉ (higher is better),
+    * fixed-point-summed for cross-run determinism. The monotonicity
+    * witness for [[kmeansStep]]'s Lloyd property.
+    */
+  def kmeansObjective(emb: DataFrame,
+      cRows: IndexedSeq[(Int, Seq[Double])]): Double = {
+    val unitCents = array(cRows.map { r =>
+      val n = math.sqrt(r._2.map(x => x * x).sum)
+      array(r._2.map(x => lit(if (n == 0d) 0d else x / n)): _*)
+    }: _*)
+    emb
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .select(array_max(transform(unitCents, cu => dot(col("e"), cu))).as("m"))
+      .agg(graft.Agg.dsum(col("m"), 6).as("j"))
+      .head().getDouble(0)
+  }
 }

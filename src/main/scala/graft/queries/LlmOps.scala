@@ -1157,6 +1157,203 @@ object LlmOps {
       |SELECT vec_id, round(cosine, 6) AS cosine_6dp
       |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  // -------------------------------------------------- k-means / knn / split
+
+  /** One oracled Lloyd update step over the IVF centroid pick: assign
+    * every vector map-side (cosine argmax vs the 8 unit-normalized
+    * Lehmer-strided centroids — the exact `sim_ivf_topk` assignment),
+    * then emit the per-(cell, dimension) member count and mean — the
+    * new centroid table [[graft.operators.Similarity.kmeansStep]]
+    * collects each iteration. Training quality directly sets IVF
+    * probe recall at 100 TB; this row pins the update arithmetic
+    * cross-engine (fixed-point component sums, one division, 6-dp
+    * round) so the full iterative trainer is built from verified steps.
+    *
+    * Scale: Project over the scan + ONE exchange keyed (cell, dim)
+    * carrying a single double — partial-aggregated, so each map
+    * partition ships at most k×dim rows no matter the corpus size.
+    */
+  private def clusterKmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), embDouble.as("embedding"))
+    val cRows = graft.DimCache.cached(s"ivf-centroids:$dir:8") {
+      graft.operators.Similarity.centroidArrays(
+        graft.operators.Similarity.centroids(emb, nCells = 8))
+    }
+    graft.operators.Similarity.assignCells(emb, cRows)
+      .select(col("cell_id"), posexplode(col("e")).as(Seq("dim", "x")))
+      .groupBy(col("cell_id"), col("dim"))
+      .agg(count(lit(1)).as("n"), graft.Agg.dsum(col("x"), 6).as("sx"))
+      // floor-based 6-dp (not round): the quotient of a fixed-point sum
+      // by an integer count lands on .5-in-decimal ties constantly, and
+      // Spark/DuckDB round those differently; floor on the identical
+      // double is tie-free
+      .select(col("cell_id"), col("dim"), col("n"),
+        (floor(col("sx") / col("n") * lit(1e6)) / lit(1e6)).as("c_new"))
+  }
+
+  /** DuckDB twin: the `sim_ivf_topk` centroid/assignment CTEs verbatim
+    * (same folds, same argmax-first tie), then per-(cell, dim) count +
+    * fixed-point mean via the lateral `unnest(range(...))` index walk.
+    */
+  private val clusterKmeansStepSql =
+    s"""WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |picked AS (
+      |  SELECT vec_id, e FROM ev
+      |  ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 8),
+      |cents AS (
+      |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell_id,
+      |    e AS centroid
+      |  FROM picked),
+      |unitc AS (
+      |  SELECT cell_id, centroid,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(centroid, x -> x * x)), (acc, v) -> acc + v)) AS n
+      |  FROM cents),
+      |unit AS (
+      |  SELECT cell_id,
+      |    list_transform(centroid,
+      |      x -> CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE x / n END) AS cu
+      |  FROM unitc),
+      |cl AS (SELECT list(cu ORDER BY cell_id) AS cus FROM unit),
+      |assigned AS (
+      |  SELECT vec_id, e, list_position(sims, list_max(sims)) - 1 AS cell_id
+      |  FROM (
+      |    SELECT vec_id, e,
+      |      list_transform(cus, cu ->
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> e[i] * cu[i])),
+      |          (acc, v) -> acc + v)) AS sims
+      |    FROM ev CROSS JOIN cl))
+      |SELECT CAST(cell_id AS INTEGER) AS cell_id,
+      |  CAST(u.i - 1 AS INTEGER) AS dim, count(*) AS n,
+      |  floor(${graft.Agg.dsumSql("a.e[u.i]", 6)} / count(*) * 1e6) / 1e6 AS c_new
+      |FROM assigned a, unnest(range(1, len(a.e) + 1)) AS u(i)
+      |GROUP BY cell_id, u.i""".stripMargin
+
+  /** Batched k-NN similarity join — top-3 cosine neighbors for EVERY
+    * query in a query set at once (vec_id < 8 here), the shape batch
+    * inference / RAG retrieval actually runs, vs the single-query
+    * `sim_cosine_topk`. Query vectors are a bounded dimension: collected
+    * once ([[graft.DimCache]]), unit-normalized driver-side, shipped as
+    * literals, so scoring is a pure Project over the corpus scan — one
+    * dot per (row, query), no join, no row explosion surviving past the
+    * aggregation. Ranking is the bounded [[graft.agg.TopKAgg]] (O(k)
+    * state, map-side combine): the exchange moves ≤ |Q|×k pairs per map
+    * partition, never scored rows — the 100 TB contract. Scores rank on
+    * the 6-dp fixed-point floor so cross-engine order is exact by
+    * construction (ties → lowest vec_id).
+    */
+  private def simKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val qRows = graft.DimCache.cached(s"knn-queries:$dir:8") {
+      emb.filter(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toIndexedSeq
+    }
+    val qIds = array(qRows.map(r => lit(r._1)): _*)
+    val qUnits = array(qRows.map { r =>
+      val n = math.sqrt(r._2.map(x => x * x).sum)
+      array(r._2.map(x => lit(if (n == 0d) 0d else x / n)): _*)
+    }: _*)
+    val topk = udaf(new graft.agg.TopKAgg(3))
+    emb.filter(col("vec_id") >= 8)
+      .withColumn("ne",
+        sqrt(graft.functions.DotF64.dotf64(col("e"), col("e"))))
+      .select(col("vec_id"), posexplode(transform(qUnits, qu =>
+        graft.functions.DotF64.dotf64(col("e"), qu) / col("ne")))
+        .as(Seq("qi", "cos")))
+      .select(element_at(qIds, col("qi") + 1).as("q_id"), col("vec_id"),
+        (-floor(col("cos") * lit(1e6))).cast(LongType).as("rk"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("rk"), col("vec_id")).as("picks"))
+      .select(col("q_id"), posexplode(col("picks")).as(Seq("pos", "pick")))
+      .select(col("q_id"), col("pick._2").as("vec_id"),
+        (col("pos") + 1).cast(LongType).as("rn"),
+        ((-col("pick._1")).cast(DoubleType) / 1e6).as("sim6"))
+  }
+
+  /** DuckDB twin: same unit-normalize fold on the query side, same
+    * ascending dot fold, rank on the identical fixed-point floor with
+    * the identical (score desc, vec_id asc) tie.
+    */
+  private val simKnnJoinSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id AS q_id,
+      |    list_transform(e, x -> CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+      |      ELSE x / n END) AS qu
+      |  FROM (
+      |    SELECT vec_id, e,
+      |      sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(e, x -> x * x)), (acc, v) -> acc + v)) AS n
+      |    FROM ev WHERE vec_id < 8)),
+      |c AS (
+      |  SELECT vec_id, e,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (acc, v) -> acc + v)) AS ne
+      |  FROM ev WHERE vec_id >= 8),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, len(c.e) + 1), i -> c.e[i] * q.qu[i])),
+      |      (acc, v) -> acc + v) / c.ne) * 1e6) AS BIGINT) AS fp
+      |  FROM c CROSS JOIN q)
+      |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rn,
+      |  CAST(fp AS DOUBLE) / 1e6 AS sim6
+      |FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY fp DESC, vec_id) AS rn FROM scored)
+      |WHERE rn <= 3""".stripMargin
+
+  /** Leakage-safe train/valid/test split: the split key is the doc's
+    * near-dup COMPONENT representative (min id over the LSH connected
+    * component, singleton docs represent themselves), not the doc
+    * itself — so every near-duplicate lands in the same split and the
+    * eval set can never contain a paraphrase of a training doc (the
+    * contamination mode a doc-keyed hash split is blind to). Split
+    * assignment is the portable Lehmer fold mod 10 → 8/1/1.
+    *
+    * Scale: reuses the O(log diameter) pointer-doubling components
+    * ([[graft.operators.Dedup.resolveKeepers]]); the split itself adds
+    * one broadcast-or-shuffle left join on doc_id and a map-side hash.
+    */
+  private def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val rep = coalesce(col("keeper"), col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(dedupCcKeepers(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), rep.as("keeper"),
+        (pmod(rep * lit(48271L), lit(2147483647L)) % 10).as("h"))
+      .select(col("doc_id"), col("keeper"),
+        when(col("h") < 8, "train").when(col("h") === 8, "valid")
+          .otherwise("test").as("split"))
+  }
+
+  private val splitLeakageSafeSql =
+    s"""WITH RECURSIVE base AS (
+      |  SELECT id_a, id_b FROM (
+      |$dedupMinhashLshPortableSql) t),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM base
+      |  UNION
+      |  SELECT id_b, id_a FROM base),
+      |reach AS (
+      |  SELECT a AS id, a AS r FROM edges
+      |  UNION
+      |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+      |k AS (SELECT id AS doc_id, min(r) AS keeper FROM reach GROUP BY id),
+      |s AS (
+      |  SELECT d.doc_id, coalesce(k.keeper, d.doc_id) AS keeper,
+      |    ((coalesce(k.keeper, d.doc_id) * 48271) % 2147483647) % 10 AS h
+      |  FROM documents d LEFT JOIN k USING (doc_id))
+      |SELECT doc_id, keeper,
+      |  CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'valid'
+      |    ELSE 'test' END AS split
+      |FROM s""".stripMargin
+
   // ------------------------------------------------ embedding transforms
 
   /** Int8 max-abs quantization of the embedding column — the compression
@@ -1808,6 +2005,9 @@ object LlmOps {
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, simAnnLshBucketsSql),
     "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),
+    "sim_knn_join" -> Q(simKnnJoin _, simKnnJoinSql),
+    "cluster_kmeans_step" -> Q(clusterKmeansStep _, clusterKmeansStepSql),
+    "split_leakage_safe" -> Q(splitLeakageSafe _, splitLeakageSafeSql),
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
     "emb_quantize" -> Q(embQuantize _, embQuantizeSql),
     "dedup_semantic" -> Q(dedupSemantic _, dedupSemanticSql),
