@@ -60,7 +60,12 @@ object Bench {
     "dedup_incremental_lsh",
     // round-9: CDC upsert — the broadcast-anti-join snapshot refresh
     // (matched rows replaced, inserts appended, base never shuffled)
-    "merge_upsert")
+    "merge_upsert",
+    // round-9: batched k-NN retrieval (query set broadcast as literals,
+    // one corpus scan, bounded TopKAgg exchange) and the leakage-safe
+    // split (LSH pairs → pointer-doubling components → hash split —
+    // the full anti-contamination path a training run pays)
+    "sim_knn_join", "split_leakage_safe")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime

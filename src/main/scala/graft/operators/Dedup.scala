@@ -38,9 +38,15 @@ object Dedup {
     // excluded via protectedIds.
     val protectedIds = sc.getPersistentRDDs.keySet ++ persistedAncestors(pairs.rdd)
     val mine = scala.collection.mutable.Set.empty[Int]
+    // Both edge directions via one map-side explode — NOT
+    // union(pairs, pairs.swapped), which would execute the (possibly
+    // expensive: a whole LSH pipeline) upstream plan twice before the
+    // cache materializes.
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .cache()
     mine ++= (persistedAncestors(edges.rdd) -- protectedIds)
@@ -49,16 +55,29 @@ object Dedup {
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
     var iter = 0
     var converged = false
+    // Joinless convergence detector: every update is a least(...), so
+    // labels are monotonically NON-INCREASING — the label sum strictly
+    // decreases iff any label changed this round. Decimal(38,0) keeps the
+    // sum exact far past any realistic (rows × id-magnitude) product.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+      .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     while (iter < maxIter && !converged) {
       // propagate: my new label = min(my label, labels of my neighbors)
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
+      // cached: BOTH sides of the pointer-doubling self-join below read
+      // hopped — uncached, the join+groupBy propagate plan would execute
+      // twice per round
       val hopped = labels
         .join(neighborLabels, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      mine ++= (persistedAncestors(hopped.rdd) -- protectedIds)
       // pointer doubling: shortcut to my label's own label. label(v) is a
       // reachable id and only ever decreases, so label(label(v)) is also
       // reachable and ≤ label(v) — taking it keeps the min-of-component
@@ -76,13 +95,11 @@ object Dedup {
         .localCheckpoint(false)
         .cache()
       mine ++= (persistedAncestors(next.rdd) -- protectedIds)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old"))
-        .limit(1)
-        .count()
+      val curSum = labelSum(next) // also materializes the checkpoint
+      hopped.unpersist()
       labels.unpersist() // predecessor served its two passes; release it
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       labels = next
       iter += 1
     }
