@@ -65,7 +65,11 @@ object Bench {
     // one corpus scan, bounded TopKAgg exchange) and the leakage-safe
     // split (LSH pairs → pointer-doubling components → hash split —
     // the full anti-contamination path a training run pays)
-    "sim_knn_join", "split_leakage_safe")
+    "sim_knn_join", "split_leakage_safe",
+    // round-9: exact substring-span dedup (Lee et al. ExactSubstr,
+    // distributed: one window-hash count shuffle + broadcast flag join
+    // + per-doc island merge — linear in corpus tokens, no pair join)
+    "dedup_substring_spans")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime

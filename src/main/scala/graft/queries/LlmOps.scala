@@ -712,6 +712,180 @@ object LlmOps {
       |  FROM t)
       |SELECT doc_id, source, n_tok FROM c WHERE cum <= 1200""".stripMargin
 
+  /** Exact substring-span dedup (the suffix-array ExactSubstr shape of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2021; reference analogue: nvtext ngram generation,
+    * `nvtext/generate_ngrams.hpp:49`, feeding corpus-frequency counts):
+    * every W=8-token window that occurs MORE THAN ONCE anywhere in the
+    * corpus (cross- or intra-document) marks its tokens as duplicated;
+    * overlapping-or-adjacent flagged windows merge into maximal spans
+    * per document — the unit a span-removal pass would cut.
+    *
+    * Distributed shape, not a suffix array: windows are hashed per-row
+    * (one map-side `transform` computing xxhash64 per window — the
+    * 64-bit digest keeps corpus-wide collision odds ~n²/2⁶⁵, so the
+    * output matches the oracle's group-by-string semantics), the
+    * duplicate test is ONE count shuffle on the compact 8-byte hash
+    * (map-side combine collapses hot boilerplate windows — a window
+    * occurring millions of times costs count rows, never pairs), the
+    * flag join broadcasts the dup-hash set against a second corpus
+    * scan (duplicated windows are a small fraction of distinct ones;
+    * if the dup set ever outgrows a broadcast, AQE falls back to a
+    * shuffle join on the same 8-byte key — size-adaptive either way),
+    * and span merging is a gaps-and-islands window over compact
+    * (doc_id, p) pairs. No pair join anywhere: cost is linear in
+    * corpus tokens — the property that makes ExactSubstr runnable at
+    * 100 TB where all-pairs comparison is not.
+    */
+  private def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpans(Tables.documents(s, dir), W = 8)
+
+  /** See [[dedupSubstringSpans]]. Factored on (docs, W) so specs can
+    * drive a constructed corpus and other window widths.
+    */
+  private[graft] def substringSpans(docs: DataFrame, W: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(tk) - $W),
+             |  i -> xxhash64(array_join(slice(tk, i + 1, $W), ' ')))""".stripMargin))
+          .as(Seq("p", "h")))
+    val dup = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    occ.join(dup, "h")
+      .select(col("doc_id"), col("p"))
+      // null lag (first window) fails the <= test -> otherwise(1) opens
+      // an island, matching the oracle's CASE-on-null.
+      .withColumn("ni",
+        when(col("p") - lag(col("p"), 1).over(w) <= W, 0).otherwise(1))
+      .withColumn("gid", sum(col("ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(
+        min(col("p")).cast(LongType).as("span_start"),
+        (max(col("p")) + lit(W - 1)).cast(LongType).as("span_end"),
+        (max(col("p")) + lit(W) - min(col("p"))).cast(LongType).as("dup_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("dup_tokens"))
+  }
+
+  private val dedupSubstringSpansSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |occ AS (
+      |  SELECT doc_id, unnest(range(1, len(tk) - 8 + 2)) AS i, tk
+      |  FROM toks WHERE len(tk) >= 8),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS p,
+      |    array_to_string(list_slice(tk, i, i + 7), ' ') AS g
+      |  FROM occ),
+      |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+      |flagged AS (
+      |  SELECT gr.doc_id, gr.p FROM grams gr JOIN dup USING (g)),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+      |      THEN 0 ELSE 1 END AS ni
+      |  FROM flagged),
+      |grp AS (
+      |  SELECT doc_id, p,
+      |    sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+      |  FROM isl)
+      |SELECT doc_id, min(p) AS span_start, max(p) + 7 AS span_end,
+      |  max(p) + 8 - min(p) AS dup_tokens
+      |FROM grp GROUP BY doc_id, gid""".stripMargin
+
+  /** The removal half of ExactSubstr dedup (Lee et al. §4.2: cut all
+    * but one occurrence of each duplicated substring): the FIRST
+    * corpus occurrence of every duplicated 8-token window — ordered by
+    * (doc_id, position), a total deterministic order — is the keeper;
+    * every other occurrence marks its 8 token positions for removal,
+    * and each document is rebuilt with its removed positions cut.
+    * Documents with nothing to cut pass through byte-identical.
+    *
+    * Scale shape on top of [[substringSpans]]'s count shuffle: keeper
+    * election is a row_number on the SAME compact (h) key the dup
+    * count shuffles (one sort exchange, no pairs), covered positions
+    * explode to ≤ W rows per removed window, and the per-document
+    * rebuild aggregates a bounded position set (≤ doc token count —
+    * bounded upstream by [[chunkDocuments]]-style chunking, the same
+    * bound every per-doc array here already assumes) then filters the
+    * token array map-side with an index-aware lambda. Linear in corpus
+    * tokens end-to-end.
+    */
+  private def dedupSubstringCut(s: SparkSession, dir: String): DataFrame =
+    substringCut(Tables.documents(s, dir), W = 8)
+
+  /** See [[dedupSubstringCut]]. Factored on (docs, W) for specs. */
+  private[graft] def substringCut(docs: DataFrame, W: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(tk) - $W),
+             |  i -> xxhash64(array_join(slice(tk, i + 1, $W), ' ')))""".stripMargin))
+          .as(Seq("p", "h")))
+    val wh = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("p"))
+    val removals = occ
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("h"))))
+      .withColumn("rn", row_number().over(wh))
+      .filter(col("n") > 1 && col("rn") > 1)
+    val covered = removals
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(W - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("cov"))
+    docs
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        expr("""array_join(
+                |  filter(split(text, ' '),
+                |    (t, i) -> cov IS NULL OR NOT array_contains(cov, i)),
+                |  ' ')""".stripMargin).as("clean_text"),
+        coalesce(size(col("cov")), lit(0)).cast(LongType).as("n_removed"))
+  }
+
+  private val dedupSubstringCutSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |occ AS (
+      |  SELECT doc_id, unnest(range(1, len(tk) - 8 + 2)) AS i, tk
+      |  FROM toks WHERE len(tk) >= 8),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS p,
+      |    array_to_string(list_slice(tk, i, i + 7), ' ') AS g
+      |  FROM occ),
+      |marked AS (
+      |  SELECT doc_id, p,
+      |    count(*) OVER (PARTITION BY g) AS n,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+      |  FROM grams),
+      |covered AS (
+      |  SELECT doc_id, unnest(range(p, p + 8)) AS pos
+      |  FROM marked WHERE n > 1 AND rn > 1),
+      |cov AS (
+      |  SELECT doc_id, list(DISTINCT pos) AS cv FROM covered GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+      |  -- Spark's array_join is '' — same "everything cut" fact
+      |  coalesce(array_to_string(
+      |    list_filter(
+      |      list_transform(range(1, len(string_split(d.text, ' ')) + 1),
+      |        i -> CASE WHEN c.cv IS NULL OR NOT list_contains(c.cv, i - 1)
+      |          THEN string_split(d.text, ' ')[i] END),
+      |      x -> x IS NOT NULL),
+      |    ' '), '') AS clean_text,
+      |  coalesce(len(c.cv), 0) AS n_removed
+      |FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id""".stripMargin
+
   // -------------------------------------------------------- similarity
 
   private def embDouble: Column =
@@ -1991,6 +2165,8 @@ object LlmOps {
     "dedup_simhash_portable" -> Q(dedupSimhashPortable _, dedupSimhashPortableSql),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard _, dedupNgramJaccardSql),
     "dedup_incremental_lsh" -> Q(dedupIncrementalLsh _, dedupIncrementalLshSql),
+    "dedup_substring_spans" -> Q(dedupSubstringSpans _, dedupSubstringSpansSql),
+    "dedup_substring_cut" -> Q(dedupSubstringCut _, dedupSubstringCutSql),
     "mix_token_budget" -> Q(mixTokenBudget _, mixTokenBudgetSql),
     "dedup_emb_cosine" -> Q(dedupEmbCosine _, dedupEmbCosineSql),
     "sample_stratified" -> Q(sampleStratified _, sampleStratifiedSql),

@@ -173,4 +173,93 @@ class DedupBucketSpec extends AnyFunSuite {
     // every flagged doc is genuinely in the delta partition of the split
     assert(inc.filter(col("id_d") % 10 =!= 0 || col("id_c") % 10 === 0).isEmpty)
   }
+
+  test("substring spans: shared run flagged at exact offsets, merged maximal") {
+    // A 10-token run shared by docs 1 and 2 at different offsets. Its
+    // three 8-windows (starts 3,4,5 in doc 1 / 0,1,2 in doc 2) must
+    // merge into ONE maximal span covering exactly the shared tokens —
+    // no bleed into the unique prefix/suffix.
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val docs = spark
+      .createDataFrame(Seq(
+        (1L, s"u1 u2 u3 $shared v1 v2"), // run at tokens 3..12 of 15
+        (2L, s"$shared w1 w2 w3 w4"), // run at tokens 0..9 of 14
+        (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))) // all-unique control
+      .toDF("doc_id", "text")
+    val spans = queries.LlmOps.substringSpans(docs, W = 8)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(spans.size == 2, s"only docs 1 and 2 carry duplicated spans: $spans")
+    assert(spans(1L) == ((3L, 12L, 10L)))
+    assert(spans(2L) == ((0L, 9L, 10L)))
+  }
+
+  test("substring spans: intra-doc repeat yields two islands, short docs none") {
+    // The same 8-token run twice within one doc (gap > W) is corpus
+    // duplication too — Lee et al. count any substring occurring more
+    // than once — and the occurrences are far enough apart that the
+    // merge must NOT bridge them.
+    val run = (0 until 8).map(i => s"r$i").mkString(" ")
+    val docs = spark
+      .createDataFrame(Seq(
+        (7L, s"$run g1 g2 g3 g4 g5 $run"), // runs at 0..7 and 13..20
+        (8L, "too short to window")))
+      .toDF("doc_id", "text")
+    val spans = queries.LlmOps.substringSpans(docs, W = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(spans.toSeq == Seq((7L, 0L, 7L, 8L), (7L, 13L, 20L, 8L)), spans.toSeq)
+  }
+
+  test("substring spans: adjacent distinct dup windows merge into one span") {
+    // Two DIFFERENT duplicated 8-grams sitting exactly W apart (zero
+    // overlap, zero gap) cover contiguous tokens — the island rule
+    // (p - prev <= W) must merge them into a single 16-token span.
+    val runA = (0 until 8).map(i => s"a$i").mkString(" ")
+    val runB = (0 until 8).map(i => s"b$i").mkString(" ")
+    val docs = spark
+      .createDataFrame(Seq(
+        (1L, s"$runA $runB"), // A at 0..7, B at 8..15 — contiguous
+        (2L, s"p1 p2 $runA q1 q2 q3 q4 q5 q6 q7 q8"), // another A
+        (3L, s"$runB z1 z2 z3 z4 z5 z6 z7 z8"))) // another B
+      .toDF("doc_id", "text")
+    val d1 = queries.LlmOps.substringSpans(docs, W = 8)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc 1: windows 0 (=A) and 8 (=B) both duplicated; 8 - 0 <= W so
+    // they merge: one span [0, 15] of 16 tokens. Windows 1..7 straddle
+    // the A|B boundary and are unique — they must not appear.
+    assert(d1 == Seq((0L, 15L, 16L)), d1)
+  }
+
+  test("substring cut keeps the first corpus occurrence, cuts the rest") {
+    // Same shared 10-token run as the spans test: doc 1 holds the first
+    // (doc_id, p) occurrence of all three duplicated 8-windows, so doc 1
+    // must survive byte-identical and doc 2 must lose exactly the run.
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val d1text = s"u1 u2 u3 $shared v1 v2"
+    val docs = spark
+      .createDataFrame(Seq(
+        (1L, d1text),
+        (2L, s"$shared w1 w2 w3 w4"),
+        (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")))
+      .toDF("doc_id", "text")
+    val cut = queries.LlmOps.substringCut(docs, W = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(cut(1L) == ((d1text, 0L)), "keeper doc must pass through intact")
+    assert(cut(2L) == (("w1 w2 w3 w4", 10L)), "run cut, unique suffix kept")
+    assert(cut(3L) == (("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", 0L)))
+  }
+
+  test("substring cut removes the intra-doc second occurrence only") {
+    val run = (0 until 8).map(i => s"r$i").mkString(" ")
+    val docs = spark
+      .createDataFrame(Seq((7L, s"$run g1 g2 g3 g4 g5 $run")))
+      .toDF("doc_id", "text")
+    val cut = queries.LlmOps.substringCut(docs, W = 8)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(cut.toSeq == Seq((s"$run g1 g2 g3 g4 g5", 8L)), cut.toSeq)
+  }
 }
