@@ -136,6 +136,23 @@ object ScaleProbe {
         f"""{"probe":"incremental_lsh","factor":$f,"corpus_docs":${corpus.count()},"pairs":$nPairs,"build_secs":$buildSecs%.2f,"delta_secs":$deltaSecs%.2f}""")
     }
 
+    // substring-dedup axis, worst case: identical replicas make EVERY
+    // window corpus-duplicated, so the flag join passes the whole
+    // exploded corpus through (nothing prunes) and every doc collapses
+    // to one maximal span. The count shuffle still ships one row per
+    // DISTINCT window (constant across factors — map-side combine eats
+    // the replication), so wall time should track the linear explode +
+    // flag-join volume, never a pair blowup. out_spans = windowable
+    // docs × f is the correctness invariant printed alongside.
+    def probeSubstring(f: Int, big: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val spans = queries.LlmOps.substringSpans(big, W = 8)
+      val outSpans = spans.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(
+        f"""{"probe":"substring_spans","factor":$f,"n_docs":${baseN * f},"out_spans":$outSpans,"secs":$secs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
@@ -146,6 +163,7 @@ object ScaleProbe {
       probePack(f)
       probeTfidf(f)
       probeIncremental(f)
+      probeSubstring(f, replicated)
 
       // realistic: salt every token per replica so all shingles differ
       // across replicas (replica 0 keeps the original text, so the base
