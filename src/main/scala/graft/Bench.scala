@@ -69,7 +69,11 @@ object Bench {
     // round-9: exact substring-span dedup (Lee et al. ExactSubstr,
     // distributed: one window-hash count shuffle + broadcast flag join
     // + per-doc island merge — linear in corpus tokens, no pair join)
-    "dedup_substring_spans")
+    "dedup_substring_spans",
+    // round-9: fixed-point PageRank over the customer-supplier graph
+    // (5 Pregel iterations; edge exchange built once and Reused 26x
+    // across the loop — the iterative-numeric-graph family)
+    "graph_pagerank")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime

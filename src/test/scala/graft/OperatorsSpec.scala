@@ -224,4 +224,36 @@ class OperatorsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pagerank: one iteration on a hand-checked star matches exactly") {
+    // customer 1 buys 3 items from supplier 1, 1 from supplier 2.
+    // Nodes: c1=2, s1=3, s2=5. Symmetric weighted edges; out-weights
+    // ow(2)=4, ow(3)=3, ow(5)=1. After one damped update from uniform
+    // 1e6 micro-units:
+    //   contrib(3) = floor(1e6*3/4) = 750000 -> r = 150000+637500
+    //   contrib(5) = floor(1e6*1/4) = 250000 -> r = 150000+212500
+    //   contrib(2) = 1e6 + 1e6 = 2000000   -> r = 150000+1700000
+    val orders = spark.createDataFrame(Seq((100L, 1L)))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = spark
+      .createDataFrame(Seq((100L, 1L), (100L, 1L), (100L, 1L), (100L, 2L)))
+      .toDF("l_orderkey", "l_suppkey")
+    val r = queries.GraphOps.pagerank(orders, lineitem, iters = 1)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r(("customer", 1L)) == 1850000L)
+    assert(r(("supplier", 1L)) == 787500L)
+    assert(r(("supplier", 2L)) == 362500L)
+  }
+
+  test("pagerank: rank mass stays within the damped bounds at sf") {
+    // every node's rank is >= the teleport floor 150000, and total mass
+    // can't exceed the undamped initial mass (floors only lose mass)
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+    val n = rows.length.toLong
+    assert(rows.forall(_.getLong(2) >= 150000L))
+    val total = rows.map(_.getLong(2)).sum
+    assert(total <= n * 1000000L,
+      s"mass $total exceeds initial ${n * 1000000L}")
+  }
 }
