@@ -429,7 +429,90 @@ object Extras {
       |  CAST(floor(sk * 10000) AS BIGINT) AS l_suppkey
       |FROM d""".stripMargin
 
+  /** Data-validation expectation suite (the deequ/Great-Expectations
+    * gate a pipeline runs before training on a new snapshot): declared
+    * constraints evaluated into one (check_name, violations, total)
+    * report row each. Two passes total, never one per check:
+    * - ONE scan of lineitem computes all six column-level checks as
+    *   conditional-sum columns of a single aggregate (range, domain,
+    *   positivity, and key-uniqueness via count − count(distinct key))
+    *   then unpivots them with `stack` — adding a check costs a column,
+    *   not a scan;
+    * - ONE left join to orders computes both relational checks
+    *   (referential orphans, ship-date-before-order-date) in the same
+    *   pass.
+    * All counts are longs → hash-exact. The synthetic data genuinely
+    * fails ship_after_order (~half the rows), so the report exercises
+    * the nonzero path, not just vacuous passes.
+    */
+  private def validateExpectations(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    def bad(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(c, 1L).otherwise(0L))
+    val scalar = li
+      .agg(
+        count(lit(1)).as("total"),
+        bad(!col("l_quantity").between(1.0, 50.0)).as("v_qty"),
+        bad(col("l_discount") > 0.06).as("v_disc"),
+        bad(!col("l_tax").between(0.0, 0.08)).as("v_tax"),
+        bad(col("l_extendedprice") <= 0.0).as("v_price"),
+        bad(!col("l_returnflag").isin("A", "N", "R")).as("v_flag"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))).as("v_dup"))
+      .select(
+        expr("""stack(6,
+                |  'quantity_range_1_50', v_qty,
+                |  'discount_le_0.06', v_disc,
+                |  'tax_range_0_0.08', v_tax,
+                |  'extendedprice_positive', v_price,
+                |  'returnflag_domain', v_flag,
+                |  'line_key_unique', v_dup) AS (check_name, violations)""".stripMargin),
+        col("total"))
+    val joined = li
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        count(lit(1)).as("total"),
+        bad(col("o_orderkey").isNull).as("v_orphan"),
+        bad(col("l_shipdate") < col("o_orderdate")).as("v_ship"))
+      .select(
+        expr("""stack(2,
+                |  'orderkey_ref_integrity', v_orphan,
+                |  'ship_after_order', v_ship) AS (check_name, violations)""".stripMargin),
+        col("total"))
+    scalar.unionByName(joined)
+  }
+
+  private val validateExpectationsSql =
+    """WITH scalar AS (
+      |  SELECT count(*) AS total,
+      |    sum(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0) THEN 1 ELSE 0 END) AS v_qty,
+      |    sum(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END) AS v_disc,
+      |    sum(CASE WHEN NOT (l_tax BETWEEN 0.0 AND 0.08) THEN 1 ELSE 0 END) AS v_tax,
+      |    sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS v_price,
+      |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS v_flag,
+      |    count(*) - (SELECT count(*) FROM (
+      |      SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |      FROM lineitem)) AS v_dup
+      |  FROM lineitem),
+      |joined AS (
+      |  SELECT count(*) AS total,
+      |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_orphan,
+      |    sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS v_ship
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT 'quantity_range_1_50' AS check_name, v_qty AS violations, total FROM scalar
+      |UNION ALL SELECT 'discount_le_0.06', v_disc, total FROM scalar
+      |UNION ALL SELECT 'tax_range_0_0.08', v_tax, total FROM scalar
+      |UNION ALL SELECT 'extendedprice_positive', v_price, total FROM scalar
+      |UNION ALL SELECT 'returnflag_domain', v_flag, total FROM scalar
+      |UNION ALL SELECT 'line_key_unique', v_dup, total FROM scalar
+      |UNION ALL SELECT 'orderkey_ref_integrity', v_orphan, total FROM joined
+      |UNION ALL SELECT 'ship_after_order', v_ship, total FROM joined""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "validate_expectations" -> Q(validateExpectations _, validateExpectationsSql),
     "frame_value_counts" -> Q(frameValueCounts _, frameValueCountsSql),
     "frame_describe" -> Q(frameDescribe _, frameDescribeSql),
     "str_partition_points" -> Q(strPartitionPoints _, strPartitionPointsSql),

@@ -246,6 +246,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(("supplier", 2L)) == 362500L)
   }
 
+  test("validate_expectations: contract checks pass, ship-date check fails nonzero") {
+    val r = SparkEntry.queries("validate_expectations")(spark, sf)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.size == 8)
+    val total = r("quantity_range_1_50")._2
+    Seq("quantity_range_1_50", "tax_range_0_0.08", "extendedprice_positive",
+      "returnflag_domain", "orderkey_ref_integrity")
+      .foreach(c => assert(r(c)._1 == 0L, s"$c should hold on the contract data"))
+    // sf0.001 genuinely contains ONE duplicated full line key (orderkey
+    // 1294, linenumber 4 appears twice) — the uniqueness check must
+    // surface it, which is exactly what the suite exists to catch
+    assert(r("line_key_unique")._1 == 1L)
+    // the synthetic generator genuinely ships before ordering on ~half
+    // the rows — the report must surface it, not vacuously pass
+    assert(r("ship_after_order")._1 > 0L && r("ship_after_order")._1 < total)
+    assert(r("discount_le_0.06")._1 > 0L, "business-rule check exercises nonzero")
+  }
+
   test("pagerank: rank mass stays within the damped bounds at sf") {
     // every node's rank is >= the teleport floor 150000, and total mass
     // can't exceed the undamped initial mass (floors only lose mass)
