@@ -511,7 +511,102 @@ object Extras {
       |UNION ALL SELECT 'orderkey_ref_integrity', v_orphan, total FROM joined
       |UNION ALL SELECT 'ship_after_order', v_ship, total FROM joined""".stripMargin
 
+  /** Snapshot drift report (the monitor a recurring ingest runs before
+    * accepting a new batch): total-variation distance ½·Σ|p_base −
+    * p_cur| between the first and second half-month of events, per
+    * dimension — categorical (event_type) and bucketed numeric (value
+    * in 10 fixed-width buckets of 50). TVD instead of PSI/KL by
+    * design: it needs only integer adds and abs on micro-unit
+    * proportions (pa = cnt·10⁶ div n), so the report is bit-exact
+    * across engines, where any ln-based divergence would diverge in
+    * the last ulp between libm implementations.
+    *
+    * Per-bucket rows carry both proportions and the |Δ|; one TVD_TOTAL
+    * row per dimension sums them (proportion columns there are the
+    * total masses, ≈10⁶ modulo floor loss — a built-in sanity check).
+    * Scale shape: two scans (one per dimension) each aggregating to
+    * ≤|buckets| rows map-side before a full-outer join of the two
+    * tiny count vectors; the half-month split predicate pushes down to
+    * the parquet scan.
+    */
+  private def driftTvd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cut = lit("2024-01-16").cast(TimestampType)
+    val byType = distExact(ev, col("event_type"), "event_type", cut)
+    val byValue = distExact(ev,
+      concat(lit("d"), least(floor(col("value") / 50.0), lit(9.0)).cast("long")),
+      "value_decile", cut)
+    val buckets = byType.unionByName(byValue)
+    val totals = buckets.groupBy(col("dimension"))
+      .agg(
+        sum(col("p_base_micro")).as("p_base_micro"),
+        sum(col("p_cur_micro")).as("p_cur_micro"),
+        expr("sum(drift_micro) div 2").as("drift_micro"))
+      .select(col("dimension"), lit("TVD_TOTAL").as("bucket"),
+        col("p_base_micro"), col("p_cur_micro"), col("drift_micro"))
+    buckets.unionByName(totals)
+  }
+
+  /** One dimension of [[driftTvd]]: per-bucket micro-unit proportions
+    * on each side of the cut and their absolute difference. Totals ride
+    * a broadcast 1-row cross join (never a single-partition window).
+    */
+  private def distExact(ev: DataFrame, bucket: org.apache.spark.sql.Column,
+      dim: String, cut: org.apache.spark.sql.Column): DataFrame = {
+    val base = ev.filter(col("ts") < cut).groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt_base"))
+    val cur = ev.filter(col("ts") >= cut).groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt_cur"))
+    base.join(cur, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(ev.agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n_cur"))))
+      .select(
+        lit(dim).as("dimension"),
+        col("bucket"),
+        expr("coalesce(cnt_base, 0) * 1000000 div n_base").as("p_base_micro"),
+        expr("coalesce(cnt_cur, 0) * 1000000 div n_cur").as("p_cur_micro"))
+      .withColumn("drift_micro",
+        abs(col("p_base_micro") - col("p_cur_micro")))
+  }
+
+  private val driftTvdSql =
+    """WITH b AS (
+      |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+      |c AS (
+      |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+      |n AS (
+      |  SELECT (SELECT count(*) FROM b) AS n_base,
+      |         (SELECT count(*) FROM c) AS n_cur),
+      |tb AS (SELECT event_type AS bucket, count(*) AS cnt FROM b GROUP BY 1),
+      |tc AS (SELECT event_type AS bucket, count(*) AS cnt FROM c GROUP BY 1),
+      |vb AS (SELECT 'd' || CAST(least(floor(value / 50.0), 9.0) AS BIGINT)
+      |         AS bucket, count(*) AS cnt FROM b GROUP BY 1),
+      |vc AS (SELECT 'd' || CAST(least(floor(value / 50.0), 9.0) AS BIGINT)
+      |         AS bucket, count(*) AS cnt FROM c GROUP BY 1),
+      |tdim AS (
+      |  SELECT 'event_type' AS dimension, coalesce(tb.bucket, tc.bucket) AS bucket,
+      |    coalesce(tb.cnt, 0) * 1000000 // n.n_base AS p_base_micro,
+      |    coalesce(tc.cnt, 0) * 1000000 // n.n_cur AS p_cur_micro
+      |  FROM tb FULL OUTER JOIN tc ON tb.bucket = tc.bucket CROSS JOIN n),
+      |vdim AS (
+      |  SELECT 'value_decile' AS dimension, coalesce(vb.bucket, vc.bucket) AS bucket,
+      |    coalesce(vb.cnt, 0) * 1000000 // n.n_base AS p_base_micro,
+      |    coalesce(vc.cnt, 0) * 1000000 // n.n_cur AS p_cur_micro
+      |  FROM vb FULL OUTER JOIN vc ON vb.bucket = vc.bucket CROSS JOIN n),
+      |buckets AS (
+      |  SELECT dimension, bucket, p_base_micro, p_cur_micro,
+      |    abs(p_base_micro - p_cur_micro) AS drift_micro
+      |  FROM (SELECT * FROM tdim UNION ALL SELECT * FROM vdim))
+      |SELECT dimension, bucket, p_base_micro, p_cur_micro, drift_micro
+      |FROM buckets
+      |UNION ALL
+      |SELECT dimension, 'TVD_TOTAL', sum(p_base_micro), sum(p_cur_micro),
+      |  sum(drift_micro) // 2
+      |FROM buckets GROUP BY dimension""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "drift_tvd" -> Q(driftTvd _, driftTvdSql),
     "validate_expectations" -> Q(validateExpectations _, validateExpectationsSql),
     "frame_value_counts" -> Q(frameValueCounts _, frameValueCountsSql),
     "frame_describe" -> Q(frameDescribe _, frameDescribeSql),

@@ -264,6 +264,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r("discount_le_0.06")._1 > 0L, "business-rule check exercises nonzero")
   }
 
+  test("drift_tvd: proportions mass to ~1e6 and TVD sits in [0, 1e6]") {
+    val rows = SparkEntry.queries("drift_tvd")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val totals = rows.filter(_._2 == "TVD_TOTAL")
+    assert(totals.map(_._1).toSet == Set("event_type", "value_decile"))
+    totals.foreach { case (dim, _, pb, pc, tvd) =>
+      // floor loss is < 1 micro-unit per bucket
+      assert(pb > 999900L && pb <= 1000000L, s"$dim base mass $pb")
+      assert(pc > 999900L && pc <= 1000000L, s"$dim cur mass $pc")
+      assert(tvd >= 0L && tvd <= 1000000L, s"$dim tvd $tvd")
+    }
+    assert(rows.filterNot(_._2 == "TVD_TOTAL").forall(_._5 >= 0L))
+  }
+
   test("pagerank: rank mass stays within the damped bounds at sf") {
     // every node's rank is >= the teleport floor 150000, and total mass
     // can't exceed the undamped initial mass (floors only lose mass)
