@@ -111,15 +111,22 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively. Read it as a long (ns) via the legacy flag and
-    * truncate to µs — the engine's declared timestamp contract
-    * (SURVEY §1.2: TIMESTAMP_NANOSECONDS → TimestampType(µs)).
+  /** `events.ts` arrives in two snapshot formats across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) (readable by Spark 4 only as
+    * a long via the legacy flag — truncate ns → µs) or TIMESTAMP(MICROS,
+    * NTZ) (read natively as TIMESTAMP_NTZ). Normalize BOTH to
+    * TimestampType µs — the engine's declared timestamp contract
+    * (SURVEY §1.2: TIMESTAMP_NANOSECONDS → TimestampType(µs)); the NTZ
+    * cast re-interprets the wall clock in the session's UTC zone, i.e.
+    * the same instants the ns-truncation path produced.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
