@@ -73,7 +73,13 @@ object Bench {
     // round-9: fixed-point PageRank over the customer-supplier graph
     // (5 Pregel iterations; edge exchange built once and Reused 26x
     // across the loop — the iterative-numeric-graph family)
-    "graph_pagerank")
+    "graph_pagerank",
+    // round-9: fixed-point power-iteration top PC over embeddings (5
+    // corpus scans, d-row partial-sum exchanges — the spectral member
+    // of the iterative family) and the KMV distinct sketch (the
+    // oracled approx-distinct: distinct int64 shuffle + bounded
+    // TakeOrdered k-smallest)
+    "emb_pca_power", "sketch_kmv_distinct")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime

@@ -305,6 +305,63 @@ object Similarity {
     c
   }
 
+  /** Dominant principal direction of the (uncentered) embedding cloud by
+    * `iters` rounds of fixed-point power iteration — the spectral member
+    * of the iterative fixed-point family next to label-propagation CC and
+    * PageRank (ref: cudf's corpus-analytics role; the algorithm is the
+    * classic v ← Xᵀ(Xv) normalized, von Mises iteration). A training-data
+    * pipeline uses the top PC for embedding whitening diagnostics
+    * (anisotropy checks) without an external linear-algebra system.
+    *
+    * All arithmetic is 64-bit integer so the result is bit-identical
+    * across engines and partitionings:
+    *   - xqᵢⱼ = floor(xᵢⱼ·10⁶); v starts at (10⁶, …, 10⁶);
+    *   - per row, dotᵢ = Σⱼ xqᵢⱼ·vⱼ, then dsᵢ = dotᵢ div 10⁷ (one fixed
+    *     down-shift keeps the next product long-safe);
+    *   - uⱼ = Σᵢ xqᵢⱼ·dsᵢ, renormalized to micro-units by the L∞ norm
+    *     (v = u div greatest(max|u| div 10⁶, 1)) — L∞ instead of L2
+    *     avoids sqrt, which integer arithmetic cannot replicate.
+    * Bounds (d = dims, B = max|x|, n = rows): |v| ≤ 2·10⁶, |dot| ≤
+    * d·B·2·10¹², |ds| ≤ d·B·2·10⁵, |u| ≤ n·d·B²·2·10¹¹ — long-safe to
+    * n ≈ 3·10⁵ at d = 64, B = 1; for larger corpora widen the ds shift.
+    *
+    * Scale shape: each iteration streams the corpus once — v rides a
+    * broadcast 1-row cross join, the dot/ds products are map-side, and
+    * the only exchange ships d-row partial sums (map-side combine on the
+    * d-group groupBy). The sum order never matters (integer adds
+    * commute), so the result is partitioning-independent. The doubled
+    * references per iteration (u feeds both the values and the max)
+    * collapse to ReusedExchange, the PageRank loop's pattern.
+    *
+    * Output: one row per dimension, `(dim BIGINT, v_micro BIGINT)` with
+    * max |v_micro| ≈ 10⁶ — the unnormalized direction (sign follows the
+    * all-ones start vector deterministically).
+    */
+  def pcaPowerTopComponent(emb: DataFrame, iters: Int): DataFrame = {
+    val xq = emb.select(
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000D) AS BIGINT))")
+        .as("xq"))
+    var v: DataFrame = xq.agg(
+      expr("transform(sequence(1, min(size(xq))), i -> CAST(1000000 AS BIGINT))").as("v"))
+    for (_ <- 1 to iters) {
+      val ds = xq.crossJoin(broadcast(v)).select(
+        col("xq"),
+        expr("""aggregate(zip_with(xq, v, (x, w) -> x * w),
+               |  CAST(0 AS BIGINT), (a, t) -> a + t) div 10000000""".stripMargin)
+          .as("ds"))
+      val u = ds
+        .select(col("ds"), posexplode(col("xq")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(sum(col("x") * col("ds")).as("u"))
+      val m = u.agg(greatest(max(abs(col("u"))), lit(1L)).as("m"))
+      v = u.crossJoin(broadcast(m))
+        .select(col("dim"), expr("u div greatest(m div 1000000, 1)").as("vd"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, vd))), p -> p.vd)").as("v"))
+    }
+    v.select(posexplode(col("v")).as(Seq("dim", "v_micro")))
+      .select(col("dim").cast(LongType).as("dim"), col("v_micro"))
+  }
+
   /** Spherical k-means objective Σᵢ max_c eᵢ·ĉ (higher is better),
     * fixed-point-summed for cross-run determinism. The monotonicity
     * witness for [[kmeansStep]]'s Lloyd property.

@@ -1407,6 +1407,49 @@ object LlmOps {
       |FROM assigned a, unnest(range(1, len(a.e) + 1)) AS u(i)
       |GROUP BY cell_id, u.i""".stripMargin
 
+  /** Top principal component of the embedding cloud — 5 fixed-point
+    * power-iteration rounds ([[graft.operators.Similarity
+    * .pcaPowerTopComponent]], algorithm/bounds documented there). The
+    * third iterative fixed-point family (after label-prop CC and
+    * PageRank), here over the EMBEDDINGS table: all-integer arithmetic
+    * makes the direction hash-exact vs a 5×-unrolled DuckDB CTE despite
+    * 5 corpus scans and d-way partial-sum exchanges in between.
+    */
+  private def embPcaPower(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.pcaPowerTopComponent(
+      Tables.embeddings(s, dir), iters = 5)
+
+  private val embPcaPowerSql = {
+    // one CTE trio per iteration, unrolled (DuckDB recursive CTEs forbid
+    // aggregates in the recursive arm — same constraint as the PageRank
+    // oracle); every op is BIGINT (floor / // / abs / max / sum), so the
+    // values are bit-identical to the Spark loop.
+    val step = (i: Int) =>
+      s"""d$i AS (
+         |  SELECT xq,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, len(xq) + 1), i -> xq[i] * v[i])),
+         |      (a, t) -> a + t) // 10000000 AS ds
+         |  FROM xq, v${i - 1}),
+         |u$i AS (
+         |  SELECT dim, sum(xq[dim + 1] * ds) AS u FROM d$i, dims GROUP BY dim),
+         |m$i AS (SELECT greatest(max(abs(u)), 1) AS m FROM u$i),
+         |v$i AS (
+         |  SELECT list((u // greatest(m // 1000000, 1)) ORDER BY dim) AS v
+         |  FROM u$i, m$i GROUP BY m)""".stripMargin
+    s"""WITH dd AS (SELECT min(len(embedding)) AS d FROM embeddings),
+       |xq AS (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |v0 AS (
+       |  SELECT list_transform(range(1, d + 1), i -> CAST(1000000 AS BIGINT)) AS v
+       |  FROM dd),
+       |dims AS (SELECT unnest(range(0, (SELECT d FROM dd))) AS dim),
+       |${(1 to 5).map(step).mkString(",\n")}
+       |SELECT dim, u // greatest(m // 1000000, 1) AS v_micro FROM u5, m5""".stripMargin
+  }
+
   /** Batched k-NN similarity join — top-3 cosine neighbors for EVERY
     * query in a query set at once (vec_id < 8 here), the shape batch
     * inference / RAG retrieval actually runs, vs the single-query
@@ -2182,6 +2225,7 @@ object LlmOps {
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, simAnnLshBucketsSql),
     "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),
     "sim_knn_join" -> Q(simKnnJoin _, simKnnJoinSql),
+    "emb_pca_power" -> Q(embPcaPower _, embPcaPowerSql),
     "cluster_kmeans_step" -> Q(clusterKmeansStep _, clusterKmeansStepSql),
     "split_leakage_safe" -> Q(splitLeakageSafe _, splitLeakageSafeSql),
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),

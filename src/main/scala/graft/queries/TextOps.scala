@@ -310,6 +310,67 @@ object TextOps {
       |                t -> length(t) > 2), ' ') AS filtered_text
       |FROM documents""".stripMargin
 
+  /** KMV (k-minimum-values) distinct-token estimate — the ORACLED member
+    * of the approx-distinct sketch family. `agg_approx_distinct` (HLL) is
+    * rows-only because the engine's register layout is native; KMV over
+    * the portable polynomial hash ([[graft.functions.PolyHash31]]) is a
+    * deterministic function of the corpus, so the k smallest hash values
+    * — and the estimate `(k−1)·M div h₍ₖ₎` (Beyer et al., "On synopses
+    * for distinct-value estimation") — are hash-exact vs DuckDB. Falls
+    * back to the exact count when fewer than k distinct hashes exist.
+    * `exact_distinct` rides the same plan as the built-in accuracy
+    * witness (distinct hashed tokens, the sketch's own universe).
+    *
+    * Scale shape: tokens are hashed in one codegen pass per document
+    * (explode ships longs, never strings); `distinct` shuffles only
+    * compact int64s (vocabulary-sized keyspace); the k-smallest pass is
+    * TakeOrdered (bounded per-partition heaps, no global sort — KMV is
+    * exactly the "k smallest" mergeable sketch, so the per-partition
+    * heap IS the sketch merge); both 1-row sides ride broadcast cross
+    * joins and share the distinct subtree via ReusedExchange.
+    */
+  private def sketchKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val hashes = graft.Tables
+      .documents(s, dir)
+      .select(graft.functions.PolyHash31
+        .polyhash31(split(col("text"), " ")).getField("pp").as("pp"))
+      .select(explode(col("pp")).as("h"))
+      .distinct()
+    val kmin = hashes.orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("kth_min"), count(lit(1)).as("nk"))
+    val exact = hashes.agg(count(lit(1)).as("exact_distinct"))
+    kmin.crossJoin(broadcast(exact))
+      .select(
+        lit(k.toLong).as("k"),
+        col("kth_min"),
+        when(col("nk") < k, col("exact_distinct"))
+          .otherwise(expr(s"(${k - 1} * CAST(1000000007 AS BIGINT)) div kth_min"))
+          .as("est_distinct"),
+        col("exact_distinct"))
+  }
+
+  private val sketchKmvDistinctSql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |hashes AS (
+      |  SELECT DISTINCT list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(tok) + 1),
+      |                     i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS h
+      |  FROM toks),
+      |kmin AS (
+      |  SELECT max(h) AS kth_min, count(*) AS nk
+      |  FROM (SELECT h FROM hashes ORDER BY h LIMIT 256)),
+      |ex AS (SELECT count(*) AS exact_distinct FROM hashes)
+      |SELECT CAST(256 AS BIGINT) AS k, kth_min,
+      |  CASE WHEN nk < 256 THEN exact_distinct
+      |       ELSE (255 * CAST(1000000007 AS BIGINT)) // kth_min
+      |  END AS est_distinct,
+      |  exact_distinct
+      |FROM kmin, ex""".stripMargin
+
   /** Corpus heavy hitters: top-50 most frequent tokens — the vocabulary/
     * stopword-discovery staple of a training-data pipeline. Exact
     * (explode → hash-groupBy with map-side partial counts → TakeOrdered
@@ -640,6 +701,7 @@ object TextOps {
     "text_token_count" -> Q(tokenCount _, tokenCountSql),
     "text_top_tokens" -> Q(topTokens _, topTokensSql),
     "text_heavy_hitters" -> Q(heavyHitters _, heavyHittersSql),
+    "sketch_kmv_distinct" -> Q(sketchKmvDistinct _, sketchKmvDistinctSql),
     "text_char_ngrams" -> Q(charNgrams _, charNgramsSql),
     "text_word_ngrams" -> Q(wordNgrams _, wordNgramsSql),
     "text_fingerprint" -> Q(fingerprint _, fingerprintSql),

@@ -210,6 +210,70 @@ object Streams {
         max(col("r_ts")).as("asof_ts"))
   }
 
+  /** Bounded baseline distribution for [[driftMonitor]]: micro-unit
+    * proportions of event_type over a reference snapshot (the batch
+    * `drift_tvd` gate's base side), collected once — a dimension table,
+    * not corpus-sized state.
+    */
+  def driftBaseline(events: DataFrame): Seq[(String, Long)] =
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(events.agg(count(lit(1)).as("n"))))
+      .select(col("event_type"), expr("cnt * 1000000 div n").as("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  /** Streaming drift monitor — the per-window online twin of the batch
+    * `drift_tvd` snapshot gate: for every tumbling event-time window,
+    * micro-unit event_type proportions vs a STATIC baseline
+    * distribution, each bucket row carrying the window's total-variation
+    * distance. The online data-quality gate a recurring ingest runs
+    * WHILE loading, not after.
+    *
+    * The baseline's buckets compile into one conditional count per
+    * bucket (plus an OTHER bucket for mass the baseline never saw, with
+    * p_base = 0 so new categories register as drift), so the plan has
+    * exactly ONE stateful aggregation — watermark-bounded state, no
+    * chained stateful operators — and the proportion/TVD arithmetic is
+    * a stateless map over the ≤|buckets|-column aggregate rows. Same
+    * fixed-point integer TVD as the batch query, so streaming and batch
+    * agree bit-exactly (the differential spec pins this).
+    */
+  def driftMonitor(events: DataFrame, baseline: Seq[(String, Long)],
+      windowLen: String = "6 hours"): DataFrame = {
+    val bucketCounts = baseline.zipWithIndex.map { case ((b, _), i) =>
+      sum(when(col("event_type") === b, 1L).otherwise(0L)).as(s"c$i")
+    } :+ sum(when(col("event_type").isin(baseline.map(_._1): _*), 0L)
+      .otherwise(1L)).as("c_other")
+    val counted = events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n"), bucketCounts: _*)
+    val pCur = (i: Int) => expr(s"c$i * 1000000 div n")
+    val pOther = expr("c_other * 1000000 div n")
+    val entries = baseline.zipWithIndex.map { case ((b, pb), i) =>
+      struct(lit(b).as("bucket"), lit(pb).as("p_base_micro"),
+        pCur(i).as("p_cur_micro"))
+    } :+ struct(lit("OTHER").as("bucket"), lit(0L).as("p_base_micro"),
+      pOther.as("p_cur_micro"))
+    counted
+      .select(col("window.start").as("win_start"),
+        explode(array(entries: _*)).as("e"),
+        expr(s"(${tvdExprSql(baseline)}) div 2").as("tvd_micro"))
+      .select(col("win_start"), col("e.bucket").as("bucket"),
+        col("e.p_base_micro").as("p_base_micro"),
+        col("e.p_cur_micro").as("p_cur_micro"),
+        abs(col("e.p_base_micro") - col("e.p_cur_micro")).as("drift_micro"),
+        col("tvd_micro"))
+  }
+
+  /** SQL text of the window-TVD numerator over the conditional-count
+    * columns — built as a string so the integer `div 2` stays in long
+    * arithmetic (Column `/` would promote to double).
+    */
+  private def tvdExprSql(baseline: Seq[(String, Long)]): String =
+    (baseline.zipWithIndex.map { case ((_, pb), i) =>
+      s"abs(c$i * 1000000 div n - ${pb}L)"
+    } :+ "c_other * 1000000 div n").mkString(" + ")
+
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(dim, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),

@@ -291,4 +291,84 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rareTotal == singletons, s"rare=$rareTotal singletons=$singletons")
     res.unpersist()
   }
+
+  /** Reference double-precision mirror of the fixed-point power loop
+    * (same all-ones start, same L∞ normalization, no quantization) —
+    * isolates the truncation error of the integer arithmetic.
+    */
+  private def powerIterDouble(rows: Array[Array[Double]], iters: Int): Array[Double] = {
+    val d = rows.head.length
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to iters) {
+      val u = new Array[Double](d)
+      rows.foreach { x =>
+        var dot = 0.0
+        var j = 0
+        while (j < d) { dot += x(j) * v(j); j += 1 }
+        j = 0
+        while (j < d) { u(j) += x(j) * dot; j += 1 }
+      }
+      val m = u.map(math.abs).max max 1e-300
+      v = u.map(_ / m)
+    }
+    v
+  }
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    dot / (na * nb)
+  }
+
+  test("kmv sketch: estimate within 3-sigma of the exact distinct count") {
+    val res = SparkEntry.queries("sketch_kmv_distinct")(spark, sf).head()
+    val k = res.getLong(0)
+    val est = res.getLong(2)
+    val exact = res.getLong(3)
+    assert(exact > 0L)
+    if (exact < k) assert(est == exact, s"sub-k fallback must be exact: $est vs $exact")
+    else {
+      // KMV std error ≈ 1/sqrt(k-2) ≈ 6.3% at k=256; 3σ ≈ 19%
+      val rel = math.abs(est - exact).toDouble / exact
+      assert(rel <= 0.19, s"KMV rel err $rel (est=$est exact=$exact)")
+    }
+  }
+
+  test("pca power iteration: fixed-point direction matches the double mirror") {
+    val emb = Tables.embeddings(spark, sf)
+    val res = Similarity.pcaPowerTopComponent(emb, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val rows = emb
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val d = rows.head.length
+    assert(res.length == d && res.map(_._1).toSeq == (0L until d.toLong))
+    val got = res.map(_._2.toDouble)
+    // micro-unit L∞ contract: the peak coordinate sits at ~1e6
+    assert(math.abs(got.map(math.abs).max - 1e6) <= 2e6 - 1e6,
+      s"max |v_micro| = ${got.map(math.abs).max}")
+    val want = powerIterDouble(rows, iters = 5)
+    val c = math.abs(cosine(got, want))
+    assert(c >= 0.999, s"fixed-point vs double cosine = $c")
+  }
+
+  test("pca power iteration: recovers a constructed dominant axis") {
+    import spark.implicits._
+    val dim = 8
+    val axis = Array.tabulate(dim)(j => if (j % 2 == 0) 1.0 else -0.5)
+    // 200 points along ±axis with small deterministic off-axis jitter
+    val data = (0 until 200).map { i =>
+      val s = if (i % 2 == 0) 1.0 else -1.0
+      val scale = 1.0 + (i % 7) * 0.1
+      (i.toLong, Array.tabulate(dim) { j =>
+        (s * scale * axis(j) + 0.01 * (((i * 31 + j * 17) % 11) - 5)).toFloat
+      }.toSeq)
+    }
+    val emb = data.toDF("vec_id", "embedding")
+    val got = Similarity.pcaPowerTopComponent(emb, iters = 5)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
+    val c = math.abs(cosine(got, axis))
+    assert(c >= 0.99, s"recovered-axis cosine = $c (got ${got.mkString(",")})")
+  }
 }

@@ -280,4 +280,28 @@ class StreamingSpec extends AnyFunSuite {
     val exp = Streams.enrichWithDim(Tables.events(spark, sf), dim).count()
     assert(got == exp && got > 0)
   }
+
+  test("streaming drift monitor matches the batch twin bit-exactly") {
+    val ev = Tables.events(spark, sf)
+    // baseline = the first half-month (the batch drift_tvd gate's base
+    // side); the stream then replays the WHOLE table, so later windows
+    // genuinely drift when the synthetic mix shifts
+    val base = Streams.driftBaseline(
+      ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")))
+    assert(base.nonEmpty && base.map(_._2).sum <= 1000000L)
+    val stream = Streams.readEventStream(spark, replayDir)
+    val got = Streams
+      .runToCompletion(spark, Streams.driftMonitor(stream, base), "t_drift")
+    // batch twin: the same builder on the static table (the watermark is
+    // eliminated in batch plans) — every cell must agree, integer-exact
+    val exp = Streams.driftMonitor(ev, base)
+    assert(got.count() > 0)
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      s"stream/batch drift mismatch")
+    // per-window proportions are a distribution: masses ≈ 1e6
+    val masses = got.groupBy(col("win_start"))
+      .agg(sum(col("p_cur_micro")).as("m")).collect().map(_.getLong(1))
+    assert(masses.forall(m => m > 999000L && m <= 1000000L),
+      s"window masses: ${masses.mkString(",")}")
+  }
 }
