@@ -1407,6 +1407,62 @@ object LlmOps {
       |FROM assigned a, unnest(range(1, len(a.e) + 1)) AS u(i)
       |GROUP BY cell_id, u.i""".stripMargin
 
+  /** Semantic (embedding-space) decontamination — the vector-side
+    * counterpart of `decontaminate_ngrams`: flag every corpus vector
+    * whose max cosine against ANY benchmark-set embedding (label = 7
+    * plays the held-out eval suite) reaches 0.35 — paraphrased eval
+    * leakage that n-gram overlap can't see.
+    *
+    * Scale shape: a benchmark suite is a bounded dimension (thousands
+    * of items, not corpus-sized), so the bench side rides a broadcast
+    * nested-loop against the corpus scan, the per-pair dot/norm work is
+    * map-side, and the per-vector max partial-aggregates BEFORE the
+    * exchange — only n (vec_id, max) rows shuffle, never the n×m
+    * pairs. When the benchmark outgrows a broadcast, the SRP-LSH
+    * banding of `dedup_emb_cosine` is the documented escape hatch (same
+    * family as Bloom decontamination vs the broadcast-semi-join exact
+    * path). Determinism: every pair cosine is the same ascending IEEE
+    * fold both engines compute (DotF64 = list_reduce), and only the
+    * rounded MAX is output, so ties never surface.
+    */
+  private def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotF64.dotf64
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), embDouble.as("e"))
+    val bench = emb.filter(col("label") === 7)
+      .select(col("e").as("be"))
+      .select(col("be"), sqrt(dotf64(col("be"), col("be"))).as("bn"))
+    emb.filter(col("label") =!= 7)
+      .select(col("vec_id"), col("e"), sqrt(dotf64(col("e"), col("e"))).as("en"))
+      .crossJoin(broadcast(bench))
+      .groupBy(col("vec_id"))
+      .agg(max(dotf64(col("e"), col("be")) / (col("en") * col("bn"))).as("mc"))
+      .select(col("vec_id"), round(col("mc"), 6).as("max_cos_6dp"),
+        (round(col("mc"), 6) >= 0.35).as("contaminated"))
+  }
+
+  private val decontaminateSemanticSql =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |b AS (SELECT e AS be,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (a, v) -> a + v)) AS bn
+      |  FROM e WHERE label = 7),
+      |c AS (SELECT vec_id, e,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (a, v) -> a + v)) AS en
+      |  FROM e WHERE label <> 7),
+      |m AS (
+      |  SELECT vec_id,
+      |    max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(e) + 1), i -> e[i] * be[i])),
+      |      (a, v) -> a + v) / (en * bn)) AS mc
+      |  FROM c, b GROUP BY vec_id)
+      |SELECT vec_id, round(mc, 6) AS max_cos_6dp,
+      |  round(mc, 6) >= 0.35 AS contaminated
+      |FROM m""".stripMargin
+
   /** Top principal component of the embedding cloud — 5 fixed-point
     * power-iteration rounds ([[graft.operators.Similarity
     * .pcaPowerTopComponent]], algorithm/bounds documented there). The
@@ -2221,6 +2277,8 @@ object LlmOps {
     "decontaminate_bloom" -> Q(decontaminateBloom _, None),
     "decontaminate_bloom_vs_exact" ->
       Q(decontaminateBloomVsExact _, decontaminateBloomVsExactSql),
+    "decontaminate_semantic" ->
+      Q(decontaminateSemantic _, decontaminateSemanticSql),
     "sim_cosine_topk" -> Q(simCosineTopk _, simCosineTopkSql),
     "sim_ann_lsh_buckets" -> Q(simAnnLshBuckets _, simAnnLshBucketsSql),
     "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),

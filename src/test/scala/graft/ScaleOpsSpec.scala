@@ -321,6 +321,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     dot / (na * nb)
   }
 
+  test("semantic decontamination: bench side broadcast, meaningful split") {
+    val res = SparkEntry.queries("decontaminate_semantic")(spark, sf).cache()
+    val n = res.count()
+    val flagged = res.filter(col("contaminated")).count()
+    assert(n > 0L && flagged > 0L && flagged < n, s"n=$n flagged=$flagged")
+    // the benchmark set must ride a broadcast — the corpus never shuffles
+    // as pairs, only the per-vector partial maxes
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bench side not broadcast:\n$plan")
+    res.unpersist()
+  }
+
   test("kmv sketch: estimate within 3-sigma of the exact distinct count") {
     val res = SparkEntry.queries("sketch_kmv_distinct")(spark, sf).head()
     val k = res.getLong(0)
