@@ -329,9 +329,11 @@ object Similarity {
     * broadcast 1-row cross join, the dot/ds products are map-side, and
     * the only exchange ships d-row partial sums (map-side combine on the
     * d-group groupBy). The sum order never matters (integer adds
-    * commute), so the result is partitioning-independent. The doubled
-    * references per iteration (u feeds both the values and the max)
-    * collapse to ReusedExchange, the PageRank loop's pattern.
+    * commute), so the result is partitioning-independent. The L∞ max
+    * folds into the SAME 1-row aggregate that collects the v array, so
+    * each iteration references its predecessor exactly once — the
+    * lineage is linear (iters + 1 corpus scans), never the 2^iters
+    * blowup a separate max subtree would compound to.
     *
     * Output: one row per dimension, `(dim BIGINT, v_micro BIGINT)` with
     * max |v_micro| ≈ 10⁶ — the unnormalized direction (sign follows the
@@ -353,10 +355,13 @@ object Similarity {
         .select(col("ds"), posexplode(col("xq")).as(Seq("dim", "x")))
         .groupBy(col("dim"))
         .agg(sum(col("x") * col("ds")).as("u"))
-      val m = u.agg(greatest(max(abs(col("u"))), lit(1L)).as("m"))
-      v = u.crossJoin(broadcast(m))
-        .select(col("dim"), expr("u div greatest(m div 1000000, 1)").as("vd"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, vd))), p -> p.vd)").as("v"))
+      v = u
+        .agg(
+          expr("transform(array_sort(collect_list(struct(dim, u))), p -> p.u)")
+            .as("uarr"),
+          greatest(max(abs(col("u"))), lit(1L)).as("m"))
+        .select(
+          expr("transform(uarr, x -> x div greatest(m div 1000000, 1))").as("v"))
     }
     v.select(posexplode(col("v")).as(Seq("dim", "v_micro")))
       .select(col("dim").cast(LongType).as("dim"), col("v_micro"))
