@@ -455,6 +455,22 @@ object LlmOps {
       .filter(col("bucket").isNotNull) // docs with no shingles: no candidates
 
   private[graft] def ngramJaccardPairs(docs: DataFrame, maxBucket: Int): DataFrame = {
+    candidatePairSets(docs, maxBucket)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("ha"), col("hb"))).cast(DoubleType) /
+          size(array_union(col("ha"), col("hb")))).as("jaccard3"))
+      .filter(col("jaccard3") >= 0.2)
+  }
+
+  /** Shared candidate stage of the n-gram verify family: banded LSH
+    * candidate pairs with both docs' distinct hashed-shingle sets
+    * attached — (id_a, id_b, ha, hb). Shape documented at
+    * [[ngramJaccardPairs]]; consumed by the jaccard and containment
+    * verifiers.
+    */
+  private def candidatePairSets(docs: DataFrame, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prehashed = prehashedShingles(docs)
     val capped = bandedBuckets(prehashed)
@@ -470,15 +486,41 @@ object LlmOps {
       .agg(first(col("ha")).as("ha"))
     pairs
       .join(prehashed.select(col("doc_id").as("id_b"), col("hs").as("hb")), "id_b")
-      .select(
-        col("id_a"),
-        col("id_b"),
-        (size(array_intersect(col("ha"), col("hb"))).cast(DoubleType) /
-          size(array_union(col("ha"), col("hb")))).as("jaccard3"))
-      .filter(col("jaccard3") >= 0.2)
   }
 
-  private val dedupNgramJaccardSql =
+  /** Containment near-dup — the ASYMMETRIC verify metric over the same
+    * banded candidates as [[ngramJaccardPairs]]: cont_a = |A∩B|/|A| is
+    * ~1 when doc A is quoted wholesale inside doc B even though jaccard
+    * |A∩B|/|A∪B| stays low — the quote-extraction / boilerplate-inclusion
+    * case symmetric jaccard dedup misses (overlap coefficient; cf. the
+    * reference's jaccard surface `nvtext/jaccard.hpp:73`).
+    *
+    * Declared recall contract: candidates come from the SHARED
+    * jaccard-driven minhash bands (a pair surfaces with probability
+    * 1−(1−J)⁴), so a tiny quote inside a huge doc needs more bands or
+    * an asymmetric index to surface — the verify metric is containment,
+    * the candidate generator stays the pipeline's. Both containments are
+    * emitted (direction matters downstream: cut the contained doc, keep
+    * the container), thresholded on the larger one.
+    */
+  private[graft] def containmentPairs(docs: DataFrame, maxBucket: Int): DataFrame =
+    candidatePairSets(docs, maxBucket)
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast(DoubleType).as("inter"),
+        size(col("ha")).as("na"), size(col("hb")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / col("na"), 6).as("cont_a_6dp"),
+        round(col("inter") / col("nb"), 6).as("cont_b_6dp"))
+      .filter(greatest(col("cont_a_6dp"), col("cont_b_6dp")) >= 0.5)
+
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(s, dir), maxBucket = 1000)
+
+  /** Shared CTE prefix (grams → prehashed → hsets → banded → capped →
+    * pairs) of the n-gram verify family's DuckDB twins — the SQL mirror
+    * of [[candidatePairSets]].
+    */
+  private val ngramCandidateCtes =
     """WITH grams AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(
@@ -514,8 +556,10 @@ object LlmOps {
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM capped a JOIN capped b
-      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-      |SELECT p.id_a, p.id_b,
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val dedupNgramJaccardSql = ngramCandidateCtes + "\n" +
+    """SELECT p.id_a, p.id_b,
       |  CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
       |    len(list_distinct(ha.hs || hb.hs)) AS jaccard3
       |FROM pairs p
@@ -523,6 +567,21 @@ object LlmOps {
       |  JOIN hsets hb ON hb.doc_id = p.id_b
       |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
       |    len(list_distinct(ha.hs || hb.hs)) >= 0.2""".stripMargin
+
+  private val dedupContainmentSql = ngramCandidateCtes + "\n" +
+    """SELECT p.id_a, p.id_b,
+      |  round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+      |        / len(ha.hs), 6) AS cont_a_6dp,
+      |  round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+      |        / len(hb.hs), 6) AS cont_b_6dp
+      |FROM pairs p
+      |  JOIN hsets ha ON ha.doc_id = p.id_a
+      |  JOIN hsets hb ON hb.doc_id = p.id_b
+      |WHERE greatest(
+      |    round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+      |          / len(ha.hs), 6),
+      |    round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+      |          / len(hb.hs), 6)) >= 0.5""".stripMargin
 
   /** Incremental near-dedup: a DELTA batch (doc_id % 10 = 0 stands in
     * for "today's crawl") checked against a PERSISTED corpus LSH index
@@ -2263,6 +2322,7 @@ object LlmOps {
     "dedup_simhash" -> Q(dedupSimhash _, None),
     "dedup_simhash_portable" -> Q(dedupSimhashPortable _, dedupSimhashPortableSql),
     "dedup_ngram_jaccard" -> Q(dedupNgramJaccard _, dedupNgramJaccardSql),
+    "dedup_containment" -> Q(dedupContainment _, dedupContainmentSql),
     "dedup_incremental_lsh" -> Q(dedupIncrementalLsh _, dedupIncrementalLshSql),
     "dedup_substring_spans" -> Q(dedupSubstringSpans _, dedupSubstringSpansSql),
     "dedup_substring_cut" -> Q(dedupSubstringCut _, dedupSubstringCutSql),

@@ -123,6 +123,30 @@ class DedupBucketSpec extends AnyFunSuite {
     assert(cappedPairs.contains((100L, 101L)))
   }
 
+  test("containment pairs surface the quoted-doc case jaccard underrates") {
+    // short = tokens 5..24 of long: every short 3-gram is contained
+    // (containment 1.0) while jaccard is only 18/38 ≈ 0.47
+    val longDoc = (0 until 40).map(i => s"w$i").mkString(" ")
+    val shortDoc = (5 until 25).map(i => s"w$i").mkString(" ")
+    val noise = (0 until 30).map(i => s"z$i").mkString(" ")
+    val docs = spark
+      .createDataFrame(Seq((1L, longDoc), (2L, shortDoc), (3L, noise)))
+      .toDF("doc_id", "text")
+    val got = queries.LlmOps.containmentPairs(docs, maxBucket = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.contains((1L, 2L)), s"pair not surfaced: $got")
+    val (contLong, contShort) = got((1L, 2L))
+    assert(contShort == 1.0, s"contained doc must score 1.0, got $contShort")
+    assert(contLong < 0.5, s"container side stays low, got $contLong")
+    // the same pair's jaccard is under 0.5 — the asymmetric metric is
+    // what surfaces wholesale quotation
+    val j = queries.LlmOps.ngramJaccardPairs(docs, maxBucket = 1000)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .collect().map(_.getDouble(2))
+    assert(j.forall(_ < 0.5), s"jaccard ${j.toSeq}")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // uses the default local warehouse (spark-warehouse/, gitignored);
     // also clear orphan locations from any previously aborted run
