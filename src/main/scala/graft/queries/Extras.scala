@@ -570,6 +570,83 @@ object Extras {
         abs(col("p_base_micro") - col("p_cur_micro")))
   }
 
+  /** Windowed drift report — the batch, fully-ORACLED twin of
+    * [[graft.streaming.Streams.driftMonitor]]: per-DAY total-variation
+    * distance of the post-cut event_type mix vs the first-half-month
+    * baseline distribution, same micro-unit integer arithmetic as
+    * [[driftTvd]]. Buckets the baseline never saw fold into OTHER with
+    * p_base = 0, so new categories register as drift; baseline buckets
+    * absent on a day surface with p_cur = 0 (mass loss registers too).
+    *
+    * Scale shape: two corpus-sized aggregations (baseline counts,
+    * per-(day, bucket) counts), both collapsing map-side to
+    * dimension-sized vectors; every subsequent join (day totals, the
+    * day×bucket grid, the per-day TVD) is over those bounded vectors,
+    * baseline riding broadcast. At 100 TB the count vector would be
+    * materialized once (it is tiny) instead of re-derived per branch.
+    */
+  private def driftWindowTvd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cut = lit("2024-01-16").cast(TimestampType)
+    val b = ev.filter(col("ts") < cut)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val base = b.crossJoin(broadcast(b.agg(sum(col("c")).as("n"))))
+      .select(col("event_type"), expr("c * 1000000 div n").as("p_base"))
+    val e2 = ev.filter(col("ts") >= cut)
+      .join(broadcast(base.select(col("event_type"), lit(1).as("inb"))),
+        Seq("event_type"), "left")
+      .select(to_date(date_trunc("DAY", col("ts"))).as("day"),
+        when(col("inb").isNull, lit("OTHER")).otherwise(col("event_type"))
+          .as("bucket"))
+    val cnt = e2.groupBy(col("day"), col("bucket")).agg(count(lit(1)).as("c"))
+    val nd = cnt.groupBy(col("day")).agg(sum(col("c")).as("n"))
+    val cur = cnt.join(nd, "day")
+      .select(col("day"), col("bucket"), expr("c * 1000000 div n").as("p_cur"))
+    val days = cnt.select(col("day")).distinct()
+    val grid = days
+      .crossJoin(broadcast(base.select(col("event_type").as("bucket"), col("p_base"))))
+      .unionByName(days.select(col("day"), lit("OTHER").as("bucket"),
+        lit(0L).as("p_base")))
+    val rows = grid.join(cur, Seq("day", "bucket"), "left")
+      .select(col("day"), col("bucket"),
+        col("p_base").as("p_base_micro"),
+        coalesce(col("p_cur"), lit(0L)).as("p_cur_micro"))
+      .withColumn("drift_micro", abs(col("p_base_micro") - col("p_cur_micro")))
+    val tvd = rows.groupBy(col("day"))
+      .agg(expr("sum(drift_micro) div 2").as("tvd_micro"))
+    rows.join(tvd, "day")
+  }
+
+  private val driftWindowTvdSql =
+    """WITH b AS (
+      |  SELECT event_type, count(*) AS c FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+      |nb AS (SELECT sum(c) AS n FROM b),
+      |base AS (SELECT event_type, c * 1000000 // n AS p_base FROM b, nb),
+      |e2 AS (
+      |  SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+      |    CASE WHEN base.event_type IS NULL THEN 'OTHER'
+      |         ELSE e.event_type END AS bucket
+      |  FROM events e LEFT JOIN base ON e.event_type = base.event_type
+      |  WHERE e.ts >= TIMESTAMP '2024-01-16'),
+      |cnt AS (SELECT day, bucket, count(*) AS c FROM e2 GROUP BY 1, 2),
+      |nd AS (SELECT day, sum(c) AS n FROM cnt GROUP BY 1),
+      |cur AS (
+      |  SELECT cnt.day, bucket, c * 1000000 // n AS p_cur
+      |  FROM cnt JOIN nd ON cnt.day = nd.day),
+      |days AS (SELECT DISTINCT day FROM cnt),
+      |grid AS (
+      |  SELECT day, event_type AS bucket, p_base FROM days CROSS JOIN base
+      |  UNION ALL SELECT day, 'OTHER', CAST(0 AS BIGINT) FROM days),
+      |rws AS (
+      |  SELECT g.day, g.bucket, g.p_base AS p_base_micro,
+      |    coalesce(cur.p_cur, 0) AS p_cur_micro,
+      |    abs(g.p_base - coalesce(cur.p_cur, 0)) AS drift_micro
+      |  FROM grid g LEFT JOIN cur ON g.day = cur.day AND g.bucket = cur.bucket),
+      |tvd AS (SELECT day, sum(drift_micro) // 2 AS tvd_micro FROM rws GROUP BY 1)
+      |SELECT rws.day, bucket, p_base_micro, p_cur_micro, drift_micro, tvd_micro
+      |FROM rws JOIN tvd ON rws.day = tvd.day""".stripMargin
+
   private val driftTvdSql =
     """WITH b AS (
       |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16'),
@@ -607,6 +684,7 @@ object Extras {
 
   def queries: Map[String, Q] = Map(
     "drift_tvd" -> Q(driftTvd _, driftTvdSql),
+    "drift_window_tvd" -> Q(driftWindowTvd _, driftWindowTvdSql),
     "validate_expectations" -> Q(validateExpectations _, validateExpectationsSql),
     "frame_value_counts" -> Q(frameValueCounts _, frameValueCountsSql),
     "frame_describe" -> Q(frameDescribe _, frameDescribeSql),
