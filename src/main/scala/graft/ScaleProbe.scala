@@ -153,6 +153,35 @@ object ScaleProbe {
         f"""{"probe":"substring_spans","factor":$f,"n_docs":${baseN * f},"out_spans":$outSpans,"secs":$secs%.2f}""")
     }
 
+    // pca axis: replicate the EMBEDDINGS table N× (fresh vec_ids). The
+    // Gram matrix scales by exactly N, so the dominant direction is
+    // mathematically invariant — the probe prints wall time (should be
+    // ~linear: each iteration is one corpus stream + a d-row exchange)
+    // and the max per-dim deviation vs the 1× direction in micro-units
+    // (should stay within integer-truncation noise, NOT grow with N —
+    // the partition/replication-invariance witness for the fixed-point
+    // arithmetic).
+    val embBase = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val pcaRef = new scala.collection.mutable.HashMap[Long, Long]()
+    def probePca(f: Int): Unit = {
+      val big = (0 until f)
+        .map(i => embBase.select(
+          (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val v = operators.Similarity.pcaPowerTopComponent(big, iters = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (f == factors.min) pcaRef ++= v
+      val maxDev =
+        if (pcaRef.isEmpty) 0L
+        else v.map { case (d, x) => math.abs(x - pcaRef.getOrElse(d, x)) }.max
+      println(
+        f"""{"probe":"pca_power","factor":$f,"n_vecs":${embBase.count() * f},"max_dev_micro":$maxDev,"secs":$secs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
@@ -164,6 +193,7 @@ object ScaleProbe {
       probeTfidf(f)
       probeIncremental(f)
       probeSubstring(f, replicated)
+      probePca(f)
 
       // realistic: salt every token per replica so all shingles differ
       // across replicas (replica 0 keeps the original text, so the base
