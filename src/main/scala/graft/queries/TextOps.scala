@@ -310,7 +310,7 @@ object TextOps {
       |                t -> length(t) > 2), ' ') AS filtered_text
       |FROM documents""".stripMargin
 
-  /** KMV (k-minimum-values) distinct-token estimate — the ORACLED member
+  /** KMV (k-minimum-values) distinct-shingle estimate — the ORACLED member
     * of the approx-distinct sketch family. `agg_approx_distinct` (HLL) is
     * rows-only because the engine's register layout is native; KMV over
     * the portable polynomial hash ([[graft.functions.PolyHash31]]) is a
@@ -331,10 +331,15 @@ object TextOps {
     */
   private def sketchKmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val k = 256
+    // universe = word-3-gram shingles, not bare tokens: the synthetic
+    // vocabulary is ~31 words (sub-k, so the estimator branch would
+    // never run), while the shingle space is ~16k — and shingle-space
+    // cardinality is the pipeline-relevant notion of content novelty
     val hashes = graft.Tables
       .documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(graft.functions.PolyHash31
-        .polyhash31(split(col("text"), " ")).getField("pp").as("pp"))
+        .polyhash31(LlmOps.shinglesOfToks(col("toks"))).getField("pp").as("pp"))
       .select(explode(col("pp")).as("h"))
       .distinct()
     val kmin = hashes.orderBy(col("h")).limit(k)
@@ -351,15 +356,20 @@ object TextOps {
   }
 
   private val sketchKmvDistinctSql =
-    """WITH toks AS (
-      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    """WITH grams AS (
+      |  SELECT list_transform(
+      |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |    i -> concat(string_split(text, ' ')[i], '_',
+      |                string_split(text, ' ')[i + 1], '_',
+      |                string_split(text, ' ')[i + 2])) AS g3
+      |  FROM documents),
       |hashes AS (
       |  SELECT DISTINCT list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(range(1, length(tok) + 1),
-      |                     i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+      |      list_transform(range(1, length(g) + 1),
+      |                     i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
       |    (h, c) -> (h * 31 + c) % 1000000007) AS h
-      |  FROM toks),
+      |  FROM (SELECT unnest(g3) AS g FROM grams)),
       |kmin AS (
       |  SELECT max(h) AS kth_min, count(*) AS nk
       |  FROM (SELECT h FROM hashes ORDER BY h LIMIT 256)),
@@ -370,6 +380,116 @@ object TextOps {
       |  END AS est_distinct,
       |  exact_distinct
       |FROM kmin, ex""".stripMargin
+
+  /** KMV corpus-overlap estimate — "how much does the new crawl overlap
+    * what we already have": distinct-shingle overlap between two corpus
+    * halves (source-id parity) by inclusion–exclusion over three KMV
+    * sketches (Beyer et al.): est∩ = estA + estB − est∪, where the union
+    * sketch is the k smallest of the two k-min sets — KMV's closure
+    * under union is exactly why it is THE mergeable distinct sketch.
+    * Deterministic end-to-end (portable poly-hash + bounded
+    * [[graft.agg.TopKAgg]]), so the estimates AND the exact witnesses
+    * are hash-exact vs DuckDB in one report row.
+    *
+    * Scale shape: one codegen hash pass; one distinct over compact
+    * (corpus, h) int64 pairs; a TopKAgg per corpus (O(k) state,
+    * map-side combine — ≤ 2k pairs per map partition cross the
+    * exchange); the exact witnesses are one more compact aggregate on
+    * the same distinct subtree. Union-merge and estimator arithmetic
+    * are array expressions on a 1-row frame.
+    */
+  private def sketchKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val dfh = graft.Tables
+      .documents(s, dir)
+      .select(
+        pmod(substring(col("source"), 4, 8).cast(IntegerType), lit(2)).as("corpus"),
+        split(col("text"), " ").as("toks"))
+      .select(col("corpus"),
+        explode(graft.functions.PolyHash31
+          .polyhash31(LlmOps.shinglesOfToks(col("toks"))).getField("pp")).as("h"))
+      .distinct()
+    val topk = udaf(new graft.agg.TopKAgg(k))
+    val sk = dfh.groupBy(col("corpus"))
+      .agg(topk(col("h"), col("h")).as("arr"))
+      .groupBy()
+      .agg(collect_list(struct(col("corpus"), col("arr"))).as("cs"))
+      .select(
+        expr("transform(filter(cs, x -> x.corpus = 0)[0].arr, p -> p._1)").as("a0"),
+        expr("transform(filter(cs, x -> x.corpus = 1)[0].arr, p -> p._1)").as("a1"))
+    val exact = dfh.groupBy(col("h"))
+      .agg(min(col("corpus")).as("mn"), max(col("corpus")).as("mx"))
+      .agg(
+        sum(when(col("mn") === 0, 1L).otherwise(0L)).as("exact_a"),
+        sum(when(col("mx") === 1, 1L).otherwise(0L)).as("exact_b"),
+        count(lit(1)).as("exact_union"),
+        sum(when(col("mn") === 0 && col("mx") === 1, 1L).otherwise(0L))
+          .as("exact_intersect"))
+    def est(arrCol: String, exactCol: String) =
+      expr(s"""CASE WHEN size($arrCol) < $k THEN $exactCol
+              | ELSE (${k - 1} * CAST(1000000007 AS BIGINT)) div element_at($arrCol, $k)
+              | END""".stripMargin)
+    sk.crossJoin(broadcast(exact))
+      .withColumn("mu",
+        expr(s"slice(array_sort(array_distinct(concat(a0, a1))), 1, $k)"))
+      .select(
+        lit(k.toLong).as("k"),
+        est("a0", "exact_a").as("est_a"),
+        est("a1", "exact_b").as("est_b"),
+        est("mu", "exact_union").as("est_union"),
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        col("exact_intersect"))
+      .withColumn("est_intersect",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+  }
+
+  private val sketchKmvOverlapSql =
+    """WITH grams AS (
+      |  SELECT CAST(substring(source, 4) AS INTEGER) % 2 AS corpus,
+      |    list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |      i -> concat(string_split(text, ' ')[i], '_',
+      |                  string_split(text, ' ')[i + 1], '_',
+      |                  string_split(text, ' ')[i + 2])) AS g3
+      |  FROM documents),
+      |dfh AS (
+      |  SELECT DISTINCT corpus,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(g) + 1),
+      |                     i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 1000000007) AS h
+      |  FROM (SELECT corpus, unnest(g3) AS g FROM grams)),
+      |a0 AS (SELECT h FROM dfh WHERE corpus = 0 ORDER BY h LIMIT 256),
+      |a1 AS (SELECT h FROM dfh WHERE corpus = 1 ORDER BY h LIMIT 256),
+      |mu AS (
+      |  SELECT h FROM (SELECT h FROM a0 UNION SELECT h FROM a1)
+      |  ORDER BY h LIMIT 256),
+      |ka AS (SELECT count(*) AS n, max(h) AS kth FROM a0),
+      |kb AS (SELECT count(*) AS n, max(h) AS kth FROM a1),
+      |ku AS (SELECT count(*) AS n, max(h) AS kth FROM mu),
+      |ex AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN mn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+      |    CAST(sum(CASE WHEN mx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_b,
+      |    count(*) AS exact_union,
+      |    CAST(sum(CASE WHEN mn = 0 AND mx = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS exact_intersect
+      |  FROM (SELECT h, min(corpus) AS mn, max(corpus) AS mx
+      |        FROM dfh GROUP BY h)),
+      |est AS (
+      |  SELECT CAST(256 AS BIGINT) AS k,
+      |    CASE WHEN ka.n < 256 THEN ex.exact_a
+      |         ELSE (255 * CAST(1000000007 AS BIGINT)) // ka.kth END AS est_a,
+      |    CASE WHEN kb.n < 256 THEN ex.exact_b
+      |         ELSE (255 * CAST(1000000007 AS BIGINT)) // kb.kth END AS est_b,
+      |    CASE WHEN ku.n < 256 THEN ex.exact_union
+      |         ELSE (255 * CAST(1000000007 AS BIGINT)) // ku.kth END AS est_union,
+      |    ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_intersect
+      |  FROM ka, kb, ku, ex)
+      |SELECT k, est_a, est_b, est_union, exact_a, exact_b, exact_union,
+      |  exact_intersect,
+      |  greatest(CAST(0 AS BIGINT), est_a + est_b - est_union) AS est_intersect
+      |FROM est""".stripMargin
 
   /** Corpus heavy hitters: top-50 most frequent tokens — the vocabulary/
     * stopword-discovery staple of a training-data pipeline. Exact
@@ -702,6 +822,7 @@ object TextOps {
     "text_top_tokens" -> Q(topTokens _, topTokensSql),
     "text_heavy_hitters" -> Q(heavyHitters _, heavyHittersSql),
     "sketch_kmv_distinct" -> Q(sketchKmvDistinct _, sketchKmvDistinctSql),
+    "sketch_kmv_overlap" -> Q(sketchKmvOverlap _, sketchKmvOverlapSql),
     "text_char_ngrams" -> Q(charNgrams _, charNgramsSql),
     "text_word_ngrams" -> Q(wordNgrams _, wordNgramsSql),
     "text_fingerprint" -> Q(fingerprint _, fingerprintSql),

@@ -348,6 +348,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv overlap: inclusion-exclusion estimate tracks the exact overlap") {
+    val r = SparkEntry.queries("sketch_kmv_overlap")(spark, sf).head()
+    val estI = r.getAs[Long]("est_intersect")
+    val exI = r.getAs[Long]("exact_intersect")
+    val exU = r.getAs[Long]("exact_union")
+    assert(exU > 256L, "estimator branch must exercise (union >> k)")
+    assert(exI > 0L)
+    // three compounding sketches: allow ~4x the single-sketch sigma,
+    // relative to the union size (the natural scale of the estimator)
+    val rel = math.abs(estI - exI).toDouble / exU
+    assert(rel <= 0.25, s"overlap rel err $rel (est=$estI exact=$exI union=$exU)")
+  }
+
   test("pca power iteration: fixed-point direction matches the double mirror") {
     val emb = Tables.embeddings(spark, sf)
     val res = Similarity.pcaPowerTopComponent(emb, iters = 5)
