@@ -310,6 +310,38 @@ object TextOps {
       |                t -> length(t) > 2), ' ') AS filtered_text
       |FROM documents""".stripMargin
 
+  /** Simpson/Herfindahl token concentration λ = Σc²/n² per document —
+    * the distribution-level repetition signal next to the Gopher-style
+    * top-fraction rules (`text_repetition`): a doc whose mass
+    * concentrates on few tokens scores high even when no single n-gram
+    * dominates. Micro-unit integer arithmetic ((Σc²·10⁶) div n² — n ≤
+    * a few hundred tokens, so Σc²·10⁶ ≤ ~10¹¹, long-safe), bit-exact
+    * across engines. Scale shape: two hash aggregations ((doc, token)
+    * counts → per-doc moments), both map-side-combining; no windows,
+    * no arrays riding an exchange.
+    */
+  private def textSimpson(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("c")).as("s2"), sum(col("c")).as("n"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr("(s2 * 1000000) div (n * n)").as("simpson_micro"))
+
+  private val textSimpsonSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      |a AS (
+      |  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS s2,
+      |         CAST(sum(c) AS BIGINT) AS n
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id, n AS n_tokens, (s2 * 1000000) // (n * n) AS simpson_micro
+      |FROM a""".stripMargin
+
   /** KMV (k-minimum-values) distinct-shingle estimate — the ORACLED member
     * of the approx-distinct sketch family. `agg_approx_distinct` (HLL) is
     * rows-only because the engine's register layout is native; KMV over
@@ -817,6 +849,7 @@ object TextOps {
     "text_lm_score" -> Q(textLmScore _, textLmScoreSql),
     "text_df_prune" -> Q(dfPrune _, dfPruneSql),
     "text_repetition" -> Q(textRepetition _, textRepetitionSql),
+    "text_simpson" -> Q(textSimpson _, textSimpsonSql),
     "text_pii_redact" -> Q(piiRedact _, piiRedactSql),
     "text_token_count" -> Q(tokenCount _, tokenCountSql),
     "text_top_tokens" -> Q(topTokens _, topTokensSql),
