@@ -163,6 +163,42 @@ object CustomExprs {
        |    AS head_pieces
        |FROM documents LEFT JOIN flat USING (doc_id)""".stripMargin
 
+  /** Per-language tokenizer FERTILITY — wordpiece pieces per whitespace
+    * word, the diagnostic that drives tokenizer-vs-language budget
+    * decisions (a language with fertility 2× pays 2× the sequence
+    * length for the same text; the standard multilingual-tokenizer
+    * audit number). Rides the ORACLED wordpiece machinery: the DuckDB
+    * twin wraps the full recursive wordpiece query as a subquery and
+    * aggregates the identical piece counts, so the report is hash-exact.
+    * Fixed-point ratio ((Σpieces·10⁶) div Σwords) per lang — 5 rows.
+    * Scale shape: tokenize is the map-side broadcast-vocab pass, the
+    * lang join is on compact (doc_id, lang, nw), and the aggregate is
+    * 5 groups with map-side combine.
+    */
+  private def textFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = graft.functions.Wordpiece.vocabFor(s, dir, docs, minFreq = 50)
+    graft.functions.Wordpiece
+      .tokenize(s, docs, vocab)
+      .select(col("doc_id"), size(col("pieces")).cast("long").as("np"))
+      .join(docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nw")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(sum(col("np")).as("pieces"), sum(col("nw")).as("words"))
+      .select(col("lang"), col("pieces"), col("words"),
+        expr("(pieces * 1000000) div words").as("fertility_micro"))
+  }
+
+  private lazy val textFertilitySql =
+    s"""SELECT d.lang,
+       |  CAST(sum(wp.n_pieces) AS BIGINT) AS pieces,
+       |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS words,
+       |  (CAST(sum(wp.n_pieces) AS BIGINT) * 1000000)
+       |    // CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+       |    AS fertility_micro
+       |FROM ($wordpieceSql) wp JOIN documents d USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
+
   /** merge-ranks BPE (byte_pair_encoding.hpp:129): corpus-learned merge
     * table (driver-side classic BPE training over the bounded
     * frequent-word stats), broadcast ranks, map-side iterative
@@ -270,6 +306,7 @@ object CustomExprs {
     "agg_ewma" -> Q(ewmaPerUser _, ewmaPerUserSql),
     "win_ewma_stream" -> Q(winEwmaStream _, winEwmaStreamSql),
     "text_wordpiece" -> Q(wordpieceTokens _, wordpieceSql),
+    "text_fertility" -> Q(textFertility _, textFertilitySql),
     "text_bpe" -> Q(bpeTokens _, None),
     "text_bpe_portable" -> Q(bpePortable _, bpePortableSql),
     "agg_percentile_approx" -> Q(percentileApprox _, None)

@@ -814,11 +814,17 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_bigrams"),
         sum(col("rare")).as("rare_bigrams"),
-        Agg.dsum(col("lp"), 6).as("sum_logp"))
+        Agg.dsum(col("lp"), 6).as("sum_logp"),
+        sum(floor(col("lp") * lit(1e6)).cast(LongType)).as("slpm"))
       .select(
         col("doc_id"), col("n_bigrams"), col("rare_bigrams"),
         col("sum_logp"),
-        round(col("sum_logp") / col("n_bigrams"), 6).as("avg_logp"))
+        // integer micro-units carried as longs end-to-end, NOT
+        // round(sum/n, 6): the double quotient's round() flipped the
+        // last digit between Spark and DuckDB at sf0.1
+        // (representation-boundary ties round differently per engine);
+        // the long floor-division is bit-exact by construction
+        expr("slpm div n_bigrams").as("avg_logp_micro"))
   }
 
   private val textLmScoreSql = {
@@ -841,7 +847,7 @@ object TextOps {
        |SELECT doc_id, count(*) AS n_bigrams,
        |  CAST(sum(rare) AS BIGINT) AS rare_bigrams,
        |  ${Agg.dsumSql("lp", 6)} AS sum_logp,
-       |  round(${Agg.dsumSql("lp", 6)} / count(*), 6) AS avg_logp
+       |  sum(CAST(floor(lp * 1e6) AS BIGINT)) // count(*) AS avg_logp_micro
        |FROM p GROUP BY doc_id""".stripMargin
   }
 

@@ -272,10 +272,9 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() == docs.filter(col("n_tok") >= 2).count())
     assert(joined.filter(col("n_bigrams") =!= col("n_tok") - 1).isEmpty)
     // add-one smoothing: every bigram prob is in (0,1) strictly, so the
-    // average log-prob is strictly negative and finite
-    val r = res.agg(max(col("avg_logp")), min(col("avg_logp"))).head()
-    assert(r.getDouble(0) < 0.0, s"max avg_logp ${r.getDouble(0)} not < 0")
-    assert(!r.getDouble(1).isInfinite && !r.getDouble(1).isNaN)
+    // average log-prob is strictly negative (micro-units, integer-exact)
+    val r = res.agg(max(col("avg_logp_micro")), min(col("avg_logp_micro"))).head()
+    assert(r.getLong(0) < 0L, s"max avg_logp_micro ${r.getLong(0)} not < 0")
     // rare bigrams are a subset of all bigrams
     assert(res.filter(col("rare_bigrams") > col("n_bigrams")).isEmpty)
     // independent recount: total rare (count-1) bigram OCCURRENCES equals
