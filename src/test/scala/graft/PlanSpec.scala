@@ -128,6 +128,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pca power iteration: linear lineage, bounded exchanges, no cartesian") {
+    val p = plan("emb_pca_power")
+    assert(!p.contains("CartesianProduct"), "pca went cartesian")
+    // 5 iterations = 5 d-group hash aggregations; the linear-lineage
+    // rebuild keeps the corpus-scan count at iters + 1, so the plan must
+    // not balloon into the 2^iters shape (≈32+ scans) the first cut had
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans <= 8, s"pca plan re-scans the corpus $scans times")
+  }
+
+  test("kmv sketches: k-smallest is TakeOrdered, distinct ships longs") {
+    val p = plan("sketch_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k-smallest must short-circuit, not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("corpus_shard_shuffle shuffles exactly once, on the shard key") {
     val p = plan("corpus_shard_shuffle")
     // one hashpartitioning Exchange feeding the rank window — the hash
