@@ -310,6 +310,78 @@ object TextOps {
       |                t -> length(t) > 2), ' ') AS filtered_text
       |FROM documents""".stripMargin
 
+  /** Corpus card — the per-source dataset-documentation report every
+    * released training corpus ships (docs, token volume, length
+    * distribution, language spread, quality mass): ONE scan, one
+    * 20-group aggregate, every stat either integer or fixed-point so
+    * the card is bit-exact across engines. Adding a stat costs a
+    * column, not a scan (the `validate_expectations` pattern).
+    * quality_mean_micro reuses `text_quality_score`'s formula, floored
+    * per doc before the group mean so the aggregate stays
+    * order-independent.
+    */
+  private def corpusCard(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    Tables
+      .documents(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        toks(col("text")).as("tk"))
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(col("tk")).cast("long").as("nt"),
+        expr(s"size(filter(tk, t -> t IN (${stop.map("'" + _ + "'").mkString(",")})))")
+          .cast("long").as("nstop"),
+        expr("size(filter(tk, t -> length(t) <= 2))").cast("long").as("nshort"))
+      .withColumn("q_micro",
+        floor((col("nstop").cast(DoubleType) / col("nt") * 0.5 +
+          (lit(1d) - col("nshort").cast(DoubleType) / col("nt")) * 0.5) *
+          lit(1e6)).cast(LongType))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("nt")).as("tokens"),
+        sum(col("n_chars")).as("chars"),
+        min(col("nt")).as("min_tokens"),
+        max(col("nt")).as("max_tokens"),
+        countDistinct(col("lang")).as("langs"),
+        sum(when(col("nt") < 30, 1L).otherwise(0L)).as("short_docs"),
+        sum(col("q_micro")).as("q_sum_micro"))
+      .select(col("source"), col("docs"), col("tokens"), col("chars"),
+        col("min_tokens"), col("max_tokens"), col("langs"), col("short_docs"),
+        expr("q_sum_micro div docs").as("quality_mean_micro"),
+        expr("(tokens * 1000000) div chars").as("tokens_per_kchar_micro"))
+  }
+
+  private val corpusCardSql = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+      .map("'" + _ + "'").mkString(",")
+    s"""WITH d AS (
+       |  SELECT source, lang, n_chars,
+       |    CAST(len(tk) AS BIGINT) AS nt,
+       |    CAST(len(list_filter(tk, t -> t IN ($stop))) AS BIGINT) AS nstop,
+       |    CAST(len(list_filter(tk, t -> length(t) <= 2)) AS BIGINT) AS nshort
+       |  FROM (SELECT source, lang, n_chars, string_split(text, ' ') AS tk
+       |        FROM documents)),
+       |q AS (
+       |  SELECT *,
+       |    CAST(floor((CAST(nstop AS DOUBLE) / nt * 0.5 +
+       |      (1.0 - CAST(nshort AS DOUBLE) / nt) * 0.5) * 1e6) AS BIGINT)
+       |      AS q_micro
+       |  FROM d)
+       |SELECT source,
+       |  count(*) AS docs,
+       |  CAST(sum(nt) AS BIGINT) AS tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars,
+       |  min(nt) AS min_tokens,
+       |  max(nt) AS max_tokens,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+       |  CAST(sum(CASE WHEN nt < 30 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS short_docs,
+       |  CAST(sum(q_micro) AS BIGINT) // count(*) AS quality_mean_micro,
+       |  (CAST(sum(nt) AS BIGINT) * 1000000) // CAST(sum(n_chars) AS BIGINT)
+       |    AS tokens_per_kchar_micro
+       |FROM q GROUP BY source""".stripMargin
+  }
+
   /** Simpson/Herfindahl token concentration λ = Σc²/n² per document —
     * the distribution-level repetition signal next to the Gopher-style
     * top-fraction rules (`text_repetition`): a doc whose mass
@@ -856,6 +928,7 @@ object TextOps {
     "text_df_prune" -> Q(dfPrune _, dfPruneSql),
     "text_repetition" -> Q(textRepetition _, textRepetitionSql),
     "text_simpson" -> Q(textSimpson _, textSimpsonSql),
+    "corpus_card" -> Q(corpusCard _, corpusCardSql),
     "text_pii_redact" -> Q(piiRedact _, piiRedactSql),
     "text_token_count" -> Q(tokenCount _, tokenCountSql),
     "text_top_tokens" -> Q(topTokens _, topTokensSql),
