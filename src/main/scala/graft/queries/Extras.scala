@@ -268,6 +268,64 @@ object Extras {
       |        count(*) AS n
       |      FROM supplier GROUP BY s_nationkey)""".stripMargin
 
+  /** MAD-based robust outlier report — the deequ/great-expectations
+    * anomaly gate done right for skewed data: per o_orderpriority group,
+    * median and median-absolute-deviation of o_totalprice (the skewed
+    * sum-of-items column), and the count of rows beyond 2·MAD (~1.2%
+    * of this corpus — the threshold constant is the gate's tunable;
+    * the classic 3·1.4826·MAD ≈ 3σ-equivalent flags nothing on these
+    * tails). Mean/stddev outlier rules break on heavy tails; the
+    * median/MAD pair is the standard robust alternative. Exact interpolated percentiles (the
+    * `filter_quality_quantile` precedent — swap `approx_percentile` at
+    * 100 TB with the identical plan shape); the outlier COMPARISON runs
+    * on floored 1e4 fixed-point values, so the two engines' algebraic-
+    * but-not-IEEE-identical interpolation formulas cannot flip a
+    * boundary row. Three passes, each aggregate 3 groups, med/mad ride
+    * broadcast joins back onto the scan.
+    */
+  private def outlierMad(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"))
+    val med = li.groupBy(col("grp"))
+      .agg(expr("percentile(x, 0.5D)").as("med"))
+    val wAd = li.join(broadcast(med), "grp")
+      .withColumn("ad", abs(col("x") - col("med")))
+    val mad = wAd.groupBy(col("grp"))
+      .agg(expr("percentile(ad, 0.5D)").as("mad"))
+    wAd.join(broadcast(mad), "grp")
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(floor(col("ad") * 1e4) > floor(col("mad") * 2 * 1e4), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(first(col("med")), 6).as("med_6dp"),
+        round(first(col("mad")), 6).as("mad_6dp"))
+      .select(col("grp"), col("n"), col("n_outliers"),
+        col("med_6dp"), col("mad_6dp"),
+        expr("(n_outliers * 1000000) div n").as("outlier_ppm"))
+  }
+
+  private val outlierMadSql =
+    """WITH li AS (
+      |  SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders),
+      |med AS (
+      |  SELECT grp, quantile_cont(x, 0.5) AS med FROM li GROUP BY grp),
+      |w AS (
+      |  SELECT li.grp, x, abs(x - med) AS ad, med
+      |  FROM li JOIN med ON li.grp = med.grp),
+      |mad AS (
+      |  SELECT grp, quantile_cont(ad, 0.5) AS mad FROM w GROUP BY grp)
+      |SELECT w.grp, count(*) AS n,
+      |  CAST(sum(CASE WHEN floor(ad * 1e4) > floor(mad * 2 * 1e4)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(first(med), 6) AS med_6dp,
+      |  round(first(mad), 6) AS mad_6dp,
+      |  (CAST(sum(CASE WHEN floor(ad * 1e4) > floor(mad * 2 * 1e4)
+      |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*)
+      |    AS outlier_ppm
+      |FROM w JOIN mad ON w.grp = mad.grp
+      |GROUP BY w.grp""".stripMargin
+
   /** isin (search.hpp:163 contains / pandas isin). */
   private def filterIsin(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -685,6 +743,7 @@ object Extras {
   def queries: Map[String, Q] = Map(
     "drift_tvd" -> Q(driftTvd _, driftTvdSql),
     "drift_window_tvd" -> Q(driftWindowTvd _, driftWindowTvdSql),
+    "outlier_mad" -> Q(outlierMad _, outlierMadSql),
     "validate_expectations" -> Q(validateExpectations _, validateExpectationsSql),
     "frame_value_counts" -> Q(frameValueCounts _, frameValueCountsSql),
     "frame_describe" -> Q(frameDescribe _, frameDescribeSql),
