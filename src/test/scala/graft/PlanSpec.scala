@@ -138,11 +138,19 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 8, s"pca plan re-scans the corpus $scans times")
   }
 
-  test("kmv sketches: k-smallest is TakeOrdered, distinct ships longs") {
+  test("kmv sketch: one corpus pass, bounded TopKAgg, no global sort") {
     val p = plan("sketch_kmv_distinct")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"k-smallest must short-circuit, not global-sort:\n$p")
     assert(!p.contains("CartesianProduct"))
+    // the k-min sketch and the exact count ride ONE aggregate over the
+    // distinct hashes (ObjectHashAggregate carries the TopKAgg buffer);
+    // a Sort node would mean the k-smallest regressed to a global sort
+    assert(p.contains("ObjectHashAggregate"),
+      s"TopKAgg aggregate missing:\n$p")
+    assert(!p.linesIterator.exists(_.matches("""\(\d+\) Sort.*""")),
+      s"kmv plan must not global-sort:\n$p")
+    // exactly one scan: the count witness must not re-run the hash pass
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"kmv re-scans the corpus $scans times")
   }
 
   test("corpus_shard_shuffle shuffles exactly once, on the shard key") {
