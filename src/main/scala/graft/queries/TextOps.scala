@@ -514,14 +514,22 @@ object TextOps {
     */
   private def sketchKmvOverlap(s: SparkSession, dir: String): DataFrame = {
     val k = 256
+    // same arithmetic shingle-hash combine as sketch_kmv_distinct (see
+    // there): per-token poly-hashes folded numerically, no 3-gram
+    // string materialization
     val dfh = graft.Tables
       .documents(s, dir)
       .select(
         pmod(substring(col("source"), 4, 8).cast(IntegerType), lit(2)).as("corpus"),
         split(col("text"), " ").as("toks"))
+      .select(col("corpus"), graft.functions.PolyHash31
+        .polyhash31(col("toks")).getField("pp").as("tp"))
       .select(col("corpus"),
-        explode(graft.functions.PolyHash31
-          .polyhash31(LlmOps.shinglesOfToks(col("toks"))).getField("pp")).as("h"))
+        explode(when(size(col("tp")) < 3, expr("CAST(array() AS ARRAY<BIGINT>)"))
+          .otherwise(expr(
+            """transform(sequence(1, size(tp) - 2),
+              |  i -> ((tp[i - 1] * 1000003 + tp[i]) % 1000000007 * 1000003
+              |        + tp[i + 1]) % 1000000007)""".stripMargin))).as("h"))
       .distinct()
     val topk = udaf(new graft.agg.TopKAgg(k))
     val sk = dfh.groupBy(col("corpus"))
@@ -558,21 +566,19 @@ object TextOps {
   }
 
   private val sketchKmvOverlapSql =
-    """WITH grams AS (
+    """WITH tp AS (
       |  SELECT CAST(substring(source, 4) AS INTEGER) % 2 AS corpus,
-      |    list_transform(
-      |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-      |      i -> concat(string_split(text, ' ')[i], '_',
-      |                  string_split(text, ' ')[i + 1], '_',
-      |                  string_split(text, ' ')[i + 2])) AS g3
+      |    list_transform(string_split(text, ' '), t ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(t) + 1),
+      |                       i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+      |        (h, c) -> (h * 31 + c) % 1000000007)) AS tp
       |  FROM documents),
       |dfh AS (
       |  SELECT DISTINCT corpus,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(range(1, length(g) + 1),
-      |                     i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
-      |      (h, c) -> (h * 31 + c) % 1000000007) AS h
-      |  FROM (SELECT corpus, unnest(g3) AS g FROM grams)),
+      |    ((tp[i] * 1000003 + tp[i + 1]) % 1000000007 * 1000003
+      |     + tp[i + 2]) % 1000000007 AS h
+      |  FROM tp, unnest(range(1, greatest(len(tp) - 2, 0) + 1)) AS u(i)),
       |a0 AS (SELECT h FROM dfh WHERE corpus = 0 ORDER BY h LIMIT 256),
       |a1 AS (SELECT h FROM dfh WHERE corpus = 1 ORDER BY h LIMIT 256),
       |mu AS (
