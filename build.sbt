@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (machine has 128 GiB): the r9 driver bench peaked at
+  // 5.4 GB live heap with 15 s cumulative GC at 8g — the iterative
+  // queries (pagerank, CC split) were paying neighbor GC tax. Headroom
+  // keeps per-group GC deltas flat so bench numbers measure the query,
+  // not the collector.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

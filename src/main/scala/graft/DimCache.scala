@@ -35,8 +35,14 @@ object DimCache {
     * IllegalStateException("Recursive update").
     */
   def cached[T <: AnyRef](key: String)(compute: => T): T =
-    cache.computeIfAbsent(key, _ => new Memo(() => compute))
-      .asInstanceOf[Memo].value.asInstanceOf[T]
+    cache.computeIfAbsent(key, _ => new Memo(() => {
+      // Build evidence on stderr: exactly one line per key per JVM. In a
+      // bench run this is the reuse proof — the line appears during the
+      // pre-pass and NEVER inside a measured group; a second line for the
+      // same key would mean the write-once contract broke.
+      System.err.println(s"[dimcache] computing $key")
+      compute
+    })).asInstanceOf[Memo].value.asInstanceOf[T]
 
   /** Test hook: drop all cached entries. */
   def clear(): Unit = cache.clear()

@@ -343,8 +343,28 @@ object Similarity {
     val xq = emb.select(
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000D) AS BIGINT))")
         .as("xq"))
-    var v: DataFrame = xq.agg(
-      expr("transform(sequence(1, min(size(xq))), i -> CAST(1000000 AS BIGINT))").as("v"))
+    // Envelope guard in the SAME one-row scan that used to only read the
+    // dimensionality for the start vector (no extra corpus pass): past
+    // the documented long-safe bound the engines would diverge SILENTLY
+    // (Spark long adds wrap, DuckDB's sum widens to HUGEINT), so
+    // exceeding it must fail loudly, not return a plausible direction.
+    // Bounds from the doc comment with mx = max|xq| and |v| ≤ 2·10⁶:
+    // |dot| ≤ d·mx·2·10⁶ and |u| ≤ n·d·mx²/5 — both must stay < 2⁶³.
+    val st = xq.agg(
+      min(size(col("xq"))).as("d"),
+      count(lit(1)).as("n"),
+      greatest(max(expr(
+        "aggregate(xq, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x)))")),
+        lit(1L)).as("mx")).head()
+    require(st.getLong(1) > 0, "pcaPowerTopComponent: empty embedding input")
+    val (d0, n0, mx) = (st.getInt(0), st.getLong(1), st.getLong(2))
+    val lmax = BigInt(Long.MaxValue)
+    require(BigInt(d0) * mx * 2000000 < lmax && BigInt(n0) * d0 * mx * mx / 5 < lmax,
+      s"pcaPowerTopComponent: rows=$n0 dims=$d0 max|xq|=$mx exceeds the " +
+        "long-safe fixed-point envelope (|u| bound n*d*mx^2/5 or |dot| " +
+        "bound d*mx*2e6 would overflow 2^63) — widen the ds down-shift")
+    var v: DataFrame = emb.sparkSession.range(1).select(
+      expr(s"transform(sequence(1, $d0), i -> CAST(1000000 AS BIGINT))").as("v"))
     for (_ <- 1 to iters) {
       val ds = xq.crossJoin(broadcast(v)).select(
         col("xq"),

@@ -275,31 +275,36 @@ object Extras {
     * of this corpus — the threshold constant is the gate's tunable;
     * the classic 3·1.4826·MAD ≈ 3σ-equivalent flags nothing on these
     * tails). Mean/stddev outlier rules break on heavy tails; the
-    * median/MAD pair is the standard robust alternative. Exact interpolated percentiles (the
-    * `filter_quality_quantile` precedent — swap `approx_percentile` at
-    * 100 TB with the identical plan shape); the outlier COMPARISON runs
-    * on floored 1e4 fixed-point values, so the two engines' algebraic-
-    * but-not-IEEE-identical interpolation formulas cannot flip a
-    * boundary row. Three passes, each aggregate 3 groups, med/mad ride
-    * broadcast joins back onto the scan.
+    * median/MAD pair is the standard robust alternative. The whole
+    * med/MAD/comparison chain runs on EXACT integer cents: prices are
+    * half-up-quantized to cents once (the same IEEE `floor(x*100+0.5)`
+    * expression in both engines), medians are taken over DOUBLED units
+    * so the 0.5-interpolated midpoint of two longs is itself an integer
+    * (exactly representable — cast back to long is lossless), and the
+    * outlier test `ad > 2·MAD` becomes the pure long comparison
+    * `ad2 > mad4` (ad2 = 2·ad_cents, mad4 = 4·MAD_cents). No float ever
+    * enters a comparison, so a 1-ulp engine difference in percentile
+    * interpolation cannot flip a boundary row at any SF. Three passes,
+    * each aggregate 3 groups, med/mad ride broadcast joins back onto
+    * the scan.
     */
   private def outlierMad(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.orders(s, dir)
-      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"))
+      .select(col("o_orderpriority").as("grp"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("xc"))
     val med = li.groupBy(col("grp"))
-      .agg(expr("percentile(x, 0.5D)").as("med"))
+      .agg(expr("CAST(percentile(xc * 2, 0.5D) AS BIGINT)").as("med2"))
     val wAd = li.join(broadcast(med), "grp")
-      .withColumn("ad", abs(col("x") - col("med")))
+      .withColumn("ad2", abs(col("xc") * 2 - col("med2")))
     val mad = wAd.groupBy(col("grp"))
-      .agg(expr("percentile(ad, 0.5D)").as("mad"))
+      .agg(expr("CAST(percentile(ad2 * 2, 0.5D) AS BIGINT)").as("mad4"))
     wAd.join(broadcast(mad), "grp")
       .groupBy(col("grp"))
       .agg(
         count(lit(1)).as("n"),
-        sum(when(floor(col("ad") * 1e4) > floor(col("mad") * 2 * 1e4), 1L)
-          .otherwise(0L)).as("n_outliers"),
-        round(first(col("med")), 6).as("med_6dp"),
-        round(first(col("mad")), 6).as("mad_6dp"))
+        sum(when(col("ad2") > col("mad4"), 1L).otherwise(0L)).as("n_outliers"),
+        round(first(col("med2")) / 200.0, 6).as("med_6dp"),
+        round(first(col("mad4")) / 400.0, 6).as("mad_6dp"))
       .select(col("grp"), col("n"), col("n_outliers"),
         col("med_6dp"), col("mad_6dp"),
         expr("(n_outliers * 1000000) div n").as("outlier_ppm"))
@@ -307,22 +312,24 @@ object Extras {
 
   private val outlierMadSql =
     """WITH li AS (
-      |  SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders),
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS xc FROM orders),
       |med AS (
-      |  SELECT grp, quantile_cont(x, 0.5) AS med FROM li GROUP BY grp),
+      |  SELECT grp, CAST(quantile_cont(xc * 2, 0.5) AS BIGINT) AS med2
+      |  FROM li GROUP BY grp),
       |w AS (
-      |  SELECT li.grp, x, abs(x - med) AS ad, med
+      |  SELECT li.grp, xc, abs(xc * 2 - med2) AS ad2, med2
       |  FROM li JOIN med ON li.grp = med.grp),
       |mad AS (
-      |  SELECT grp, quantile_cont(ad, 0.5) AS mad FROM w GROUP BY grp)
+      |  SELECT grp, CAST(quantile_cont(ad2 * 2, 0.5) AS BIGINT) AS mad4
+      |  FROM w GROUP BY grp)
       |SELECT w.grp, count(*) AS n,
-      |  CAST(sum(CASE WHEN floor(ad * 1e4) > floor(mad * 2 * 1e4)
-      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-      |  round(first(med), 6) AS med_6dp,
-      |  round(first(mad), 6) AS mad_6dp,
-      |  (CAST(sum(CASE WHEN floor(ad * 1e4) > floor(mad * 2 * 1e4)
-      |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*)
-      |    AS outlier_ppm
+      |  CAST(sum(CASE WHEN ad2 > mad4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  round(first(med2) / 200.0, 6) AS med_6dp,
+      |  round(first(mad4) / 400.0, 6) AS mad_6dp,
+      |  (CAST(sum(CASE WHEN ad2 > mad4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000) // count(*) AS outlier_ppm
       |FROM w JOIN mad ON w.grp = mad.grp
       |GROUP BY w.grp""".stripMargin
 

@@ -56,13 +56,27 @@ object GraphOps {
       .agg(count(lit(1)).as("w"))
     val edges = half.unionByName(
       half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    // Materialize the weighted edge list ONCE and truncate its lineage:
+    // without this every iteration's join re-resolves (and on any
+    // recompute re-executes) the whole orders⋈lineitem build, the
+    // unrolled 5-iteration plan grows superlinearly in analysis cost,
+    // and the bench pays it per rep (r9: 4.3 s / 5.4 GB heap on the
+    // driver). localCheckpoint is the same lineage-cut Dedup's
+    // label-propagation loop uses; at cluster scale this is the
+    // hash-partitioned edge RDD every Pregel round reuses.
     val ew = edges.join(
       edges.groupBy(col("src")).agg(sum(col("w")).as("ow")), "src")
-    var rank = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var rank = ew.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
+      // shuffle-hash, not sort-merge: the rank side is node-cardinality
+      // (bounded, far smaller than the edge list) but mid-plan stats are
+      // unknown so Catalyst would default to SMJ and pay a full edge-list
+      // sort per iteration; hash-building on the rank partition streams
+      // the edges unsorted — the Pregel message-join shape.
       rank = ew
-        .join(rank, col("src") === col("node"))
+        .join(rank.hint("shuffle_hash"), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("(r * w) div ow")).as("contrib"))
         .select(col("dst").as("node"),

@@ -520,7 +520,15 @@ object TextOps {
     val dfh = graft.Tables
       .documents(s, dir)
       .select(
-        pmod(substring(col("source"), 4, 8).cast(IntegerType), lit(2)).as("corpus"),
+        // corpus parity from the portable poly-hash of the FULL source
+        // string (same fold both engines compute), not a positional
+        // substring cast: the 'srcN' format assumption had asymmetric
+        // failure modes on format drift (Spark's cast NULLs and silently
+        // drops rows, DuckDB's throws) — a hash-of-whatever-string is
+        // format-agnostic and fails identically or not at all.
+        pmod(element_at(graft.functions.PolyHash31
+          .polyhash31(array(col("source"))).getField("pp"), 1), lit(2))
+          .as("corpus"),
         split(col("text"), " ").as("toks"))
       .select(col("corpus"), graft.functions.PolyHash31
         .polyhash31(col("toks")).getField("pp").as("tp"))
@@ -567,7 +575,10 @@ object TextOps {
 
   private val sketchKmvOverlapSql =
     """WITH tp AS (
-      |  SELECT CAST(substring(source, 4) AS INTEGER) % 2 AS corpus,
+      |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(source) + 1),
+      |        i -> CAST(ascii(substring(source, i, 1)) AS BIGINT))),
+      |      (h, c) -> (h * 31 + c) % 1000000007) % 2 AS corpus,
       |    list_transform(string_split(text, ' '), t ->
       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
       |        list_transform(range(1, length(t) + 1),
