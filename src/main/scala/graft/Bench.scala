@@ -79,7 +79,14 @@ object Bench {
     // of the iterative family) and the KMV distinct sketch (the
     // oracled approx-distinct: distinct int64 shuffle + bounded
     // TakeOrdered k-smallest)
-    "emb_pca_power", "sketch_kmv_distinct")
+    "emb_pca_power", "sketch_kmv_distinct",
+    // round-10: the curation additions — CMS (fixed 4096-cell sketch
+    // state, the wide-domain frequency path), DSIR importance weights
+    // (1024-row broadcast model + one linear scoring pass), temperature
+    // mixture report (one lang-collapsed aggregate), and CDC chunk
+    // dedup (one window exchange + one ordered-fold aggregate)
+    "sketch_cms_topk", "dsir_importance", "mix_temperature",
+    "chunk_cdc_dedup")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime
