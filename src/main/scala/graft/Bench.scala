@@ -86,7 +86,12 @@ object Bench {
     // mixture report (one lang-collapsed aggregate), and CDC chunk
     // dedup (one window exchange + one ordered-fold aggregate)
     "sketch_cms_topk", "dsir_importance", "mix_temperature",
-    "chunk_cdc_dedup")
+    "chunk_cdc_dedup",
+    // round-10: the seven NDS-H ports not yet in the headline — full
+    // 22-query NDS-H bench coverage so a regression in any port is
+    // driver-visible, not just gate-correct
+    "ndsh_q7", "ndsh_q8", "ndsh_q13", "ndsh_q15", "ndsh_q17",
+    "ndsh_q19", "ndsh_q22")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime

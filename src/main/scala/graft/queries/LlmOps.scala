@@ -1707,6 +1707,47 @@ object LlmOps {
       |    ELSE 'test' END AS split
       |FROM s""".stripMargin
 
+  /** Near-dup component-size histogram — the corpus-health report a
+    * dedup pass ships with its output ("how clustered is this crawl"):
+    * every doc resolves to its connected-component representative
+    * (singletons represent themselves), components collapse to sizes,
+    * sizes to a histogram. Reads the SAME persisted LSH pair artifact as
+    * [[splitLeakageSafe]] (write-once/query-many), so the report costs
+    * two compact aggregations on top of the already-materialized pairs.
+    * Scale: (rep → size) and (size → count) are both map-side-combined
+    * groupBys over id-sized rows; nothing corpus-wide shuffles twice.
+    */
+  private def dedupComponentStats(s: SparkSession, dir: String): DataFrame = {
+    val keepers = graft.operators.Dedup.resolveKeepers(
+      s.read.parquet(lshPairsDir(s, dir)))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(keepers, Seq("doc_id"), "left")
+      .select(coalesce(col("keeper"), col("doc_id")).as("rep"))
+      .groupBy(col("rep")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_components"))
+  }
+
+  private val dedupComponentStatsSql =
+    s"""WITH RECURSIVE base AS (
+      |  SELECT id_a, id_b FROM (
+      |$dedupMinhashLshPortableSql) t),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM base
+      |  UNION
+      |  SELECT id_b, id_a FROM base),
+      |reach AS (
+      |  SELECT a AS id, a AS r FROM edges
+      |  UNION
+      |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+      |k AS (SELECT id AS doc_id, min(r) AS keeper FROM reach GROUP BY id),
+      |comp AS (
+      |  SELECT coalesce(k.keeper, d.doc_id) AS rep, count(*) AS sz
+      |  FROM documents d LEFT JOIN k USING (doc_id)
+      |  GROUP BY 1)
+      |SELECT sz AS cluster_size, count(*) AS n_components
+      |FROM comp GROUP BY sz""".stripMargin
+
   // ------------------------------------------------ embedding transforms
 
   /** Int8 max-abs quantization of the embedding column — the compression
@@ -2367,6 +2408,7 @@ object LlmOps {
     "emb_pca_power" -> Q(embPcaPower _, embPcaPowerSql),
     "cluster_kmeans_step" -> Q(clusterKmeansStep _, clusterKmeansStepSql),
     "split_leakage_safe" -> Q(splitLeakageSafe _, splitLeakageSafeSql),
+    "dedup_component_stats" -> Q(dedupComponentStats _, dedupComponentStatsSql),
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
     "emb_quantize" -> Q(embQuantize _, embQuantizeSql),
     "dedup_semantic" -> Q(dedupSemantic _, dedupSemanticSql),

@@ -274,6 +274,30 @@ object Streams {
       s"abs(c$i * 1000000 div n - ${pb}L)"
     } :+ "c_other * 1000000 div n").mkString(" + ")
 
+  /** Streaming Count-Min sketch maintenance over the user-id stream —
+    * the online twin of `sketch_cms_topk`'s batch sketch and the reason
+    * sketches matter in a streaming pipeline at all: the ENTIRE state is
+    * the fixed d=4 × w=1024 counter matrix (one bounded streaming
+    * aggregation, ≤ 4096 groups no matter how many events arrive), so
+    * the query never grows state the way a per-key count would on an
+    * unbounded user domain. Same row hashes as the batch CMS
+    * (b_r(u) = ((u·(1000003+2r) + 12289r) mod P) mod w), pure long
+    * arithmetic — so after AvailableNow replay the counters are
+    * BIT-IDENTICAL to the same function applied in batch (the
+    * differential anchor the spec pins), and two stream shards' sketches
+    * merge by cell-wise addition.
+    */
+  def cmsCounters(events: DataFrame): DataFrame = {
+    val rows = (0 until 4).map { r =>
+      struct(lit(r).as("r"),
+        (pmod(col("user_id") * lit(1000003L + 2 * r) + lit(12289L * r),
+          lit(1000000007L)) % 1024).as("b"))
+    }
+    events.select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(dim, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),

@@ -166,4 +166,29 @@ class PlanSpec extends AnyFunSuite {
     assert(exchangeArgs.length == 1 && exchangeArgs.head.contains("shard"),
       s"the Exchange must hash-partition by shard: $exchangeArgs")
   }
+
+  test("dsir_importance: the weight model rides a broadcast, never a sort-merge") {
+    val p = plan("dsir_importance")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 1024-row weight table must broadcast onto the gram stream")
+    assert(!p.contains("SortMergeJoin"),
+      s"scoring must not shuffle the gram stream for a join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sketch_cms_topk: counter cells partial-aggregate map-side") {
+    val p = plan("sketch_cms_topk")
+    // the d×w sketch state must collapse before the exchange — a
+    // final-only aggregate would ship every token occurrence
+    val hashAggs = p.linesIterator
+      .filter(_.matches("""\(\d+\) HashAggregate.*""")).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate pairs:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("mix_temperature: one lang-collapsed aggregate, totals broadcast") {
+    val p = plan("mix_temperature")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"per-lang report must not widen into a real join:\n$p")
+  }
 }

@@ -304,4 +304,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(masses.forall(m => m > 999000L && m <= 1000000L),
       s"window masses: ${masses.mkString(",")}")
   }
+
+  test("streaming CMS counters are bit-identical to the batch sketch") {
+    val stream = Streams.readEventStream(spark, replayDir)
+    val got = Streams
+      .runToCompletion(spark, Streams.cmsCounters(stream), "t_cms",
+        mode = "complete")
+    // bounded state: the sketch can never exceed its d × w cells
+    assert(got.count() > 0 && got.count() <= 4 * 1024)
+    val exp = Streams.cmsCounters(Tables.events(spark, sf))
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      "stream/batch CMS cells diverge")
+    // the CMS guarantee holds against exact per-user counts: for the
+    // 5 heaviest users, min over rows of their cell counters >= exact
+    val top = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(5).collect()
+    val cells = got.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    top.foreach { r =>
+      val (u, n) = (r.getLong(0), r.getLong(1))
+      val est = (0 until 4).map { rr =>
+        val b = (u * (1000003L + 2 * rr) + 12289L * rr) % 1000000007L % 1024
+        cells((rr, b))
+      }.min
+      assert(est >= n, s"CMS underestimated user $u: $est < $n")
+    }
+  }
 }
