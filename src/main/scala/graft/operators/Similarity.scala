@@ -340,30 +340,50 @@ object Similarity {
     * all-ones start vector deterministically).
     */
   def pcaPowerTopComponent(emb: DataFrame, iters: Int): DataFrame = {
-    val xq = emb.select(
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000D) AS BIGINT))")
-        .as("xq"))
-    // Envelope guard in the SAME one-row scan that used to only read the
-    // dimensionality for the start vector (no extra corpus pass): past
-    // the documented long-safe bound the engines would diverge SILENTLY
-    // (Spark long adds wrap, DuckDB's sum widens to HUGEINT), so
-    // exceeding it must fail loudly, not return a plausible direction.
-    // Bounds from the doc comment with mx = max|xq| and |v| ≤ 2·10⁶:
-    // |dot| ≤ d·mx·2·10⁶ and |u| ≤ n·d·mx²/5 — both must stay < 2⁶³.
+    val xq = quantized(emb)
+    val (d0, n0, mx) = xqStats(xq, "pcaPowerTopComponent")
+    requireEnvelope(d0, n0, mx, "pcaPowerTopComponent")
+    powerIterate(xq, d0, iters)
+  }
+
+  /** floor(x·10⁶) quantization of the embedding column. */
+  private def quantized(emb: DataFrame): DataFrame = emb.select(
+    expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000D) AS BIGINT))")
+      .as("xq"))
+
+  /** One-row scan: (dims, rows, max|xq|) — the same scan that sizes the
+    * start vector, so the envelope guard costs no extra corpus pass.
+    */
+  private def xqStats(xq: DataFrame, who: String): (Int, Long, Long) = {
     val st = xq.agg(
       min(size(col("xq"))).as("d"),
       count(lit(1)).as("n"),
       greatest(max(expr(
         "aggregate(xq, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x)))")),
         lit(1L)).as("mx")).head()
-    require(st.getLong(1) > 0, "pcaPowerTopComponent: empty embedding input")
-    val (d0, n0, mx) = (st.getInt(0), st.getLong(1), st.getLong(2))
+    require(st.getLong(1) > 0, s"$who: empty embedding input")
+    (st.getInt(0), st.getLong(1), st.getLong(2))
+  }
+
+  /** Loud failure past the long-safe fixed-point envelope: beyond it
+    * Spark's long sums wrap SILENTLY while DuckDB widens to HUGEINT, so
+    * the engines would diverge with a plausible-looking direction.
+    * Bounds from the doc comment with mx = max|xq| and |v| ≤ 2·10⁶:
+    * |dot| ≤ d·mx·2·10⁶ and |u| ≤ n·d·mx²/5 — both must stay < 2⁶³.
+    */
+  private def requireEnvelope(d0: Int, n0: Long, mx: Long, who: String): Unit = {
     val lmax = BigInt(Long.MaxValue)
     require(BigInt(d0) * mx * 2000000 < lmax && BigInt(n0) * d0 * mx * mx / 5 < lmax,
-      s"pcaPowerTopComponent: rows=$n0 dims=$d0 max|xq|=$mx exceeds the " +
+      s"$who: rows=$n0 dims=$d0 max|xq|=$mx exceeds the " +
         "long-safe fixed-point envelope (|u| bound n*d*mx^2/5 or |dot| " +
         "bound d*mx*2e6 would overflow 2^63) — widen the ds down-shift")
-    var v: DataFrame = emb.sparkSession.range(1).select(
+  }
+
+  /** The von Mises loop proper over a pre-quantized, envelope-checked
+    * `xq` frame (see [[pcaPowerTopComponent]] for algorithm and bounds).
+    */
+  private def powerIterate(xq: DataFrame, d0: Int, iters: Int): DataFrame = {
+    var v: DataFrame = xq.sparkSession.range(1).select(
       expr(s"transform(sequence(1, $d0), i -> CAST(1000000 AS BIGINT))").as("v"))
     for (_ <- 1 to iters) {
       val ds = xq.crossJoin(broadcast(v)).select(
@@ -385,6 +405,53 @@ object Similarity {
     }
     v.select(posexplode(col("v")).as(Seq("dim", "v_micro")))
       .select(col("dim").cast(LongType).as("dim"), col("v_micro"))
+  }
+
+  /** Top TWO principal directions by deflation: v₁ from the power loop,
+    * then every row is projected out of v₁ in fixed point —
+    * c = (x·v₁) div 10⁶, x₂ⱼ = xⱼ − (c·v₁ⱼ) div (‖v₁‖² div 10⁶) —
+    * and the SAME loop runs on the residual cloud for v₂. v₁ is a
+    * bounded dimension (d rows) collected once driver-side and shipped
+    * as literals, so deflation is a pure map over the corpus scan; the
+    * residual frame re-checks its own envelope (its magnitudes can
+    * exceed the input's). Deflation in exact integer arithmetic is what
+    * keeps v₂ hash-identical to the DuckDB twin's 10-iteration unrolled
+    * CTE. Output: (dim, v1_micro, v2_micro).
+    *
+    * The integer division makes the projection approximate (≤ 1 unit
+    * per coordinate), so v₂ is the dominant direction of an
+    * almost-deflated cloud — the standard trade the fixed-point policy
+    * makes: bit-exact reproducibility over the last float digit.
+    */
+  def pcaPowerTwoComponents(emb: DataFrame, iters: Int): DataFrame = {
+    val xq = quantized(emb)
+    val (d0, n0, mx) = xqStats(xq, "pcaPowerTwoComponents")
+    requireEnvelope(d0, n0, mx, "pcaPowerTwoComponents")
+    // deflation product bound: |c·v₁ⱼ| ≤ (d·mx·2)·2·10⁶
+    require(BigInt(d0) * mx * 4000000 < BigInt(Long.MaxValue),
+      s"pcaPowerTwoComponents: dims=$d0 max|xq|=$mx overflows the " +
+        "deflation product c*v1 — widen the projection down-shift")
+    val v1 = powerIterate(xq, d0, iters)
+      .orderBy(col("dim")).collect().map(_.getLong(1))
+    val n1sq = v1.map(x => x * x).sum // ≤ d·(2e6)² ≈ 2.6e14, long-safe
+    val den = math.max(n1sq / 1000000L, 1L)
+    val x2 = xq
+      .withColumn("v1a", array(v1.map(lit(_)).toIndexedSeq: _*))
+      .withColumn("c", expr(
+        """aggregate(zip_with(xq, v1a, (x, w) -> x * w),
+          |  CAST(0 AS BIGINT), (a, t) -> a + t) div 1000000""".stripMargin))
+      .select(expr(
+        s"transform(sequence(1, size(xq)), j -> xq[j - 1] - (c * v1a[j - 1]) div ${den}L)")
+        .as("xq"))
+    val (d2, n2, mx2) = xqStats(x2, "pcaPowerTwoComponents(residual)")
+    requireEnvelope(d2, n2, mx2, "pcaPowerTwoComponents(residual)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v1df = v1.toIndexedSeq.zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("dim", "v1_micro")
+    v1df.join(
+      powerIterate(x2, d2, iters).withColumnRenamed("v_micro", "v2_micro"),
+      "dim")
   }
 
   /** Spherical k-means objective Σᵢ max_c eᵢ·ĉ (higher is better),

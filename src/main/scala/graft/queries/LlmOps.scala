@@ -1565,6 +1565,68 @@ object LlmOps {
        |SELECT dim, u // greatest(m // 1000000, 1) AS v_micro FROM u5, m5""".stripMargin
   }
 
+  /** Top TWO principal directions by fixed-point deflation
+    * ([[graft.operators.Similarity.pcaPowerTwoComponents]]): v₁ from the
+    * power loop, the corpus projected out of v₁ in exact integer
+    * arithmetic (a pure map — v₁ is a collected bounded dimension
+    * shipped as literals), the same loop re-run on the residual for v₂.
+    * The DuckDB twin unrolls BOTH loops (10 CTE trios) plus the
+    * deflation projection — hash-exact end to end, the deepest
+    * iterative chain in the gate.
+    */
+  private def embPcaTwo(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.pcaPowerTwoComponents(
+      Tables.embeddings(s, dir), iters = 5)
+
+  private val embPcaTwoSql = {
+    val step = (src: String, p: String, i: Int) =>
+      s"""${p}d$i AS MATERIALIZED (
+         |  SELECT xq,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, len(xq) + 1), i -> xq[i] * v[i])),
+         |      (a, t) -> a + t) // 10000000 AS ds
+         |  FROM $src, ${p}v${i - 1}),
+         |${p}u$i AS MATERIALIZED (
+         |  SELECT dim, sum(xq[dim + 1] * ds) AS u FROM ${p}d$i, dims GROUP BY dim),
+         |${p}m$i AS MATERIALIZED (SELECT greatest(max(abs(u)), 1) AS m FROM ${p}u$i),
+         |${p}v$i AS MATERIALIZED (
+         |  SELECT list((u // greatest(m // 1000000, 1)) ORDER BY dim) AS v
+         |  FROM ${p}u$i, ${p}m$i GROUP BY m)""".stripMargin
+    s"""WITH dd AS MATERIALIZED (SELECT min(len(embedding)) AS d FROM embeddings),
+       |xq AS MATERIALIZED (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |v0 AS MATERIALIZED (
+       |  SELECT list_transform(range(1, d + 1), i -> CAST(1000000 AS BIGINT)) AS v
+       |  FROM dd),
+       |dims AS MATERIALIZED (SELECT unnest(range(0, (SELECT d FROM dd))) AS dim),
+       |${(1 to 5).map(step("xq", "", _)).mkString(",\n")},
+       |n1 AS MATERIALIZED (
+       |  SELECT greatest(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(v, x -> x * x)), (a, t) -> a + t) // 1000000, 1)
+       |    AS den
+       |  FROM v5),
+       |xq2 AS MATERIALIZED (
+       |  SELECT list_transform(range(1, len(xq) + 1),
+       |      j -> xq[j] - (c * v[j]) // den) AS xq
+       |  FROM (
+       |    SELECT xq, v, den,
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, len(xq) + 1), i -> xq[i] * v[i])),
+       |        (a, t) -> a + t) // 1000000 AS c
+       |    FROM xq, v5, n1)),
+       |bv0 AS MATERIALIZED (
+       |  SELECT list_transform(range(1, d + 1), i -> CAST(1000000 AS BIGINT)) AS v
+       |  FROM dd),
+       |${(1 to 5).map(step("xq2", "b", _)).mkString(",\n")}
+       |SELECT a.dim, a.v1_micro, b.v2_micro
+       |FROM (SELECT dim, u // greatest(m // 1000000, 1) AS v1_micro
+       |      FROM u5, m5) a
+       |JOIN (SELECT dim, u // greatest(m // 1000000, 1) AS v2_micro
+       |      FROM bu5, bm5) b USING (dim)""".stripMargin
+  }
+
   /** Batched k-NN similarity join — top-3 cosine neighbors for EVERY
     * query in a query set at once (vec_id < 8 here), the shape batch
     * inference / RAG retrieval actually runs, vs the single-query
@@ -2406,6 +2468,7 @@ object LlmOps {
     "sim_ivf_topk" -> Q(simIvfTopk _, simIvfTopkSql),
     "sim_knn_join" -> Q(simKnnJoin _, simKnnJoinSql),
     "emb_pca_power" -> Q(embPcaPower _, embPcaPowerSql),
+    "emb_pca_two" -> Q(embPcaTwo _, embPcaTwoSql),
     "cluster_kmeans_step" -> Q(clusterKmeansStep _, clusterKmeansStepSql),
     "split_leakage_safe" -> Q(splitLeakageSafe _, splitLeakageSafeSql),
     "dedup_component_stats" -> Q(dedupComponentStats _, dedupComponentStatsSql),

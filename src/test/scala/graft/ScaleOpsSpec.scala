@@ -396,4 +396,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     val c = math.abs(cosine(got, axis))
     assert(c >= 0.99, s"recovered-axis cosine = $c (got ${got.mkString(",")})")
   }
+
+  test("two-component pca: v1 matches the top component, v2 near-orthogonal") {
+    val emb = Tables.embeddings(spark, sf)
+    val two = Similarity.pcaPowerTwoComponents(emb, iters = 5)
+      .collect().sortBy(_.getLong(0))
+    val v1 = two.map(_.getLong(1).toDouble)
+    val v2 = two.map(_.getLong(2).toDouble)
+    val top = Similarity.pcaPowerTopComponent(emb, iters = 5)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
+    assert(v1.toSeq == top.toSeq, "v1 must be the top component verbatim")
+    // deflation is integer-approximate, so demand near- not exact
+    // orthogonality; a failed deflation would leave |cos| ≈ 1
+    val c = math.abs(cosine(v1, v2))
+    assert(c <= 0.1, s"|cos(v1, v2)| = $c — deflation did not remove v1")
+    assert(math.abs(v2.map(math.abs).max - 1e6) <= 1e6,
+      s"v2 micro-unit L∞ contract broken: ${v2.map(math.abs).max}")
+  }
 }
