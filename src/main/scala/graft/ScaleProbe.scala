@@ -182,6 +182,28 @@ object ScaleProbe {
         f"""{"probe":"pca_power","factor":$f,"n_vecs":${embBase.count() * f},"max_dev_micro":$maxDev,"secs":$secs%.2f}""")
     }
 
+    // CMS axis: counters over an N×-replicated corpus must be EXACTLY
+    // N× the base counters — counts are linear in the stream, which is
+    // simultaneously the cell-wise shard-merge property and a
+    // determinism witness (any partition-order dependence would break
+    // exact N-multiplicity). State is the fixed 4×1024 matrix at every
+    // factor, so wall time tracks the token stream, never the sketch.
+    val cmsRef = new scala.collection.mutable.HashMap[(Int, Long), Long]()
+    def probeCms(f: Int, big: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val cells = queries.Curation.cmsCellCounts(big)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (f == factors.min) cmsRef ++= cells.map { case (k, v) => k -> (v / f) }
+      val maxDev =
+        if (cmsRef.isEmpty) -1L
+        else cells.map { case (k, v) =>
+          math.abs(v - f * cmsRef.getOrElse(k, 0L))
+        }.max
+      println(
+        f"""{"probe":"cms_cells","factor":$f,"cells":${cells.size},"max_dev":$maxDev,"secs":$secs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
@@ -194,6 +216,7 @@ object ScaleProbe {
       probeIncremental(f)
       probeSubstring(f, replicated)
       probePca(f)
+      probeCms(f, replicated)
 
       // realistic: salt every token per replica so all shingles differ
       // across replicas (replica 0 keeps the original text, so the base

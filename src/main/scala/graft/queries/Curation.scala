@@ -56,19 +56,29 @@ object Curation {
     * disjoint shards merge by cell-wise addition. Everything is long
     * arithmetic — deterministic, mergeable, hash-exact.
     */
-  private def sketchCmsTopk(s: SparkSession, dir: String): DataFrame = {
-    val hs = Tables.documents(s, dir)
+  private def cmsRowBuckets = (0 until 4).map { r =>
+    struct(lit(r).as("r"),
+      (pmod(col("h") * lit(1000003L + 2 * r) + lit(12289L * r), lit(P))
+        % 1024).as("b"))
+  }
+
+  /** The d×w counter cells of the CMS over any (text) frame's token
+    * stream — exposed for ScaleProbe's linearity axis (counters of an
+    * N×-replicated corpus must be EXACTLY N× the base counters: counts
+    * are linear, which is also the cell-wise shard-merge property).
+    */
+  private[graft] def cmsCellCounts(docs: DataFrame): DataFrame =
+    docs
       .select(graft.functions.PolyHash31.polyhash31(toks)
         .getField("pp").as("hs"))
       .select(explode(col("hs")).as("h"))
-    val rows = (0 until 4).map { r =>
-      struct(lit(r).as("r"),
-        (pmod(col("h") * lit(1000003L + 2 * r) + lit(12289L * r), lit(P))
-          % 1024).as("b"))
-    }
-    val cms = hs.select(explode(array(rows: _*)).as("rb"))
+      .select(explode(array(cmsRowBuckets: _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
+
+  private def sketchCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val rows = cmsRowBuckets
+    val cms = cmsCellCounts(Tables.documents(s, dir))
     val top = Tables.documents(s, dir)
       .select(explode(toks).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))

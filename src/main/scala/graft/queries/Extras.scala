@@ -333,6 +333,79 @@ object Extras {
       |FROM w JOIN mad ON w.grp = mad.grp
       |GROUP BY w.grp""".stripMargin
 
+  /** Winsorized cleaning report — clip o_totalprice to its per-group
+    * [p01, p99] band, the standard robust pre-processing for
+    * heavy-tailed money columns before any mean-based statistic.
+    * Bounds are NEAREST-RANK order statistics (the value at row
+    * ceil(q·n) of the sorted column), NOT interpolated percentiles:
+    * rank selection is pure integer arithmetic — no engine-specific
+    * interpolation formula ever touches a float, so the bounds (and
+    * every clip comparison, on exact integer cents) are bit-identical
+    * by construction at any SF. The winsorized mean is the exact long
+    * sum of clipped cents in micro-units.
+    *
+    * Scale shape: one rank window per group (the same sort a
+    * percentile needs anyway), bounds collapse to 3 rows and ride a
+    * broadcast join back onto the scan; everything after is map-side.
+    */
+  private def cleanWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("xc"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("xc"))
+    val ranked = li
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val bounds = ranked
+      .groupBy(col("grp"))
+      .agg(
+        min(when(col("rn") === expr("(n + 99) div 100"), col("xc"))).as("lo"),
+        min(when(col("rn") === expr("(99 * n + 99) div 100"), col("xc")))
+          .as("hi"))
+    li.join(broadcast(bounds), "grp")
+      .select(col("grp"), col("xc"), col("lo"), col("hi"),
+        least(greatest(col("xc"), col("lo")), col("hi")).as("cl"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("lo")).as("lo_cents"),
+        first(col("hi")).as("hi_cents"),
+        sum((col("xc") < col("lo")).cast("long")).as("n_clip_lo"),
+        sum((col("xc") > col("hi")).cast("long")).as("n_clip_hi"),
+        sum(col("cl")).as("csum"))
+      .select(col("grp"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("n_clip_lo"), col("n_clip_hi"),
+        expr("(csum * 10000) div n").as("wmean_micro"))
+  }
+
+  private val cleanWinsorizeSql =
+    """WITH li AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS xc FROM orders),
+      |ranked AS (
+      |  SELECT grp, xc,
+      |    row_number() OVER (PARTITION BY grp ORDER BY xc) AS rn,
+      |    count(*) OVER (PARTITION BY grp) AS n
+      |  FROM li),
+      |bounds AS (
+      |  SELECT grp,
+      |    min(CASE WHEN rn = (n + 99) // 100 THEN xc END) AS lo,
+      |    min(CASE WHEN rn = (99 * n + 99) // 100 THEN xc END) AS hi
+      |  FROM ranked GROUP BY grp),
+      |cl AS (
+      |  SELECT li.grp, xc, lo, hi,
+      |    least(greatest(xc, lo), hi) AS cl
+      |  FROM li JOIN bounds ON li.grp = bounds.grp)
+      |SELECT grp, count(*) AS n,
+      |  first(lo) AS lo_cents, first(hi) AS hi_cents,
+      |  CAST(sum(CASE WHEN xc < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_lo,
+      |  CAST(sum(CASE WHEN xc > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_hi,
+      |  (CAST(sum(cl) AS BIGINT) * 10000) // count(*) AS wmean_micro
+      |FROM cl GROUP BY grp""".stripMargin
+
   /** isin (search.hpp:163 contains / pandas isin). */
   private def filterIsin(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -751,6 +824,7 @@ object Extras {
     "drift_tvd" -> Q(driftTvd _, driftTvdSql),
     "drift_window_tvd" -> Q(driftWindowTvd _, driftWindowTvdSql),
     "outlier_mad" -> Q(outlierMad _, outlierMadSql),
+    "clean_winsorize" -> Q(cleanWinsorize _, cleanWinsorizeSql),
     "validate_expectations" -> Q(validateExpectations _, validateExpectationsSql),
     "frame_value_counts" -> Q(frameValueCounts _, frameValueCountsSql),
     "frame_describe" -> Q(frameDescribe _, frameDescribeSql),
