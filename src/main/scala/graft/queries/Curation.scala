@@ -150,15 +150,17 @@ object Curation {
         graft.functions.PolyHash31.polyhash31(toks).getField("pp").as("hs"))
       .select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
       .withColumn("b", col("h") % 1024)
-    val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("rc"))
-    val tgt = grams.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
-    val nr = raw.agg(sum(col("rc")).as("nr"))
-    val nt = tgt.agg(sum(col("tc")).as("nt"))
-    val w = raw.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+    // ONE pass builds BOTH distributions (conditional count for the
+    // target side) — at 100 TB the gram stream is the corpus, so a
+    // separate target aggregation would be a second full scan for a
+    // strict subset of the same rows.
+    val dist = grams.groupBy(col("b")).agg(
+      count(lit(1)).as("rc"),
+      sum((col("lang") === "en").cast(LongType)).as("tc"))
+    val tot = dist.agg(sum(col("rc")).as("nr"), sum(col("tc")).as("nt"))
+    val w = dist.crossJoin(broadcast(tot))
       .select(col("b"),
-        (floor(log((coalesce(col("tc"), lit(0L)) + 1).cast(DoubleType) /
+        (floor(log((col("tc") + 1).cast(DoubleType) /
            (col("nt") + 1024)) * lit(1e6)).cast(LongType) -
          floor(log((col("rc") + 1).cast(DoubleType) /
            (col("nr") + 1024)) * lit(1e6)).cast(LongType)).as("w_micro"))
@@ -178,17 +180,18 @@ object Curation {
        |        t -> length(t) > 0),
        |      t -> ${foldSql("t")})) % 1024 AS b
        |  FROM documents),
-       |raw AS (SELECT b, count(*) AS rc FROM g GROUP BY b),
-       |tgt AS (SELECT b, count(*) AS tc FROM g WHERE lang = 'en' GROUP BY b),
-       |nr AS (SELECT sum(rc) AS nr FROM raw),
-       |nt AS (SELECT sum(tc) AS nt FROM tgt),
+       |dist AS (
+       |  SELECT b, count(*) AS rc,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+       |  FROM g GROUP BY b),
+       |tot AS (SELECT sum(rc) AS nr, sum(tc) AS nt FROM dist),
        |w AS (
-       |  SELECT raw.b,
-       |    CAST(floor(ln(CAST(coalesce(tc, 0) + 1 AS DOUBLE) / (nt + 1024))
+       |  SELECT b,
+       |    CAST(floor(ln(CAST(tc + 1 AS DOUBLE) / (nt + 1024))
        |               * 1e6) AS BIGINT)
        |    - CAST(floor(ln(CAST(rc + 1 AS DOUBLE) / (nr + 1024))
        |               * 1e6) AS BIGINT) AS w_micro
-       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN nr CROSS JOIN nt)
+       |  FROM dist CROSS JOIN tot)
        |SELECT doc_id, lang, count(*) AS n_grams,
        |  CAST(sum(w_micro) AS BIGINT) AS sum_w_micro,
        |  CAST(sum(w_micro) AS BIGINT) // count(*) AS avg_w_micro

@@ -298,6 +298,33 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-window distinct-user KMV estimate — the second bounded-state
+    * streaming sketch next to [[cmsCounters]], and the streaming face
+    * of `sketch_kmv_distinct`: one windowed aggregation whose per-window
+    * state is the k smallest DISTINCT user-id hashes
+    * ([[graft.agg.KMinDistinctAgg]] — the distinct lives INSIDE the
+    * aggregator because a distinct()-before-aggregate would be a second
+    * stateful operator, which the streaming planner rejects). Windows
+    * with fewer than k distinct users report the EXACT count (the k-min
+    * set holds every hash); beyond k the estimator is the KMV
+    * (k−1)·P div kth. Pure integer arithmetic on the Lehmer fold, so
+    * AvailableNow replay is bit-identical to the same function in batch.
+    */
+  def kmvWindowDistinct(events: DataFrame, k: Int = 256): DataFrame = {
+    val kmin = udaf(new graft.agg.KMinDistinctAgg(k))
+    val h = pmod(col("user_id") * lit(48271L), lit(2147483647L))
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(kmin(h).as("ks"), count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("win_start"),
+        col("n_events"),
+        when(size(col("ks")) < k, size(col("ks")).cast(LongType))
+          .otherwise(expr(s"(${k - 1} * CAST(2147483647 AS BIGINT)) div element_at(ks, $k)"))
+          .as("est_distinct"))
+  }
+
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(dim, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),

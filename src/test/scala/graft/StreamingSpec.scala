@@ -331,4 +331,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(est >= n, s"CMS underestimated user $u: $est < $n")
     }
   }
+
+  test("streaming per-window KMV matches batch and tracks exact distinct counts") {
+    val stream = Streams.readEventStream(spark, replayDir)
+    val got = Streams
+      .runToCompletion(spark, Streams.kmvWindowDistinct(stream), "t_kmv",
+        mode = "complete")
+    val exp = Streams.kmvWindowDistinct(Tables.events(spark, sf))
+    assert(got.count() > 0)
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      "stream/batch KMV windows diverge")
+    // accuracy: every window's estimate within 30% of the exact
+    // distinct count (k = 256 ⇒ ~1/sqrt(k) ≈ 6% expected error)
+    val exact = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .select(col("window.start").as("win_start"), col("d"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    got.collect().foreach { r =>
+      val (w, est) = (r.getTimestamp(0), r.getLong(2))
+      val d = exact(w)
+      assert(math.abs(est - d).toDouble / d <= 0.3,
+        s"window $w: est=$est exact=$d")
+    }
+  }
 }
