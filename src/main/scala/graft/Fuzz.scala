@@ -42,6 +42,11 @@ object Fuzz {
         s"nullif(${pick(intCols)}, ${1 + rng.nextInt(10)})",
         s"coalesce(nullif(${intExpr(depth + 1)}, ${rng.nextInt(100)}), ${rng.nextInt(50)})",
         s"(${intExpr(depth + 1)} + ${1 + rng.nextInt(100)})",
+        // bare subtraction (NOT wrapped in abs) drives NEGATIVE values
+        // into %, greatest/least, and null rescues — pinning that both
+        // engines keep the dividend's sign for negative modulo (the
+        // semantics the r9 verdict wrongly suspected of diverging)
+        s"(${intExpr(depth + 1)} - ${1 + rng.nextInt(1000)})",
         s"(${intExpr(depth + 1)} * ${1 + rng.nextInt(9)})",
         s"(${intExpr(depth + 1)} % ${2 + rng.nextInt(50)})",
         s"abs(${intExpr(depth + 1)} - ${rng.nextInt(1000)})",

@@ -278,7 +278,50 @@ object Windows {
        |FROM (SELECT epoch_us(ts) // 180000000 AS bucket, value FROM events)
        |GROUP BY bucket""".stripMargin
 
+  /** Daily p50/p95/p99 bands of the event value — the latency/metric
+    * observability report every monitoring pipeline runs. Bounds are
+    * NEAREST-RANK order statistics on 1e4-quantized integer values
+    * (the `clean_winsorize` convention): rank selection is pure integer
+    * arithmetic, so no engine-specific percentile interpolation exists
+    * to diverge. One rank window per day over compact (day, vm) longs;
+    * the three bands fold into one conditional aggregate per day.
+    */
+  private def percentileBands(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") * 10000 + 0.5).cast(LongType).as("vm"))
+    val w = Window.partitionBy(col("day")).orderBy(col("vm"))
+    ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("day"))))
+      .groupBy(col("day"))
+      .agg(
+        first(col("n")).as("n"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("vm"))).as("p50_e4"),
+        min(when(col("rn") === expr("(95 * n + 99) div 100"), col("vm")))
+          .as("p95_e4"),
+        min(when(col("rn") === expr("(99 * n + 99) div 100"), col("vm")))
+          .as("p99_e4"))
+  }
+
+  private val percentileBandsSql =
+    """WITH ev AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vm
+      |  FROM events),
+      |ranked AS (
+      |  SELECT day, vm,
+      |    row_number() OVER (PARTITION BY day ORDER BY vm) AS rn,
+      |    count(*) OVER (PARTITION BY day) AS n
+      |  FROM ev)
+      |SELECT day, first(n) AS n,
+      |  min(CASE WHEN rn = (n + 1) // 2 THEN vm END) AS p50_e4,
+      |  min(CASE WHEN rn = (95 * n + 99) // 100 THEN vm END) AS p95_e4,
+      |  min(CASE WHEN rn = (99 * n + 99) // 100 THEN vm END) AS p99_e4
+      |FROM ranked GROUP BY day""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "win_percentile_bands" -> Q(percentileBands _, percentileBandsSql),
     "win_rolling_rows" -> Q(rollingRows _, rollingRowsSql),
     "win_rolling_var" -> Q(rollingVar _, rollingVarSql),
     "win_range_days" -> Q(rangeWindow _, rangeWindowSql),
