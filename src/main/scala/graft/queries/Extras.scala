@@ -406,6 +406,66 @@ object Extras {
       |  (CAST(sum(cl) AS BIGINT) * 10000) // count(*) AS wmean_micro
       |FROM cl GROUP BY grp""".stripMargin
 
+  /** Ordered funnel conversion over the event stream — view → click →
+    * purchase, each stage's timestamp STRICTLY after the previous
+    * stage's first occurrence for that user (the product-analytics
+    * staple, and the sequential-pattern query relational engines get
+    * wrong when they ignore ordering). Pure timestamp comparisons and
+    * integer counts — nothing to diverge.
+    *
+    * Scale shape: three per-user min aggregations (map-side combined,
+    * the keyspace is users not events) chained by hash joins on the
+    * user key; each stage's frame only SHRINKS, so the joins get
+    * cheaper down the funnel. Conversion ratios ride a broadcast 1-row
+    * cross join.
+    */
+  private def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val counts = v.agg(count(lit(1)).as("nv"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("nc"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("np"))))
+    counts.select(explode(array(
+        struct(lit("1_view").as("stage"), col("nv").as("n_users"),
+          lit(1000000L).as("conv_ppm")),
+        struct(lit("2_click").as("stage"), col("nc").as("n_users"),
+          expr("(nc * 1000000) div nv").as("conv_ppm")),
+        struct(lit("3_purchase").as("stage"), col("np").as("n_users"),
+          expr("(np * 1000000) div nv").as("conv_ppm")))).as("s"))
+      .select(col("s.stage"), col("s.n_users"), col("s.conv_ppm"))
+  }
+
+  private val funnelConversionSql =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(ts) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE event_type = 'click' AND ts > v_ts GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(ts) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE event_type = 'purchase' AND ts > c_ts GROUP BY e.user_id),
+      |n AS (
+      |  SELECT (SELECT count(*) FROM v) AS nv,
+      |         (SELECT count(*) FROM c) AS nc,
+      |         (SELECT count(*) FROM p) AS np)
+      |SELECT '1_view' AS stage, nv AS n_users,
+      |  CAST(1000000 AS BIGINT) AS conv_ppm FROM n
+      |UNION ALL
+      |SELECT '2_click', nc, (nc * 1000000) // nv FROM n
+      |UNION ALL
+      |SELECT '3_purchase', np, (np * 1000000) // nv FROM n""".stripMargin
+
   /** isin (search.hpp:163 contains / pandas isin). */
   private def filterIsin(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -825,6 +885,7 @@ object Extras {
     "drift_window_tvd" -> Q(driftWindowTvd _, driftWindowTvdSql),
     "outlier_mad" -> Q(outlierMad _, outlierMadSql),
     "clean_winsorize" -> Q(cleanWinsorize _, cleanWinsorizeSql),
+    "funnel_conversion" -> Q(funnelConversion _, funnelConversionSql),
     "validate_expectations" -> Q(validateExpectations _, validateExpectationsSql),
     "frame_value_counts" -> Q(frameValueCounts _, frameValueCountsSql),
     "frame_describe" -> Q(frameDescribe _, frameDescribeSql),
