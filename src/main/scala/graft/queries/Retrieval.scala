@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.{ArrCanon, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Retrieval-side corpus operators: inverted-index construction and BM25
+  * ranking over the documents table. These are the indexing/relevance
+  * half of a RAG-style curation pipeline (dedup and quality filters feed
+  * it; the index is what retrieval-augmented decontamination and
+  * train-time neighbor lookups run against).
+  *
+  * Reference scope: the reference's text stack stops at tokenization and
+  * similarity primitives (nvtext tokenize cpp/include/nvtext/tokenize.hpp,
+  * minhash.hpp:72, jaccard.hpp:73); index build + ranked retrieval are
+  * beyond-reference training-pipeline extensions in the sense of
+  * SURVEY §2.12.
+  *
+  * Everything is oracled hash-exact: postings are capped ordered integer
+  * lists encoded through [[ArrCanon]], and BM25 scores are computed in
+  * micro-units with DECIMAL(38,0)/HUGEINT integer arithmetic so both
+  * engines produce the identical longs (no IEEE division anywhere).
+  */
+object Retrieval {
+
+  /** Shared token cut (same contract as tf-idf): split on single space,
+    * drop empties.
+    */
+  private def tokens(c: org.apache.spark.sql.Column) =
+    filter(split(coalesce(c, lit("")), " "), t => length(t) > 0)
+
+  private val tokensSqlFrom =
+    """SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+      |    FROM documents""".stripMargin
+
+  // --------------------------------------------------------------- postings
+
+  /** Inverted-index build: token → ordered posting list of doc_ids,
+    * capped at 20 entries per token, with the TRUE document frequency
+    * kept alongside (so a capped list is still an honest index row).
+    * Tokens with df < 5 are pruned (rare-term tail is the vast majority
+    * of the vocabulary and is exactly what a real index prunes or
+    * tiers out first).
+    *
+    * Scale shape: the classic index-build shuffle — one exchange of
+    * compact (tok, doc_id) pairs (never text payloads), df and the
+    * rank both ride the SAME tok-partitioned exchange (window count +
+    * row_number share one sort), and the cap bounds every output row:
+    * a stop-word token with 10^9 postings still emits one 20-element
+    * row. Hot tokens are precisely the keys AQE skew-splits. At 100 TB
+    * the output is a write-once artifact partitioned by hash(tok).
+    */
+  private def indexPostings(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val w = Window.partitionBy(col("tok"))
+    val ranked = pairs
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("doc_id"))))
+      .filter(col("df") >= 5 && col("rn") <= 20)
+    ranked
+      .groupBy(col("tok"))
+      .agg(
+        max(col("df")).as("df"),
+        ArrCanon.joined(sort_array(collect_list(col("doc_id"))))
+          .as("postings"))
+      .select(col("tok"), col("df"),
+        (col("df") > 20).as("capped"), col("postings"))
+  }
+
+  private val indexPostingsSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    $tokensSqlFrom) t
+       |  WHERE length(tok) > 0),
+       |ranked AS (
+       |  SELECT tok, doc_id,
+       |    count(*) OVER (PARTITION BY tok) AS df,
+       |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+       |  FROM pairs)
+       |SELECT tok, df, df > 20 AS capped,
+       |  ${ArrCanon.joinedSql("list(doc_id ORDER BY doc_id)")} AS postings
+       |FROM ranked WHERE df >= 5 AND rn <= 20
+       |GROUP BY tok, df""".stripMargin
+
+  // ------------------------------------------------------------------- bm25
+
+  /** BM25 top-10 retrieval (k1 = 1.2, b = 0.75) for a data-derived query
+    * term set: the five tokens of length ≥ 4 ranked 10..14 by document
+    * frequency (ties broken by token) — a mid-frequency band, which is
+    * where BM25's saturation + length normalization actually
+    * discriminate (stop-words saturate, hapaxes are binary).
+    *
+    * Scoring is exact integer arithmetic in micro-units. With
+    * avgdl = SL/N (SL = corpus token count, N = docs with tokens),
+    * the per-term BM25 with the simple linear idf N/df is
+    *   (N/df) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * Multiplying numerator and denominator by 10·SL clears every
+    * fraction:
+    *   score·10⁶ = (10⁶ · 22·tf·SL·N) div (df · (10·tf·SL + 3·SL + 9·dl·N))
+    * — all factors are corpus counts, so both engines compute the same
+    * integer. The products ride DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB): at 10⁶-scale the intermediate is ~10¹⁹ at sf1 and the
+    * 128-bit path holds to ~10³⁸, so there is no silent-wrap envelope
+    * to guard. Per-doc score = sum of per-term integer scores (exact,
+    * order-independent).
+    *
+    * Scale shape: tf is one compact (doc_id, tok) exchange; df and the
+    * query-term pick ride one tok-partitioned aggregate; the 5 query
+    * terms and the (N, SL) scalar are broadcast; dl joins on doc_id;
+    * the final top-10 is TakeOrdered — bounded, never a global sort.
+    * At 100 TB only the 5-term-filtered slice of tf flows past the
+    * broadcast join.
+    */
+  private def textBm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val tf = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Bounded pick: TakeOrdered(14) over the vocab (never a vocab-wide
+    // single-partition sort), then rank WITHIN the 14-row frame — the
+    // unpartitioned window is fine because its input is 14 rows by
+    // construction.
+    val qterms = dfq
+      .filter(length(col("tok")) >= 4)
+      .orderBy(col("df").desc, col("tok"))
+      .limit(14)
+      .withColumn("qrn",
+        row_number().over(Window.orderBy(col("df").desc, col("tok"))))
+      .filter(col("qrn").between(10, 14))
+      .select(col("tok"), col("df"))
+    val scalars = tf.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("sl"))
+    tf.join(broadcast(qterms), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .select(
+        col("doc_id"),
+        (lit(22000000L).cast(d38) * col("tf") * col("sl") * col("n_docs"))
+          .as("num"),
+        (col("df").cast(d38) *
+          (lit(10L) * col("tf") * col("sl") + lit(3L) * col("sl") +
+            lit(9L) * col("dl") * col("n_docs"))).as("den"))
+      .select(col("doc_id"),
+        expr("num div den").cast(LongType).as("score_micro"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("score_micro")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val textBm25TopkSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM (
+       |    $tokensSqlFrom) t
+       |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |qterms AS (
+       |  SELECT tok, df FROM (
+       |    SELECT tok, df,
+       |      row_number() OVER (ORDER BY df DESC, tok) AS qrn
+       |    FROM dfq WHERE length(tok) >= 4) r
+       |  WHERE qrn BETWEEN 10 AND 14),
+       |scalars AS (
+       |  SELECT count(DISTINCT doc_id) AS n_docs, sum(tf) AS sl FROM tf),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST((CAST(22000000 AS HUGEINT) * tf * sl * n_docs) //
+       |      (CAST(df AS HUGEINT) *
+       |        (10 * tf * sl + 3 * sl + 9 * dl * n_docs)) AS BIGINT)
+       |      AS score_micro
+       |  FROM tf JOIN qterms USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN scalars)
+       |SELECT doc_id, count(*) AS n_terms, sum(score_micro) AS bm25_micro
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "index_postings" -> Q(indexPostings _, indexPostingsSql),
+    "text_bm25_topk" -> Q(textBm25Topk _, textBm25TopkSql)
+  )
+}

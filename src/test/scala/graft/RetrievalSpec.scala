@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the retrieval pair (inverted index + BM25) that the
+  * oracle gate's value-equality can't express: index structural
+  * contracts, BM25 ranking sanity, and the plan shapes that make both
+  * 100 TB-viable (bounded query-term pick, broadcast joins, TakeOrdered
+  * final ranking).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("index_postings: ordered, unique, capped postings with honest df") {
+    val rows = SparkEntry.queries("index_postings")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val capped = r.getAs[Boolean]("capped")
+      val posting = r.getAs[String]("postings")
+      val ids = posting.split("\\|").map(_.toLong).toSeq
+      assert(df >= 5, s"pruned df leaked: $df")
+      assert(capped == (df > 20))
+      assert(ids.length == math.min(df, 20L),
+        s"postings length ${ids.length} vs df $df")
+      assert(ids == ids.sorted && ids.distinct.length == ids.length,
+        s"postings not a sorted set: $posting")
+    }
+  }
+
+  test("bm25: every hit matches >=1 of 5 query terms, scores ranked desc") {
+    val rows = SparkEntry.queries("text_bm25_topk")(spark, sf).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Long]("bm25_micro")).toSeq
+    assert(scores == scores.sorted.reverse, "not ranked by score desc")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_terms")
+      assert(n >= 1 && n <= 5, s"matched term count out of range: $n")
+      assert(r.getAs[Long]("bm25_micro") > 0)
+    }
+  }
+
+  test("bm25 plan: bounded term pick, broadcast model, TakeOrdered ranking") {
+    val p = SparkEntry.queries("text_bm25_topk")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      "final top-10 must be TakeOrdered, not a global sort")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "query terms and scalars must broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian products")
+  }
+
+  test("index_postings plan: df and rank share one tok-partitioned window") {
+    val p = SparkEntry.queries("index_postings")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    // both window functions must partition by tok — a global window would
+    // single-partition the vocabulary
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    winLines.foreach(l => assert(l.contains("tok"),
+      s"window not partitioned by tok: $l"))
+  }
+}
