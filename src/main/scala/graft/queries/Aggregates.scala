@@ -306,7 +306,100 @@ object Aggregates {
        |  CAST(grouping(l_linestatus) AS TINYINT) AS g_status
        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Grouped OLS: per-returnflag linear fit of extendedprice (cents) on
+    * quantity, plus the in-sample mean absolute residual of the INTEGER
+    * model — the groupwise regression surface (DuckDB's regr_slope /
+    * regr_intercept family; slope = covar_pop/var_pop, the natural
+    * extension of Kind COVARIANCE/CORRELATION, aggregation.hpp:87-125).
+    *
+    * Exactness: x = quantity (integer-valued) and y = price cents
+    * (floor(y·100), IEEE-identical across engines) make every moment an
+    * integer sum; slope/intercept are single integer floor-divisions in
+    * micro-units on DECIMAL(38,0)/HUGEINT (n·Sxy ≈ 10¹⁹ at sf1 — past
+    * the long envelope, inside the 128-bit one), so both engines emit
+    * identical longs. The MAE is defined AGAINST the integer model
+    * (slope_micro, intercept_micro are the coefficients), so it is
+    * exact too — not a float-model approximation.
+    *
+    * Scale shape: pass 1 is a 3-group map-side-combined moment
+    * aggregate; pass 2 joins the 3-row model back via broadcast and
+    * reduces — two linear scans, no wide shuffle, model reusable as a
+    * write-once artifact at 100 TB.
+    */
+  private def regOlsGroup(s: SparkSession, dir: String): DataFrame =
+    olsFitOver(Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_returnflag"),
+        col("l_quantity").cast(LongType).as("x"),
+        floor(col("l_extendedprice") * 100).cast(LongType).as("yc")),
+      "l_returnflag")
+
+  /** The grouped integer OLS over any (group, x, yc) frame — public so
+    * specs can pin exact recovery of a noiseless linear relation.
+    */
+  def olsFitOver(li: DataFrame, g: String): DataFrame = {
+    val model = li
+      .groupBy(col(g))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("yc")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("yc")).as("sxy"))
+      .selectExpr(
+        g, "n",
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) *
+          |  (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
+          |  div (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+          |  AS BIGINT) AS slope_micro""".stripMargin,
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) *
+          |  (CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy))
+          |  div (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+          |  AS BIGINT) AS intercept_micro""".stripMargin)
+    li.join(broadcast(model), Seq(g))
+      .select(
+        col(g), col("n"),
+        col("slope_micro"), col("intercept_micro"),
+        abs(col("yc") * lit(1000000L) - col("slope_micro") * col("x") -
+          col("intercept_micro")).as("r"))
+      .groupBy(col(g), col("n"),
+        col("slope_micro"), col("intercept_micro"))
+      .agg(sum(col("r").cast(DecimalType(38, 0))).as("rsum"))
+      .selectExpr(
+        g, "n", "slope_micro", "intercept_micro",
+        "CAST(rsum div CAST(n AS DECIMAL(38,0)) AS BIGINT) AS mae_micro")
+  }
+
+  private val regOlsGroupSql =
+    """WITH li AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS yc
+      |  FROM lineitem),
+      |model AS (
+      |  SELECT l_returnflag, n,
+      |    CAST((CAST(1000000 AS HUGEINT) *
+      |      (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)) //
+      |      (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      |      AS BIGINT) AS slope_micro,
+      |    CAST((CAST(1000000 AS HUGEINT) *
+      |      (CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy)) //
+      |      (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      |      AS BIGINT) AS intercept_micro
+      |  FROM (
+      |    SELECT l_returnflag, count(*) AS n,
+      |      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+      |      CAST(sum(x * x) AS BIGINT) AS sxx,
+      |      CAST(sum(x * yc) AS BIGINT) AS sxy
+      |    FROM li GROUP BY l_returnflag) m)
+      |SELECT li.l_returnflag, n, slope_micro, intercept_micro,
+      |  CAST(sum(CAST(abs(yc * 1000000 - slope_micro * x - intercept_micro)
+      |      AS HUGEINT)) // CAST(n AS HUGEINT) AS BIGINT) AS mae_micro
+      |FROM li JOIN model ON li.l_returnflag = model.l_returnflag
+      |GROUP BY li.l_returnflag, n, slope_micro, intercept_micro""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "reg_ols_group" -> Q(regOlsGroup _, regOlsGroupSql),
     "agg_cube" -> Q(cubeAgg _, cubeAggSql),
     "agg_basic_stats" -> Q(basicStats _, basicStatsSql),
     "agg_count_null_policy" -> Q(countNullPolicy _, countNullPolicySql),

@@ -134,4 +134,22 @@ class PropertySpec extends AnyFunSuite {
         .readFeather(spark, fPath).collect()) == base)
     }
   }
+
+  test("grouped OLS recovers a noiseless integer linear relation exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // y_cents = 250*x + 1700 in group a; y = -40*x + 90000 in group b —
+    // slope/intercept must come back as EXACT micro-units and MAE = 0,
+    // including the negative-slope group (div/'//' truncation parity).
+    val rows = (1L to 200L).flatMap { x =>
+      Seq(("a", x, 250 * x + 1700), ("b", x, -40 * x + 90000))
+    }
+    val df = rows.toDF("g", "x", "yc")
+    val got = queries.Aggregates.olsFitOver(df, "g").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("slope_micro"), r.getAs[Long]("intercept_micro"),
+          r.getAs[Long]("mae_micro"))).toMap
+    assert(got("a") == ((250000000L, 1700000000L, 0L)))
+    assert(got("b") == ((-40000000L, 90000000000L, 0L)))
+  }
 }
