@@ -535,6 +535,94 @@ object Extras {
       |SELECT allb.bucket, coalesce(b.n, 0) AS n
       |FROM allb LEFT JOIN b USING (bucket)""".stripMargin
 
+  /** Linear interpolation over resampled gaps — the reference's
+    * `DataFrame.interpolate(method='linear')`
+    * (python/cudf/cudf/core/indexed_frame.py:1928,
+    * algorithms.py:126 `_interpolation`), re-expressed as a
+    * calendar-completed per-user daily series: each user's missing days
+    * get prev + ((next − prev)·(day − prev_day)) div (next_day −
+    * prev_day) in integer cents. A single formula covers present days
+    * too (both deltas collapse to zero), but present rows short-circuit
+    * through coalesce so no 0/0 division is ever evaluated.
+    *
+    * Exactness: daily values are cent sums (longs), day arithmetic is
+    * epoch-day integers, and the one division is div/'//' (identical
+    * truncation in both engines, negative slopes included) — hash-exact.
+    *
+    * Scale shape: one (user, day) aggregate; the calendar completion is
+    * a per-user bounded sequence explode; both neighbor lookups ride ONE
+    * user-partitioned sort (two frames over the same window ordering).
+    * Every key is (user_id) — no global sort, no driver logic.
+    */
+  private def resampleInterpolate(s: SparkSession, dir: String): DataFrame =
+    interpolateDaily(Tables
+      .events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100).cast(LongType).as("vc"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("vc")).as("v")))
+
+  /** The gap-fill + linear-interpolation core over any (user_id, day, v)
+    * daily frame — public so specs can pin exact interpolation on
+    * synthetic gaps (rising, falling, and truncating segments).
+    */
+  def interpolateDaily(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val span = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    span
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(wPrev).as("pd"),
+        first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(wNext).as("nd"))
+      .select(col("user_id"), col("day"),
+        coalesce(col("v"),
+          col("pv") + expr("((nv - pv) * (day - pd)) div (nd - pd)"))
+          .as("v_cents"),
+        col("v").isNull.as("interpolated"))
+  }
+
+  private val resampleInterpolateSql =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    sum(CAST(floor(value * 100) AS BIGINT)) AS v
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT user_id, u.x AS day FROM (
+      |    SELECT user_id, min(day) AS lo, max(day) AS hi
+      |    FROM daily GROUP BY user_id) b, unnest(range(lo, hi + 1)) AS u(x)),
+      |nb AS (
+      |  SELECT span.user_id, span.day, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY span.user_id
+      |      ORDER BY span.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN span.day END IGNORE NULLS)
+      |      OVER (PARTITION BY span.user_id ORDER BY span.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY span.user_id
+      |      ORDER BY span.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN span.day END IGNORE NULLS)
+      |      OVER (PARTITION BY span.user_id ORDER BY span.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM span LEFT JOIN daily
+      |    ON span.user_id = daily.user_id AND span.day = daily.day)
+      |SELECT user_id, day,
+      |  coalesce(v, pv + ((nv - pv) * (day - pd)) // (nd - pd)) AS v_cents,
+      |  v IS NULL AS interpolated
+      |FROM nb""".stripMargin
+
   /** code_points (attributes.hpp:90), partition/rpartition
     * (split/partition.hpp:60,94 — first/last-occurrence split into
     * before/sep/after), repeat with per-row count, char-set trim.
@@ -892,6 +980,7 @@ object Extras {
     "str_partition_points" -> Q(strPartitionPoints _, strPartitionPointsSql),
     "interval_overlap" -> Q(intervalOverlap _, intervalOverlapSql),
     "resample_asfreq" -> Q(resampleAsfreq _, resampleAsfreqSql),
+    "resample_interpolate" -> Q(resampleInterpolate _, resampleInterpolateSql),
     "filter_isin" -> Q(filterIsin _, filterIsinSql),
     "win_sessionize" -> Q(sessionize _, sessionizeSql),
     "agg_quantile_modes" -> Q(quantileModes _, quantileModesSql),

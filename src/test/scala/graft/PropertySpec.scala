@@ -152,4 +152,31 @@ class PropertySpec extends AnyFunSuite {
     assert(got("a") == ((250000000L, 1700000000L, 0L)))
     assert(got("b") == ((-40000000L, 90000000000L, 0L)))
   }
+
+  test("linear interpolation fills gaps exactly, truncation parity on falls") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // user 1: rising 100 -> 400 with days 11,12 missing (exact thirds);
+    // user 2: falling 10 -> 3 over a 3-day gap (negative slope, inexact
+    // division -> truncation toward zero must match the oracle contract);
+    // user 3: single day (no gap rows at all).
+    val daily = Seq(
+      (1L, 10L, 100L), (1L, 13L, 400L),
+      (2L, 20L, 10L), (2L, 23L, 3L),
+      (3L, 30L, 7L)
+    ).toDF("user_id", "day", "v")
+    val got = queries.Extras.interpolateDaily(daily).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("v_cents"), r.getAs[Boolean]("interpolated"))).toMap
+    assert(got((1L, 10L)) == ((100L, false)))
+    assert(got((1L, 11L)) == ((200L, true)))
+    assert(got((1L, 12L)) == ((300L, true)))
+    assert(got((1L, 13L)) == ((400L, false)))
+    // fall of -7 over 3 days: 10 + (-7*1) div 3 = 10 + (-2) = 8;
+    // 10 + (-7*2) div 3 = 10 + (-4) = 6 (trunc toward zero, NOT floor)
+    assert(got((2L, 21L)) == ((8L, true)))
+    assert(got((2L, 22L)) == ((6L, true)))
+    assert(got((3L, 30L)) == ((7L, false)))
+    assert(got.size == 9)
+  }
 }
