@@ -419,6 +419,63 @@ object Extras {
     * cheaper down the funnel. Conversion ratios ride a broadcast 1-row
     * cross join.
     */
+  /** Cohort retention matrix — users grouped by first-activity day, each
+    * cohort's active-user count at day offsets 0..13 plus retention as
+    * ppm of the cohort's size (the second product-analytics staple next
+    * to [[funnelConversion]]). Integer end-to-end: epoch-day buckets,
+    * distinct-user counts, and a (n·10⁶) div cohort_size ratio.
+    *
+    * Scale shape: events collapse to distinct (user, day) pairs first
+    * (one user-keyed aggregate — the keyspace is users×days, not
+    * events); first-day is a second user-keyed aggregate that rides the
+    * SAME hash partitioning (no extra exchange between them); the
+    * retention cells are a compact (cohort, offset) aggregate; cohort
+    * sizes join back by broadcast (cohort-day keyspace is calendar-
+    * bounded). No global sorts, no driver logic.
+    */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val firstDay = active
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val cells = active
+      .join(firstDay, Seq("user_id"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("offset"))
+      .filter(col("offset") <= 13)
+      .groupBy(col("cohort_day"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cells
+      .filter(col("offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    cells
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("offset"), col("n_users"),
+        col("cohort_size"),
+        expr("(n_users * 1000000) div cohort_size").as("retention_ppm"))
+  }
+
+  private val cohortRetentionSql =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |fd AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id),
+      |cells AS (
+      |  SELECT cohort_day, day - cohort_day AS "offset",
+      |    count(*) AS n_users
+      |  FROM active JOIN fd USING (user_id)
+      |  WHERE day - cohort_day <= 13
+      |  GROUP BY 1, 2),
+      |sz AS (
+      |  SELECT cohort_day, n_users AS cohort_size FROM cells
+      |  WHERE "offset" = 0)
+      |SELECT cohort_day, "offset", n_users, cohort_size,
+      |  (n_users * 1000000) // cohort_size AS retention_ppm
+      |FROM cells JOIN sz USING (cohort_day)""".stripMargin
+
   private def funnelConversion(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
@@ -974,6 +1031,7 @@ object Extras {
     "outlier_mad" -> Q(outlierMad _, outlierMadSql),
     "clean_winsorize" -> Q(cleanWinsorize _, cleanWinsorizeSql),
     "funnel_conversion" -> Q(funnelConversion _, funnelConversionSql),
+    "cohort_retention" -> Q(cohortRetention _, cohortRetentionSql),
     "validate_expectations" -> Q(validateExpectations _, validateExpectationsSql),
     "frame_value_counts" -> Q(frameValueCounts _, frameValueCountsSql),
     "frame_describe" -> Q(frameDescribe _, frameDescribeSql),
