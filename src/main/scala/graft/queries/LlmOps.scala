@@ -1240,6 +1240,135 @@ object LlmOps {
     * oracled — every fold, argmin tie, and subspace-sum order is
     * mirrored bit-exact in the DuckDB twin (see pqTopK scaladoc).
     */
+  /** ANN recall audit: recall@10 of single-probe SRP-LSH retrieval vs
+    * the exact brute-force top-10, per query vector (vec_id < 8 are the
+    * queries, the rest the corpus) — the self-certification number every
+    * ANN deployment reports. Buckets are 4 signed-hyperplane bits (16
+    * buckets — sized so the synthetic near-orthogonal corpus still puts
+    * tens of candidates per bucket; production uses 16-24 bits + multi-
+    * probe, same shape). The ±1 plane weights are the portable LCG
+    * parity of [[dedupEmbCosine]] (plane index p·64+j), so candidate
+    * generation, scoring, ranking, and the recall arithmetic are ALL
+    * replicated by the DuckDB twin — the audit itself is oracle-checked.
+    *
+    * Exactness: both engines fold dots ascending (DotF64 = list_reduce),
+    * so scores are bit-identical IEEE doubles and the (cos desc, vec_id)
+    * ranking matches; recall counts are integers.
+    *
+    * Scale shape: bucket assignment is map-side (literal planes); the 8
+    * queries broadcast; the exact side is one corpus scan × |Q| with a
+    * qid-partitioned top-k window (bounded by the AUDIT's query-sample
+    * size by design — auditing recall on a sample, not the full query
+    * log, is the production pattern); the LSH side only scores the
+    * bucket-matched slice. No corpus×corpus joins anywhere.
+    */
+  private def simLshRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotF64.dotf64
+    import org.apache.spark.sql.expressions.Window
+    val (dimsMin, dimsMax) = embDims(s, dir)
+    require(dimsMin == 64 && dimsMax == 64,
+      s"simLshRecall planes are built for 64-dim embeddings, got " +
+        s"min=$dimsMin max=$dimsMax")
+    def weight(p: Int, j: Int): Double =
+      if ((((1103515245L * (p * 64 + j) + 12345L) % 2147483648L >> 16) & 1L) == 1L)
+        1.0 else -1.0
+    val planes: Seq[Column] = (0 until 4).map { p =>
+      array((0 until 64).map(j => lit(weight(p, j))): _*)
+    }
+    val bucket = (0 until 4)
+      .map { i =>
+        (dotf64(col("e"), planes(i)) > lit(0.0))
+          .cast(IntegerType) * lit(1 << (3 - i))
+      }
+      .reduce(_ + _)
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), embDouble.as("e"))
+      .withColumn("bucket", bucket)
+      .withColumn("n2", dotf64(col("e"), col("e")))
+    val q = e
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("bucket").as("qbucket"), col("n2").as("qn2"))
+    val scored = e
+      .filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(q))
+      .select(
+        col("qid"), col("vec_id"),
+        (dotf64(col("e"), col("qe")) / (sqrt(col("n2")) * sqrt(col("qn2"))))
+          .as("cos"),
+        (col("bucket") === col("qbucket")).as("in_bucket"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = scored
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val cand = scored.filter(col("in_bucket"))
+    val approx = cand
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val nCand = cand.groupBy(col("qid")).agg(count(lit(1)).as("nc"))
+    val hits = exact
+      .join(approx, Seq("qid", "vec_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("nh"))
+    q.select(col("qid"))
+      .join(nCand, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("nh"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000) div 10"))
+  }
+
+  private val simLshRecallSql =
+    """WITH e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |e1 AS (
+      |  SELECT vec_id, e,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (a, v) -> a + v) AS n2,
+      |    list_reduce(list_prepend(0, list_transform(range(0, 4), i ->
+      |      CASE WHEN
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(0, 64), j ->
+      |            e[j + 1] * (CASE WHEN ((1103515245 * (i * 64 + j) + 12345) % 2147483648 >> 16) & 1 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+      |          (a, v) -> a + v)
+      |        > CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END)),
+      |      (acc, bit) -> acc * 2 + bit) AS bucket
+      |  FROM e0),
+      |q AS (SELECT vec_id AS qid, e AS qe, n2 AS qn2, bucket AS qbucket
+      |  FROM e1 WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT qid, c.vec_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(e) + 1), i -> e[i] * qe[i])),
+      |      (a, v) -> a + v) / (sqrt(n2) * sqrt(qn2)) AS cos,
+      |    c.bucket = qbucket AS in_bucket
+      |  FROM (SELECT * FROM e1 WHERE vec_id >= 8) c CROSS JOIN q),
+      |exact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |    FROM scored) t WHERE rn <= 10),
+      |cand AS (SELECT * FROM scored WHERE in_bucket),
+      |approx AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |    FROM cand) t WHERE rn <= 10),
+      |nc AS (SELECT qid, count(*) AS nc FROM cand GROUP BY qid),
+      |h AS (SELECT qid, count(*) AS nh
+      |  FROM exact JOIN approx USING (qid, vec_id) GROUP BY qid)
+      |SELECT q.qid, coalesce(nc, 0) AS n_candidates,
+      |  coalesce(nh, 0) AS n_hits,
+      |  (coalesce(nh, 0) * 1000000) // 10 AS recall_ppm
+      |FROM q LEFT JOIN nc ON q.qid = nc.qid
+      |LEFT JOIN h ON q.qid = h.qid""".stripMargin
+
   private def simIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
     val M = 8
     val K = 16
@@ -2473,6 +2602,7 @@ object LlmOps {
     "split_leakage_safe" -> Q(splitLeakageSafe _, splitLeakageSafeSql),
     "dedup_component_stats" -> Q(dedupComponentStats _, dedupComponentStatsSql),
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
+    "sim_lsh_recall" -> Q(simLshRecall _, simLshRecallSql),
     "emb_quantize" -> Q(embQuantize _, embQuantizeSql),
     "dedup_semantic" -> Q(dedupSemantic _, dedupSemanticSql),
     "multimodal_meta" -> Q(multimodalMeta _, multimodalMetaSql)
