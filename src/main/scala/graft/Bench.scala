@@ -91,7 +91,19 @@ object Bench {
     // 22-query NDS-H bench coverage so a regression in any port is
     // driver-visible, not just gate-correct
     "ndsh_q7", "ndsh_q8", "ndsh_q13", "ndsh_q15", "ndsh_q17",
-    "ndsh_q19", "ndsh_q22")
+    "ndsh_q19", "ndsh_q22",
+    // round-10 late additions: the retrieval pair (inverted-index build
+    // — the classic (tok, doc_id) index shuffle — and BM25's broadcast
+    // term-model scoring + TakeOrdered ranking), the SRP-LSH recall
+    // audit (corpus×|Q| map-side scoring, the ANN self-certification
+    // pass), and cohort retention (two user-keyed aggregates sharing a
+    // partitioning + a broadcast ratio join)
+    "index_postings", "text_bm25_topk", "sim_lsh_recall",
+    "cohort_retention",
+    // round-10 late additions (cont.): grouped integer OLS (two linear
+    // scans + 3-row broadcast model) and daily linear interpolation
+    // (one user-day aggregate + one user-partitioned window sort)
+    "reg_ols_group", "resample_interpolate")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime
