@@ -306,6 +306,67 @@ object Aggregates {
        |  CAST(grouping(l_linestatus) AS TINYINT) AS g_status
        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** MODE per group (pandas `Series.mode` / DuckDB `mode()`): the most
+    * frequent quantity per linestatus, tie-broken to the SMALLEST value
+    * so the answer is deterministic (DuckDB's mode() picks an arbitrary
+    * tie winner — both sides therefore rank explicitly instead).
+    *
+    * Scale shape: a (group, value) count aggregate (map-side combined)
+    * then a group-partitioned top-1 window over the collapsed counts —
+    * the window input is |groups|×|distinct values|, not rows.
+    */
+  private def modeAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_linestatus"), col("l_quantity").cast(LongType).as("q"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("l_linestatus"))
+          .orderBy(col("n").desc, col("q"))))
+      .filter(col("rn") === 1)
+      .select(col("l_linestatus"), col("q").as("mode_qty"), col("n"))
+  }
+
+  private val modeAggSql =
+    """SELECT l_linestatus, q AS mode_qty, n FROM (
+      |  SELECT l_linestatus, q, n,
+      |    row_number() OVER (PARTITION BY l_linestatus
+      |      ORDER BY n DESC, q) AS rn
+      |  FROM (SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS q,
+      |          count(*) AS n
+      |        FROM lineitem GROUP BY 1, 2) c) r
+      |WHERE rn = 1""".stripMargin
+
+  /** Explicit GROUPING SETS (the general form the cube/rollup queries
+    * specialize): per-flag totals, per-(flag, status) cells, and the
+    * grand total in one pass — Spark's SQL surface, since the DataFrame
+    * API exposes only cube/rollup. Same one-Expand-one-Aggregate plan
+    * as cube, just a sparser set list.
+    */
+  private def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_gsets")
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(floor(l_extendedprice * 1e4)) AS DOUBLE) / 1e4
+         |    AS sum_price,
+         |  count(*) AS n,
+         |  CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS TINYINT) AS g_status
+         |FROM li_gsets
+         |GROUP BY GROUPING SETS ((l_returnflag),
+         |  (l_returnflag, l_linestatus), ())""".stripMargin)
+  }
+
+  private val groupingSetsAggSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_extendedprice")} AS sum_price, count(*) AS n,
+       |  CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+       |  CAST(grouping(l_linestatus) AS TINYINT) AS g_status
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag),
+       |  (l_returnflag, l_linestatus), ())""".stripMargin
+
   /** Grouped OLS: per-returnflag linear fit of extendedprice (cents) on
     * quantity, plus the in-sample mean absolute residual of the INTEGER
     * model — the groupwise regression surface (DuckDB's regr_slope /
@@ -400,6 +461,8 @@ object Aggregates {
 
   def queries: Map[String, Q] = Map(
     "reg_ols_group" -> Q(regOlsGroup _, regOlsGroupSql),
+    "agg_mode" -> Q(modeAgg _, modeAggSql),
+    "agg_grouping_sets" -> Q(groupingSetsAgg _, groupingSetsAggSql),
     "agg_cube" -> Q(cubeAgg _, cubeAggSql),
     "agg_basic_stats" -> Q(basicStats _, basicStatsSql),
     "agg_count_null_policy" -> Q(countNullPolicy _, countNullPolicySql),

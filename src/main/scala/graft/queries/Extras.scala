@@ -419,6 +419,160 @@ object Extras {
     * cheaper down the funnel. Conversion ratios ride a broadcast 1-row
     * cross join.
     */
+  /** Event-path transition matrix — corpus-wide counts of consecutive
+    * (event_type → event_type) steps per user, ordered by timestamp
+    * (ties broken by event_id so the sequence is total), with each
+    * source's outgoing probability in ppm. The Markov-chain view of the
+    * event stream: the third product-analytics staple after
+    * [[funnelConversion]] and [[cohortRetention]]. Integer counts and
+    * one div — hash-exact.
+    *
+    * Scale shape: ONE user-partitioned window sort produces every
+    * consecutive pair (no self-join on the event table), the transition
+    * aggregate's keyspace is |types|² = 25, and the per-source totals
+    * ride a window over that 25-row frame. The event payload never
+    * shuffles twice.
+    */
+  private def pathTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("n"),
+        expr("(n * 1000000) div from_total").as("p_ppm"))
+  }
+
+  private val pathTransitionsSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |tr AS (
+      |  SELECT src, dst, count(*) AS n FROM seq
+      |  WHERE dst IS NOT NULL GROUP BY src, dst)
+      |SELECT src, dst, n,
+      |  (n * 1000000) // sum(n) OVER (PARTITION BY src) AS p_ppm
+      |FROM tr""".stripMargin
+
+  /** Per-user-day time-weighted average of the event value (TWAP): each
+    * event's cents value weighted by the whole seconds until the next
+    * event that day, the day's last event carrying weight to midnight.
+    * Integer cents·seconds sums and one div — hash-exact. The time-
+    * series aggregate order-books and metering pipelines use where a
+    * plain mean is wrong (irregular sampling).
+    *
+    * Scale shape: one (user, day)-keyed window sort (same exchange
+    * shape as sessionize) then a (user, day) aggregate that rides the
+    * same partitioning. Keys are compact; values never shuffle raw.
+    */
+  private def twapDaily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("unix_micros(ts) div 1000000").as("sec"),
+        col("event_id"),
+        floor(col("value") * 100).cast(LongType).as("vc"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("sec"), col("event_id"))
+    ev
+      .withColumn("nxt", lead(col("sec"), 1).over(w))
+      .select(col("user_id"), col("day"), col("vc"),
+        (coalesce(col("nxt"), (col("day") + 1) * 86400L) - col("sec"))
+          .as("dur"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("vc") * col("dur")).as("wsum"),
+        sum(col("dur")).as("tsum"))
+      .select(col("user_id"), col("day"), col("n_events"),
+        expr("wsum div tsum").as("twap_cents"))
+  }
+
+  private val twapDailySql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    epoch_us(ts) // 1000000 AS sec, event_id,
+      |    CAST(floor(value * 100) AS BIGINT) AS vc
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, day, vc,
+      |    coalesce(lead(sec) OVER (PARTITION BY user_id, day
+      |        ORDER BY sec, event_id),
+      |      (day + 1) * 86400) - sec AS dur
+      |  FROM ev)
+      |SELECT user_id, day, count(*) AS n_events,
+      |  CAST(sum(vc * dur) AS BIGINT) // CAST(sum(dur) AS BIGINT)
+      |    AS twap_cents
+      |FROM d GROUP BY user_id, day""".stripMargin
+
+  /** Welch two-sample test between the click and view value
+    * distributions — the A/B-testing aggregate. Moments (n, Σcents,
+    * Σcents²) are exact long sums; means/variances/t² are then IEEE
+    * doubles computed from those identical integers with the identical
+    * expression tree in both engines (the [[Aggregates]] varStd
+    * pattern), so even the 6dp-rounded t² is deterministic.
+    *
+    * Scale shape: one map-side-combined 2-group aggregate, one 2-row
+    * self-join — nothing scales with the corpus but the first scan.
+    */
+  private def abWelchT(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        floor(col("value") * 100).cast(LongType).as("vc"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("vc")).as("s1"),
+        sum(col("vc") * col("vc")).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1").cast(DoubleType) / col("n")).as("m"),
+        ((col("s2") - col("s1").cast(DoubleType) * col("s1") / col("n")) /
+          (col("n") - 1)).as("v"))
+    val a = m.filter(col("event_type") === "click")
+      .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+    val b = m.filter(col("event_type") === "view")
+      .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
+    a.crossJoin(b)
+      .select(col("n1"), col("n2"),
+        round((col("m1") - col("m2")) / 100, 6).as("mean_diff_6dp"),
+        round(
+          ((col("m1") - col("m2")) * (col("m1") - col("m2"))) /
+            (col("v1") / col("n1") + col("v2") / col("n2")), 6)
+          .as("t2_6dp"))
+  }
+
+  private val abWelchTSql =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(vc) AS BIGINT) AS s1, CAST(sum(vc * vc) AS BIGINT) AS s2
+      |  FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc
+      |        FROM events WHERE event_type IN ('click', 'view')) t
+      |  GROUP BY event_type),
+      |p AS (
+      |  SELECT event_type, n,
+      |    CAST(s1 AS DOUBLE) / n AS m,
+      |    (s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS v
+      |  FROM m),
+      |a AS (SELECT n AS n1, m AS m1, v AS v1 FROM p
+      |  WHERE event_type = 'click'),
+      |b AS (SELECT n AS n2, m AS m2, v AS v2 FROM p
+      |  WHERE event_type = 'view')
+      |SELECT n1, n2,
+      |  round((m1 - m2) / 100, 6) AS mean_diff_6dp,
+      |  round(((m1 - m2) * (m1 - m2)) / (v1 / n1 + v2 / n2), 6) AS t2_6dp
+      |FROM a CROSS JOIN b""".stripMargin
+
   /** Cohort retention matrix — users grouped by first-activity day, each
     * cohort's active-user count at day offsets 0..13 plus retention as
     * ppm of the cohort's size (the second product-analytics staple next
@@ -1032,6 +1186,9 @@ object Extras {
     "clean_winsorize" -> Q(cleanWinsorize _, cleanWinsorizeSql),
     "funnel_conversion" -> Q(funnelConversion _, funnelConversionSql),
     "cohort_retention" -> Q(cohortRetention _, cohortRetentionSql),
+    "path_transitions" -> Q(pathTransitions _, pathTransitionsSql),
+    "twap_daily" -> Q(twapDaily _, twapDailySql),
+    "ab_welch_t" -> Q(abWelchT _, abWelchTSql),
     "validate_expectations" -> Q(validateExpectations _, validateExpectationsSql),
     "frame_value_counts" -> Q(frameValueCounts _, frameValueCountsSql),
     "frame_describe" -> Q(frameDescribe _, frameDescribeSql),
