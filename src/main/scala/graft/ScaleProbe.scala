@@ -204,6 +204,30 @@ object ScaleProbe {
         f"""{"probe":"cms_cells","factor":$f,"cells":${cells.size},"max_dev":$maxDev,"secs":$secs%.2f}""")
     }
 
+    // bm25 axis: replicate the corpus N× (fresh doc_ids). Every factor
+    // in the micro-score formula (tf, dl fixed; df, N, SL all ×f)
+    // scales so the per-term ratio is EXACTLY invariant — the base
+    // docs' scores must come back unchanged to the micro-unit, and the
+    // query-term pick (df-ranked) must be stable. A max_dev of 0 is
+    // simultaneously a determinism witness and the shard-merge
+    // property (a replicated corpus IS f merged shards).
+    val bm25Ref = new scala.collection.mutable.HashMap[Long, Long]()
+    def probeBm25(f: Int, big: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val scores = queries.Retrieval.bm25ScoresOver(big)
+        .filter(col("doc_id") < 1000000000L)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("bm25_micro")).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (f == factors.min) bm25Ref ++= scores
+      val maxDev =
+        if (bm25Ref.isEmpty) -1L
+        else scores.map { case (k, v) =>
+          math.abs(v - bm25Ref.getOrElse(k, Long.MinValue))
+        }.max
+      println(
+        f"""{"probe":"bm25_invariance","factor":$f,"scored_docs":${scores.size},"max_dev":$maxDev,"secs":$secs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
@@ -217,6 +241,7 @@ object ScaleProbe {
       probeSubstring(f, replicated)
       probePca(f)
       probeCms(f, replicated)
+      probeBm25(f, replicated)
 
       // realistic: salt every token per replica so all shingles differ
       // across replicas (replica 0 keeps the original text, so the base

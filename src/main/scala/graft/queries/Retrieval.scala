@@ -117,10 +117,19 @@ object Retrieval {
     * At 100 TB only the 5-term-filtered slice of tf flows past the
     * broadcast join.
     */
-  private def textBm25Topk(s: SparkSession, dir: String): DataFrame = {
+  private def textBm25Topk(s: SparkSession, dir: String): DataFrame =
+    bm25ScoresOver(Tables.documents(s, dir))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(10)
+
+  /** The full per-doc BM25 score frame over any (doc_id, text) corpus —
+    * public so ScaleProbe can pin the replication-invariance property
+    * (every factor in the micro-score formula scales linearly with
+    * corpus replication, so per-doc scores are EXACTLY unchanged).
+    */
+  def bm25ScoresOver(documents: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val tf = Tables
-      .documents(s, dir)
+    val tf = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
@@ -157,8 +166,6 @@ object Retrieval {
       .agg(
         count(lit(1)).as("n_terms"),
         sum(col("score_micro")).as("bm25_micro"))
-      .orderBy(col("bm25_micro").desc, col("doc_id"))
-      .limit(10)
   }
 
   private val textBm25TopkSql =
