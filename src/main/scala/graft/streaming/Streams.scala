@@ -95,6 +95,43 @@ object Streams {
       .toDF("user_id", "last_n_mean", "n_in_window")
   }
 
+  /** Streaming Markov transition emitter — the streaming face of the
+    * batch `path_transitions` query: per user, each arriving event emits
+    * the (src → dst) step from the previous event, with exactly ONE
+    * (sec, event_id, event_type) row of state per user (bounded by the
+    * user domain, not the stream length — the same state shape a
+    * sessionizer keeps). Within a micro-batch events are ordered by
+    * (sec, event_id), the same total order as the batch window; output
+    * is the append-mode step stream, so a downstream batch aggregate
+    * over the sink equals the batch transition counts EXACTLY when the
+    * replay preserves per-user arrival order (one file, AvailableNow) —
+    * the differential anchor StreamingSpec pins.
+    */
+  def transitionSteps(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (Long, String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[(Long, Long, String)]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._2, r._3))
+          var last = state.getOption
+          val out = Seq.newBuilder[(Long, String, String)]
+          ordered.foreach { r =>
+            last.foreach(l => out += ((uid, l._3, r._4)))
+            last = Some((r._2, r._3, r._4))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "src", "dst")
+  }
+
   /** Streaming exact dedup with bounded state: drop duplicate event ids,
     * keeping state only within the watermark horizon -- the streaming twin
     * of the batch dedup pipeline (state store size is bounded by the

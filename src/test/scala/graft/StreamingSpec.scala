@@ -355,4 +355,25 @@ class StreamingSpec extends AnyFunSuite {
         s"window $w: est=$est exact=$d")
     }
   }
+
+  test("streaming transition steps aggregate to the batch Markov counts") {
+    // single sorted file => one AvailableNow micro-batch, so per-user
+    // arrival order equals the batch (ts, event_id) total order
+    val d = Files.createTempDirectory("graft-stream-trans").toString
+    Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    val stream = Streams.readEventStream(spark, d)
+    val steps = Streams.runToCompletion(
+      spark, Streams.transitionSteps(spark, stream), "t_trans", "append")
+    val got = steps.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exp = SparkEntry.queries("path_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(got == exp, s"stream/batch transition counts diverge")
+    // bounded state: emitted steps = events - users (one state row each)
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(steps.count() == nEvents - nUsers)
+  }
 }
