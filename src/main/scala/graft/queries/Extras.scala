@@ -515,6 +515,67 @@ object Extras {
       |    AS twap_cents
       |FROM d GROUP BY user_id, day""".stripMargin
 
+  /** RFM segmentation — recency/frequency/monetary quartiles per user,
+    * collapsed to segment-level counts (the classic CRM/product
+    * segmentation). Quartiles are ntile(4) with a (metric, user_id)
+    * total order so every boundary is deterministic in both engines
+    * ([[Relational]] qcut convention). Recency is days from the user's
+    * last event to the corpus' last day — computed via a 1-row
+    * broadcast, not a driver round-trip.
+    *
+    * Scale shape: events collapse to ONE user-keyed aggregate first, so
+    * the three ntile windows sort the |users| frame, not events; at
+    * 100 TB the boundaries would come from approx quantiles broadcast +
+    * map-side bucketing — same output contract, same downstream
+    * aggregate. The segment report is ≤ 64 rows.
+    */
+  private def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100).cast(LongType).as("vc"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("vc")).as("mon"))
+    val corpusMax = users.agg(max(col("last_day")).as("corpus_last"))
+    val rfm = users
+      .crossJoin(broadcast(corpusMax))
+      .select(col("user_id"), col("freq"), col("mon"),
+        (col("corpus_last") - col("last_day")).as("rec"))
+      .select(col("user_id"), col("freq"), col("mon"),
+        // recency quartile 1 = most recent, so order rec ASC
+        ntile(4).over(Window.orderBy(col("rec"), col("user_id")))
+          .cast(LongType).as("r_q"),
+        // frequency/monetary quartile 4 = heaviest, order ASC
+        ntile(4).over(Window.orderBy(col("freq"), col("user_id")))
+          .cast(LongType).as("f_q"),
+        ntile(4).over(Window.orderBy(col("mon"), col("user_id")))
+          .cast(LongType).as("m_q"))
+    rfm
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"), sum(col("mon")).as("mon_cents"))
+  }
+
+  private val rfmSegmentsSql =
+    """WITH u AS (
+      |  SELECT user_id, max(epoch_us(ts) // 86400000000) AS last_day,
+      |    count(*) AS freq,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS mon
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(last_day) AS corpus_last FROM u),
+      |rfm AS (
+      |  SELECT user_id, freq, mon,
+      |    CAST(ntile(4) OVER (ORDER BY corpus_last - last_day, user_id)
+      |      AS BIGINT) AS r_q,
+      |    CAST(ntile(4) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_q,
+      |    CAST(ntile(4) OVER (ORDER BY mon, user_id) AS BIGINT) AS m_q
+      |  FROM u CROSS JOIN mx)
+      |SELECT r_q, f_q, m_q, count(*) AS n_users,
+      |  CAST(sum(mon) AS BIGINT) AS mon_cents
+      |FROM rfm GROUP BY r_q, f_q, m_q""".stripMargin
+
   /** Welch two-sample test between the click and view value
     * distributions — the A/B-testing aggregate. Moments (n, Σcents,
     * Σcents²) are exact long sums; means/variances/t² are then IEEE
@@ -1189,6 +1250,7 @@ object Extras {
     "path_transitions" -> Q(pathTransitions _, pathTransitionsSql),
     "twap_daily" -> Q(twapDaily _, twapDailySql),
     "ab_welch_t" -> Q(abWelchT _, abWelchTSql),
+    "rfm_segments" -> Q(rfmSegments _, rfmSegmentsSql),
     "validate_expectations" -> Q(validateExpectations _, validateExpectationsSql),
     "frame_value_counts" -> Q(frameValueCounts _, frameValueCountsSql),
     "frame_describe" -> Q(frameDescribe _, frameDescribeSql),

@@ -950,7 +950,67 @@ object TextOps {
        |FROM p GROUP BY doc_id""".stripMargin
   }
 
+  /** Top-20 collocations by pointwise mutual information over the
+    * corpus bigram stream: pmi = ln(c12·T / (c1·c2)) with c1/c2 the
+    * first/second-position marginals and T the bigram total — the
+    * phrase-mining signal (Church & Hanks 1990) corpus pipelines use to
+    * decide what becomes a single token. Counts are exact integers;
+    * the ratio and its ln ride the [[textLmScore]] convention (identical
+    * IEEE expression over identical longs, floored to micro-units), so
+    * ranking and values are hash-exact. c12 ≥ 5 kills the hapax noise
+    * PMI is notorious for.
+    *
+    * Scale shape: three token-keyed aggregates off one bigram stream
+    * (map-side combined; AQE reuses the exploded scan), the bigram
+    * total broadcast, and a TakeOrdered(20) final — never a global
+    * sort. Marginal tables are vocabulary-sized, not corpus-sized.
+    */
+  private def collocationPmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .select(toks(coalesce(col("text"), lit(""))).as("tk"))
+    val e = docs
+      .filter(size(col("tk")) >= 2)
+      .select(explode(sequence(lit(0), size(col("tk")) - 2)).as("i"),
+        col("tk"))
+      .select(expr("tk[i]").as("w1"), expr("tk[i + 1]").as("w2"))
+    val big = e.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val m1 = e.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val m2 = e.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val t = e.agg(count(lit(1)).as("t"))
+    big
+      .filter(col("c12") >= 5)
+      .join(m1, Seq("w1"))
+      .join(m2, Seq("w2"))
+      .crossJoin(broadcast(t))
+      .select(col("w1"), col("w2"), col("c12"),
+        floor(log(col("c12").cast(DoubleType) * col("t") /
+          (col("c1").cast(DoubleType) * col("c2"))) * 1e6)
+          .cast(LongType).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val collocationPmiSql =
+    """WITH d AS (
+      |  SELECT string_split(coalesce(text, ''), ' ') AS tk FROM documents),
+      |e AS (
+      |  SELECT tk[i + 1] AS w1, tk[i + 2] AS w2
+      |  FROM d, unnest(range(0, len(tk) - 1)) AS u(i)
+      |  WHERE len(tk) >= 2),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM e GROUP BY w1, w2),
+      |m1 AS (SELECT w1, count(*) AS c1 FROM e GROUP BY w1),
+      |m2 AS (SELECT w2, count(*) AS c2 FROM e GROUP BY w2),
+      |t AS (SELECT count(*) AS t FROM e)
+      |SELECT w1, w2, c12,
+      |  CAST(floor(ln(CAST(c12 AS DOUBLE) * t /
+      |    (CAST(c1 AS DOUBLE) * c2)) * 1e6) AS BIGINT) AS pmi_micro
+      |FROM big JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN t
+      |WHERE c12 >= 5
+      |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "text_collocation_pmi" -> Q(collocationPmi _, collocationPmiSql),
     "text_lm_score" -> Q(textLmScore _, textLmScoreSql),
     "text_df_prune" -> Q(dfPrune _, dfPruneSql),
     "text_repetition" -> Q(textRepetition _, textRepetitionSql),
