@@ -515,6 +515,48 @@ object Extras {
       |    AS twap_cents
       |FROM d GROUP BY user_id, day""".stripMargin
 
+  /** Rolling 7-day distinct actives — DAU, trailing WAU, and the
+    * DAU/WAU stickiness ratio per day (the engagement staple). Distinct
+    * counting over a SLIDING window can't ride an ordinary window
+    * function (count(DISTINCT) isn't frame-able in either engine);
+    * the scalable shape is the explode trick: each distinct (user, day)
+    * contributes itself to the 7 window-days it belongs to, and each
+    * window deduplicates — a bounded 7× expansion of the COLLAPSED
+    * (user, day) frame, not of raw events, all map-side before one
+    * user-keyed distinct aggregate. Integer counts and one div.
+    */
+  private def slidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val dau = active.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = active
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .distinct()
+      .groupBy(col("wday"))
+      .agg(count(lit(1)).as("wau"))
+    dau
+      .join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+  }
+
+  private val slidingDistinctSql =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM active GROUP BY day),
+      |wau AS (
+      |  SELECT wday, count(*) AS wau FROM (
+      |    SELECT DISTINCT user_id, day + o AS wday
+      |    FROM active, unnest(range(0, 7)) AS u(o)) w
+      |  GROUP BY wday)
+      |SELECT day, dau, wau, (dau * 1000000) // wau AS stickiness_ppm
+      |FROM dau JOIN wau ON day = wday""".stripMargin
+
   /** RFM segmentation — recency/frequency/monetary quartiles per user,
     * collapsed to segment-level counts (the classic CRM/product
     * segmentation). Quartiles are ntile(4) with a (metric, user_id)
@@ -1251,6 +1293,7 @@ object Extras {
     "twap_daily" -> Q(twapDaily _, twapDailySql),
     "ab_welch_t" -> Q(abWelchT _, abWelchTSql),
     "rfm_segments" -> Q(rfmSegments _, rfmSegmentsSql),
+    "win_sliding_distinct" -> Q(slidingDistinct _, slidingDistinctSql),
     "validate_expectations" -> Q(validateExpectations _, validateExpectationsSql),
     "frame_value_counts" -> Q(frameValueCounts _, frameValueCountsSql),
     "frame_describe" -> Q(frameDescribe _, frameDescribeSql),
