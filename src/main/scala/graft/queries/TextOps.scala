@@ -950,6 +950,72 @@ object TextOps {
        |FROM p GROUP BY doc_id""".stripMargin
   }
 
+  /** Zipf-law audit: OLS fit of ln(freq) on ln(rank) over the corpus
+    * token frequency table — slope_micro ≈ −10⁶·α, the corpus-law
+    * number (natural text ⇒ α ≈ 1; synthetic/templated corpora deviate,
+    * which is what this audits). Composition witness: the ln-micro
+    * integer inputs feed [[graft.queries.Aggregates.olsFitOver]]
+    * unchanged, and the DuckDB twin replicates the identical integer
+    * moment formulas — two independently-oracled operators composing
+    * without a new exactness argument.
+    *
+    * Scale shape: one token aggregate; the rank window runs over the
+    * VOCABULARY (collapsed counts), not the corpus; the fit is a 1-group
+    * moment aggregate over that same vocabulary frame.
+    */
+  private def zipfOls(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables
+      .documents(s, dir)
+      .select(explode(toks(coalesce(col("text"), lit(""))))
+        .as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+    val pts = freq.select(
+      lit("corpus").as("g"),
+      floor(log(col("rn").cast(DoubleType)) * 1e6).cast(LongType).as("x"),
+      floor(log(col("c").cast(DoubleType)) * 1e6).cast(LongType).as("yc"))
+    graft.queries.Aggregates.olsFitOver(pts, "g")
+  }
+
+  private val zipfOlsSql =
+    """WITH freq AS (
+      |  SELECT tok, count(*) AS c FROM (
+      |    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+      |    FROM documents) t
+      |  WHERE length(tok) > 0 GROUP BY tok),
+      |pts AS (
+      |  SELECT 'corpus' AS g,
+      |    CAST(floor(ln(CAST(row_number()
+      |      OVER (ORDER BY c DESC, tok) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS yc
+      |  FROM freq),
+      |m AS (
+      |  SELECT g, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * yc) AS BIGINT) AS sxy
+      |  FROM pts GROUP BY g),
+      |model AS (
+      |  SELECT g, n,
+      |    CAST((CAST(1000000 AS HUGEINT) *
+      |      (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)) //
+      |      (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      |      AS BIGINT) AS slope_micro,
+      |    CAST((CAST(1000000 AS HUGEINT) *
+      |      (CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy)) //
+      |      (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      |      AS BIGINT) AS intercept_micro
+      |  FROM m)
+      |SELECT pts.g, n, slope_micro, intercept_micro,
+      |  CAST(sum(CAST(abs(yc * 1000000 - slope_micro * x - intercept_micro)
+      |      AS HUGEINT)) // CAST(n AS HUGEINT) AS BIGINT) AS mae_micro
+      |FROM pts JOIN model ON pts.g = model.g
+      |GROUP BY pts.g, n, slope_micro, intercept_micro""".stripMargin
+
   /** Top-20 collocations by pointwise mutual information over the
     * corpus bigram stream: pmi = ln(c12·T / (c1·c2)) with c1/c2 the
     * first/second-position marginals and T the bigram total — the
@@ -1011,6 +1077,7 @@ object TextOps {
 
   def queries: Map[String, Q] = Map(
     "text_collocation_pmi" -> Q(collocationPmi _, collocationPmiSql),
+    "text_zipf_ols" -> Q(zipfOls _, zipfOlsSql),
     "text_lm_score" -> Q(textLmScore _, textLmScoreSql),
     "text_df_prune" -> Q(dfPrune _, dfPruneSql),
     "text_repetition" -> Q(textRepetition _, textRepetitionSql),
