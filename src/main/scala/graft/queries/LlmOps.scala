@@ -1369,6 +1369,87 @@ object LlmOps {
       |FROM q LEFT JOIN nc ON q.qid = nc.qid
       |LEFT JOIN h ON q.qid = h.qid""".stripMargin
 
+  /** Cluster-quality audit over the labeled embedding table: per label,
+    * the member count and the average cosine of members to their own
+    * label centroid — the cohesion half of a silhouette score (the
+    * audit that catches a collapsed or mislabeled cluster before
+    * training consumes it). Centroids are integer fixed-point: per-dim
+    * member sums of floor(x·10⁶) divided (div) by the member count, so
+    * both engines hold the IDENTICAL centroid; the member↔centroid
+    * cosine is then the same IEEE expression over those integers, and
+    * the per-label average rides the floored-micro sum (order-
+    * independent). Hash-exact end to end.
+    *
+    * Scale shape: one posexplode → (label, dim) sum aggregate (map-side
+    * combined; |labels|·d rows), centroid arrays rebuilt per label by a
+    * sorted collect over that SAME collapsed frame, then ONE broadcast
+    * join back onto members for the stateless cosine map and a final
+    * |labels|-group aggregate. The corpus never self-joins.
+    */
+  private def embLabelQuality(s: SparkSession, dir: String): DataFrame = {
+    val xq = Tables
+      .embeddings(s, dir)
+      .select(col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000D) AS BIGINT))")
+          .as("xq"))
+    val cent = xq
+      .select(col("label"), posexplode(col("xq")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("sx div n").as("c"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("label"),
+        expr("transform(dc, p -> p.c)").as("cent"))
+    xq.join(broadcast(cent), Seq("label"))
+      .select(col("label"),
+        expr("""aggregate(zip_with(xq, cent, (a, b) ->
+            CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("dot"),
+        expr("""aggregate(transform(xq, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("na"),
+        expr("""aggregate(transform(cent, b -> CAST(b AS DOUBLE) * CAST(b AS DOUBLE)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("nb"))
+      .select(col("label"),
+        (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.Agg.dsum(col("cos"), 6).as("avg_raw"))
+      .select(col("label"), col("n_vecs"),
+        round(col("avg_raw") / col("n_vecs"), 6).as("avg_cos_6dp"))
+  }
+
+  private val embLabelQualitySql =
+    s"""WITH xq AS (
+       |  SELECT label, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT label, u.dim, sum(xq[u.dim + 1]) AS sx, count(*) AS n
+       |  FROM xq, unnest(range(0, len(xq))) AS u(dim)
+       |  GROUP BY label, u.dim),
+       |cent AS (
+       |  SELECT label,
+       |    list(CAST(sx AS BIGINT) // n ORDER BY dim) AS cent
+       |  FROM dims GROUP BY label),
+       |j AS (
+       |  SELECT xq.label,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(xq) + 1),
+       |        i -> CAST(xq[i] AS DOUBLE) * CAST(cent[i] AS DOUBLE))),
+       |      (a, v) -> a + v) AS dot,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(xq, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))),
+       |      (a, v) -> a + v) AS na,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(cent, b -> CAST(b AS DOUBLE) * CAST(b AS DOUBLE))),
+       |      (a, v) -> a + v) AS nb
+       |  FROM xq JOIN cent ON xq.label = cent.label),
+       |c AS (SELECT label, dot / (sqrt(na) * sqrt(nb)) AS cos FROM j)
+       |SELECT label, count(*) AS n_vecs,
+       |  round(${graft.Agg.dsumSql("cos", 6)} / count(*), 6) AS avg_cos_6dp
+       |FROM c GROUP BY label""".stripMargin
+
   private def simIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
     val M = 8
     val K = 16
@@ -2603,6 +2684,7 @@ object LlmOps {
     "dedup_component_stats" -> Q(dedupComponentStats _, dedupComponentStatsSql),
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
     "sim_lsh_recall" -> Q(simLshRecall _, simLshRecallSql),
+    "emb_label_quality" -> Q(embLabelQuality _, embLabelQualitySql),
     "emb_quantize" -> Q(embQuantize _, embQuantizeSql),
     "dedup_semantic" -> Q(dedupSemantic _, dedupSemanticSql),
     "multimodal_meta" -> Q(multimodalMeta _, multimodalMetaSql)
