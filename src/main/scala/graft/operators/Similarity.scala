@@ -383,10 +383,18 @@ object Similarity {
     * `xq` frame (see [[pcaPowerTopComponent]] for algorithm and bounds).
     */
   private def powerIterate(xq: DataFrame, d0: Int, iters: Int): DataFrame = {
-    var v: DataFrame = xq.sparkSession.range(1).select(
+    // Lineage cut, same as PageRank's edge frame (GraphOps) and Dedup's
+    // label loop: the quantized corpus is materialized ONCE and each
+    // iteration's 1-row v is checkpointed, so iteration i's plan is one
+    // step deep instead of embedding all i-1 predecessors (the analyzer
+    // re-resolved the whole compound tree per step — measurable driver
+    // overhead even though execution was already linear). Values are
+    // unchanged: checkpointing only truncates lineage.
+    val xqc = xq.localCheckpoint()
+    var v: DataFrame = xqc.sparkSession.range(1).select(
       expr(s"transform(sequence(1, $d0), i -> CAST(1000000 AS BIGINT))").as("v"))
     for (_ <- 1 to iters) {
-      val ds = xq.crossJoin(broadcast(v)).select(
+      val ds = xqc.crossJoin(broadcast(v)).select(
         col("xq"),
         expr("""aggregate(zip_with(xq, v, (x, w) -> x * w),
                |  CAST(0 AS BIGINT), (a, t) -> a + t) div 10000000""".stripMargin)
@@ -402,6 +410,7 @@ object Similarity {
           greatest(max(abs(col("u"))), lit(1L)).as("m"))
         .select(
           expr("transform(uarr, x -> x div greatest(m div 1000000, 1))").as("v"))
+        .localCheckpoint()
     }
     v.select(posexplode(col("v")).as(Seq("dim", "v_micro")))
       .select(col("dim").cast(LongType).as("dim"), col("v_micro"))
