@@ -62,6 +62,23 @@ object AsOf {
       .drop("__v", "__tag")
   }
 
+  /** Tolerance-bounded backward as-of (pandas
+    * `merge_asof(..., tolerance=...)`): like [[joinAsOf]] but a match
+    * older than `tolUs` microseconds is rejected — both the value and
+    * the matched timestamp null out, exactly pandas' contract. A pure
+    * post-map over the windowed join: the tolerance adds no shuffle,
+    * no extra scan, and no new exactness argument (one integer
+    * timestamp comparison).
+    */
+  def joinAsOfTolerance(probe: DataFrame, ref: DataFrame, keyCol: String,
+      tsCol: String, valCol: String, tolUs: Long): DataFrame = {
+    val joined = joinAsOf(probe, ref, keyCol, tsCol, valCol)
+    val ok = unix_micros(col(tsCol)) - unix_micros(col("asof_ts")) <= tolUs
+    joined
+      .withColumn(s"asof_$valCol", when(ok, col(s"asof_$valCol")))
+      .withColumn("asof_ts", when(ok, col("asof_ts")))
+  }
+
   /** Forward as-of (pandas merge_asof direction='forward'): for each
     * probe row, the EARLIEST reference row with `ref.ts >= probe.ts` in
     * the key group. Same union+window shape and cost as the backward

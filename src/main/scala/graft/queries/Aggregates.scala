@@ -306,6 +306,67 @@ object Aggregates {
        |  CAST(grouping(l_linestatus) AS TINYINT) AS g_status
        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Skewness and excess kurtosis per group (pandas `skew`/`kurt`;
+    * population formulas) from exact integer raw moments: quantity is
+    * integer-valued so s1..s4 are exact long sums (x⁴ ≤ 6.25·10⁶ —
+    * far inside the envelope even at sf10), and the central-moment /
+    * ratio arithmetic is the IDENTICAL IEEE expression tree over those
+    * identical longs in both engines ([[varStd]] convention). One
+    * map-side-combined aggregate.
+    */
+  private def skewKurt(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .select(col("l_linestatus"), col("l_quantity").cast(LongType).as("x"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .selectExpr(
+        "l_linestatus", "n",
+        "CAST(s1 AS DOUBLE) / n AS m",
+        "CAST(s2 AS DOUBLE) / n AS r2",
+        "CAST(s3 AS DOUBLE) / n AS r3",
+        "CAST(s4 AS DOUBLE) / n AS r4")
+      .selectExpr(
+        "l_linestatus", "n",
+        "r2 - m * m AS m2",
+        "r3 - 3 * m * r2 + 2 * m * m * m AS m3",
+        "r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m AS m4")
+      .selectExpr(
+        "l_linestatus", "n",
+        "round(m3 / (sqrt(m2) * m2), 6) AS skew_6dp",
+        "round(m4 / (m2 * m2) - 3, 6) AS kurt_6dp")
+
+  private val skewKurtSql =
+    """WITH s AS (
+      |  SELECT l_linestatus, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS s1,
+      |    CAST(sum(x * x) AS BIGINT) AS s2,
+      |    CAST(sum(x * x * x) AS BIGINT) AS s3,
+      |    CAST(sum(x * x * x * x) AS BIGINT) AS s4
+      |  FROM (SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS x
+      |        FROM lineitem) t
+      |  GROUP BY l_linestatus),
+      |r AS (
+      |  SELECT l_linestatus, n,
+      |    CAST(s1 AS DOUBLE) / n AS m, CAST(s2 AS DOUBLE) / n AS r2,
+      |    CAST(s3 AS DOUBLE) / n AS r3, CAST(s4 AS DOUBLE) / n AS r4
+      |  FROM s),
+      |c AS (
+      |  SELECT l_linestatus, n,
+      |    r2 - m * m AS m2,
+      |    r3 - 3 * m * r2 + 2 * m * m * m AS m3,
+      |    r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m AS m4
+      |  FROM r)
+      |SELECT l_linestatus, n,
+      |  round(m3 / (sqrt(m2) * m2), 6) AS skew_6dp,
+      |  round(m4 / (m2 * m2) - 3, 6) AS kurt_6dp
+      |FROM c""".stripMargin
+
   /** MODE per group (pandas `Series.mode` / DuckDB `mode()`): the most
     * frequent quantity per linestatus, tie-broken to the SMALLEST value
     * so the answer is deterministic (DuckDB's mode() picks an arbitrary
@@ -462,6 +523,7 @@ object Aggregates {
   def queries: Map[String, Q] = Map(
     "reg_ols_group" -> Q(regOlsGroup _, regOlsGroupSql),
     "agg_mode" -> Q(modeAgg _, modeAggSql),
+    "agg_skew_kurt" -> Q(skewKurt _, skewKurtSql),
     "agg_grouping_sets" -> Q(groupingSetsAgg _, groupingSetsAggSql),
     "agg_cube" -> Q(cubeAgg _, cubeAggSql),
     "agg_basic_stats" -> Q(basicStats _, basicStatsSql),

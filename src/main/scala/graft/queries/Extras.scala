@@ -515,6 +515,109 @@ object Extras {
       |    AS twap_cents
       |FROM d GROUP BY user_id, day""".stripMargin
 
+  /** One-pass column-profiling report over events — per column: row
+    * count, nulls, exact distinct count, min/max as canonical strings
+    * (the deequ/Glue-crawler profiling staple, and the first thing a
+    * data engineer asks of an unknown 100 TB table). One aggregate
+    * computes every measure (count-distinct expansion is Spark's
+    * standard Expand), then a stack unpivots the 1-row result map-side
+    * into the per-column layout. Min/max go through canonical casts so
+    * engine string reprs can't diverge.
+    */
+  private def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        floor(col("value") * 100).cast(LongType).as("value_cents"))
+    ev.agg(
+        count(lit(1)).as("n"),
+        sum(col("event_type").isNull.cast(LongType)).as("null_t"),
+        countDistinct(col("event_type")).as("dist_t"),
+        min(col("event_type")).as("min_t"),
+        max(col("event_type")).as("max_t"),
+        sum(col("user_id").isNull.cast(LongType)).as("null_u"),
+        countDistinct(col("user_id")).as("dist_u"),
+        min(col("user_id")).cast(StringType).as("min_u"),
+        max(col("user_id")).cast(StringType).as("max_u"),
+        sum(col("value_cents").isNull.cast(LongType)).as("null_v"),
+        countDistinct(col("value_cents")).as("dist_v"),
+        min(col("value_cents")).cast(StringType).as("min_v"),
+        max(col("value_cents")).cast(StringType).as("max_v"))
+      .selectExpr("n", """stack(3,
+        |  'event_type',  null_t, dist_t, min_t, max_t,
+        |  'user_id',     null_u, dist_u, min_u, max_u,
+        |  'value_cents', null_v, dist_v, min_v, max_v)
+        |  AS (col_name, n_null, n_distinct, min_str, max_str)""".stripMargin)
+      .select(col("col_name"), col("n"), col("n_null"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+  }
+
+  private val profileColumnsSql =
+    """WITH ev AS (
+      |  SELECT event_type, user_id,
+      |    CAST(floor(value * 100) AS BIGINT) AS value_cents
+      |  FROM events),
+      |a AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_t,
+      |    count(DISTINCT event_type) AS dist_t,
+      |    min(event_type) AS min_t, max(event_type) AS max_t,
+      |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_u,
+      |    count(DISTINCT user_id) AS dist_u,
+      |    CAST(min(user_id) AS VARCHAR) AS min_u,
+      |    CAST(max(user_id) AS VARCHAR) AS max_u,
+      |    CAST(sum(CASE WHEN value_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_v,
+      |    count(DISTINCT value_cents) AS dist_v,
+      |    CAST(min(value_cents) AS VARCHAR) AS min_v,
+      |    CAST(max(value_cents) AS VARCHAR) AS max_v
+      |  FROM ev)
+      |SELECT 'event_type' AS col_name, n, null_t AS n_null,
+      |  dist_t AS n_distinct, min_t AS min_str, max_t AS max_str FROM a
+      |UNION ALL
+      |SELECT 'user_id', n, null_u, dist_u, min_u, max_u FROM a
+      |UNION ALL
+      |SELECT 'value_cents', n, null_v, dist_v, min_v, max_v FROM a""".stripMargin
+
+  /** k-anonymity audit over customer quasi-identifiers
+    * (nation, market segment, account-balance band of 1000): how many
+    * QI combinations — and how many customers — sit in groups smaller
+    * than k = 5 (re-identifiable under linkage). The privacy gate a
+    * training-data release runs before shipping user-derived text.
+    * Integer end-to-end.
+    *
+    * Scale shape: one QI-keyed count aggregate (map-side combined),
+    * then a 1-row reduction over the collapsed combo frame — the combo
+    * keyspace, not the user table, is what the second pass touches.
+    */
+  private def privacyKAnon(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast(LongType).as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_combos"),
+        sum((col("n") < 5).cast(LongType)).as("n_risky_combos"),
+        sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_risky_users"),
+        sum(col("n")).as("n_users"))
+      .select(col("n_combos"), col("n_risky_combos"),
+        col("n_risky_users"),
+        expr("(n_risky_users * 1000000) div n_users").as("risk_ppm"))
+
+  private val privacyKAnonSql =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |    count(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT count(*) AS n_combos,
+      |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_risky_combos,
+      |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_risky_users,
+      |  (CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(sum(n) AS BIGINT) AS risk_ppm
+      |FROM g""".stripMargin
+
   /** Rolling 7-day distinct actives — DAU, trailing WAU, and the
     * DAU/WAU stickiness ratio per day (the engagement staple). Distinct
     * counting over a SLIDING window can't ride an ordinary window
@@ -1294,6 +1397,8 @@ object Extras {
     "ab_welch_t" -> Q(abWelchT _, abWelchTSql),
     "rfm_segments" -> Q(rfmSegments _, rfmSegmentsSql),
     "win_sliding_distinct" -> Q(slidingDistinct _, slidingDistinctSql),
+    "profile_columns" -> Q(profileColumns _, profileColumnsSql),
+    "privacy_k_anon" -> Q(privacyKAnon _, privacyKAnonSql),
     "validate_expectations" -> Q(validateExpectations _, validateExpectationsSql),
     "frame_value_counts" -> Q(frameValueCounts _, frameValueCountsSql),
     "frame_describe" -> Q(frameDescribe _, frameDescribeSql),

@@ -646,6 +646,41 @@ object Relational {
       |FROM events e ASOF LEFT JOIN ref r
       |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin
 
+  /** Tolerance-bounded as-of ([[graft.operators.AsOf.joinAsOfTolerance]],
+    * pandas merge_asof `tolerance=1h`): matches older than one hour null
+    * out — the staleness bound every market-data/as-of enrichment needs.
+    * Oracle: the plain ASOF join wrapped in a CASE on the gap.
+    */
+  private def joinAsofTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val probe = ev.select(col("user_id"), col("event_id"), col("ts"))
+    val ref = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("pv"))
+    graft.operators.AsOf
+      .joinAsOfTolerance(probe, ref, "user_id", "ts", "pv",
+        tolUs = 3600L * 1000000L)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"),
+        col("asof_pv"),
+        expr("unix_micros(asof_ts)").as("asof_ts_us"))
+  }
+
+  private val joinAsofTolSql =
+    """WITH ref AS (
+      |  SELECT user_id, ts, max(value) AS pv FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+      |  CASE WHEN epoch_us(e.ts) - epoch_us(r.ts) <= 3600000000
+      |       THEN r.pv END AS asof_pv,
+      |  CASE WHEN epoch_us(e.ts) - epoch_us(r.ts) <= 3600000000
+      |       THEN epoch_us(r.ts) END AS asof_ts_us
+      |FROM events e ASOF LEFT JOIN ref r
+      |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin
+
   /** Forward as-of ([[graft.operators.AsOf.joinAsOfForward]]): first
     * purchase at or after each event — pandas merge_asof
     * direction='forward'. Oracle: DuckDB ASOF with the inequality
@@ -869,6 +904,7 @@ object Relational {
     "join_asof" -> Q(joinAsof _, joinAsofSql),
     "join_asof_fwd" -> Q(joinAsofFwd _, joinAsofFwdSql),
     "join_asof_nearest" -> Q(joinAsofNearest _, joinAsofNearestSql),
+    "join_asof_tolerance" -> Q(joinAsofTol _, joinAsofTolSql),
     "qcut_bins" -> Q(qcutBins _, qcutBinsSql),
     "join_range" -> Q(joinRange _, joinRangeSql),
     "filter_project" -> Q(filterProject _, filterProjectSql),
