@@ -228,6 +228,28 @@ object ScaleProbe {
         f"""{"probe":"bm25_invariance","factor":$f,"scored_docs":${scores.size},"max_dev":$maxDev,"secs":$secs%.2f}""")
     }
 
+    // postings axis: under N× replication the vocabulary is fixed, df
+    // multiplies EXACTLY by N (count linearity), and the capped posting
+    // list stays ≤ 20 entries — the bounded-row-width guarantee that
+    // makes a stop-word token safe at any corpus size.
+    val dfRef = new scala.collection.mutable.HashMap[String, Long]()
+    def probePostings(f: Int, big: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = queries.Retrieval.postingsOver(big)
+        .collect().map(r => (r.getString(0),
+          r.getAs[Long]("df"), r.getAs[String]("postings"))).toSeq
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (f == factors.min) dfRef ++= rows.map(r => r._1 -> r._2 / f)
+      val maxDev =
+        if (dfRef.isEmpty) -1L
+        else rows.map { case (t, df, _) =>
+          math.abs(df - f * dfRef.getOrElse(t, 0L))
+        }.max
+      val maxLen = rows.map(_._3.count(_ == '|') + 1).max
+      println(
+        f"""{"probe":"postings","factor":$f,"vocab":${rows.size},"max_df_dev":$maxDev,"max_postings":$maxLen,"secs":$secs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
@@ -242,6 +264,7 @@ object ScaleProbe {
       probePca(f)
       probeCms(f, replicated)
       probeBm25(f, replicated)
+      probePostings(f, replicated)
 
       // realistic: salt every token per replica so all shingles differ
       // across replicas (replica 0 keeps the original text, so the base

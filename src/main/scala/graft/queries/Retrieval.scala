@@ -52,9 +52,15 @@ object Retrieval {
     * row. Hot tokens are precisely the keys AQE skew-splits. At 100 TB
     * the output is a write-once artifact partitioned by hash(tok).
     */
-  private def indexPostings(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables
-      .documents(s, dir)
+  private def indexPostings(s: SparkSession, dir: String): DataFrame =
+    postingsOver(Tables.documents(s, dir))
+
+  /** The postings build over any (doc_id, text) corpus — public so
+    * ScaleProbe can pin df-linearity and the posting cap under
+    * replication.
+    */
+  def postingsOver(documents: DataFrame): DataFrame = {
+    val pairs = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .distinct()
     val w = Window.partitionBy(col("tok"))
