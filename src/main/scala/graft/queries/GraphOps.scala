@@ -81,6 +81,12 @@ object GraphOps {
         .agg(sum(expr("(r * w) div ow")).as("contrib"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(85 * contrib) div 100")).as("r"))
+        // per-iteration lineage cut (the powerIterate pattern, but
+        // LAZY like Dedup's label loop): truncates the plan the
+        // analyzer re-resolves per step without forcing an extra job
+        // per iteration — the rank frame is node-cardinality, tiny
+        // next to the edge list. Values unchanged.
+        .localCheckpoint(false)
     }
     rank.select(
       when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
