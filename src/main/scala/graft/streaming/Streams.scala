@@ -132,6 +132,49 @@ object Streams {
       .toDF("user_id", "src", "dst")
   }
 
+  /** Streaming ordered-funnel state machine — the streaming face of the
+    * batch `funnel_conversion` query: per user one (stage, stage_ts)
+    * state row walks view → click → purchase with the SAME
+    * strictly-after semantics (a click at exactly the first view's
+    * timestamp does not advance — within a batch events are ordered by
+    * (ts, event_id), so the equal-ts click processes after the view and
+    * fails the strict comparison, exactly like the batch `ts > v_ts`).
+    * Emits a (user_id, stage) completion event the moment a stage is
+    * reached; aggregating the sink by stage equals the batch funnel's
+    * n_users column exactly (StreamingSpec pins it). State is bounded
+    * by the user domain — one row each, the sessionizer shape.
+    */
+  def funnelStages(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[(Int, Long)]) =>
+          var (stage, stageTs) = state.getOption.getOrElse((0, Long.MinValue))
+          val out = Seq.newBuilder[(Long, String)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            (stage, r._4) match {
+              case (0, "view") =>
+                stage = 1; stageTs = r._2; out += ((uid, "1_view"))
+              case (1, "click") if r._2 > stageTs =>
+                stage = 2; stageTs = r._2; out += ((uid, "2_click"))
+              case (2, "purchase") if r._2 > stageTs =>
+                stage = 3; stageTs = r._2; out += ((uid, "3_purchase"))
+              case _ => ()
+            }
+          }
+          state.update((stage, stageTs))
+          out.result().iterator
+      }
+      .toDF("user_id", "stage")
+  }
+
   /** Streaming exact dedup with bounded state: drop duplicate event ids,
     * keeping state only within the watermark horizon -- the streaming twin
     * of the batch dedup pipeline (state store size is bounded by the

@@ -376,4 +376,22 @@ class StreamingSpec extends AnyFunSuite {
     val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
     assert(steps.count() == nEvents - nUsers)
   }
+
+  test("streaming funnel state machine matches the batch funnel counts") {
+    val d = Files.createTempDirectory("graft-stream-funnel").toString
+    Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    val stream = Streams.readEventStream(spark, d)
+    val stages = Streams.runToCompletion(
+      spark, Streams.funnelStages(spark, stream), "t_funnel", "append")
+    val got = stages.groupBy(col("stage")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = SparkEntry.queries("funnel_conversion")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users"))
+      .filter(_._2 > 0).toMap
+    assert(got == exp, s"stream $got vs batch $exp")
+    // a user completes each stage at most once
+    assert(stages.count() ==
+      stages.select(col("user_id"), col("stage")).distinct().count())
+  }
 }
