@@ -94,6 +94,93 @@ object Retrieval {
        |FROM ranked WHERE df >= 5 AND rn <= 20
        |GROUP BY tok, df""".stripMargin
 
+  // ------------------------------------------------------- incremental index
+
+  /** Incremental postings maintenance — the daily-ingest face of
+    * [[postingsOver]], the [[graft.queries.LlmOps]] incremental-LSH
+    * pattern applied to the index: a persisted base index (unpruned
+    * (tok, df) stats + doc_id-ascending postings capped at 20, built
+    * once per dataset per JVM via DimCache over the 90% base split) is
+    * merged with the 10% delta split WITHOUT touching base documents
+    * again. Output: the updated index rows for exactly the tokens the
+    * delta touches.
+    *
+    * Merge-exactness property (the reason the cap is a doc_id-ascending
+    * PREFIX): any id in a full rebuild's top-20 is either a delta id or
+    * among the base's 20 smallest, so capped-base ∪ delta re-capped
+    * EQUALS the full rebuild — the DuckDB oracle recomputes from
+    * scratch and must agree hash-exactly, making the persisted-index
+    * path's faithfulness itself oracle-checked (the incremental-LSH
+    * gate's trick).
+    *
+    * Scale shape: steady-state cost is proportional to the DELTA — one
+    * delta (tok, doc_id) exchange, one join against the base index
+    * restricted to delta tokens (a compact semi-joined slice), never a
+    * corpus re-scan.
+    */
+  private def indexPostingsDelta(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = graft.DimCache.cached(s"postings-index:$dir") {
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val p = System.getProperty("java.io.tmpdir") + s"/graft_postidx_$tag"
+      val base = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val pairs = base
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      val w = Window.partitionBy(col("tok"))
+      pairs
+        .withColumn("df", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+        .filter(col("rn") <= 20)
+        .select(col("tok"), col("doc_id"))
+        .write.mode("overwrite").parquet(p + "/postings")
+      pairs.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(p + "/tokstats")
+      p
+    }
+    val deltaPairs = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val deltaDf = deltaPairs.groupBy(col("tok"))
+      .agg(count(lit(1)).as("d_df"))
+    val mergedDf = deltaDf
+      .join(s.read.parquet(idxDir + "/tokstats"), Seq("tok"), "left")
+      .select(col("tok"),
+        (coalesce(col("df"), lit(0L)) + col("d_df")).as("df"))
+    val mergedPosts = deltaPairs
+      .select(col("tok"), col("doc_id"))
+      .unionByName(s.read.parquet(idxDir + "/postings")
+        .join(deltaDf.select(col("tok")), Seq("tok"), "leftsemi"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 20)
+      .groupBy(col("tok"))
+      .agg(ArrCanon.joined(sort_array(collect_list(col("doc_id"))))
+        .as("postings"))
+    mergedDf
+      .join(mergedPosts, Seq("tok"))
+      .select(col("tok"), col("df"), (col("df") > 20).as("capped"),
+        col("postings"))
+  }
+
+  private val indexPostingsDeltaSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    $tokensSqlFrom) t
+       |  WHERE length(tok) > 0),
+       |dt AS (SELECT DISTINCT tok FROM pairs WHERE doc_id % 10 = 0),
+       |ranked AS (
+       |  SELECT tok, doc_id,
+       |    count(*) OVER (PARTITION BY tok) AS df,
+       |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+       |  FROM pairs)
+       |SELECT tok, df, df > 20 AS capped,
+       |  ${ArrCanon.joinedSql("list(doc_id ORDER BY doc_id)")} AS postings
+       |FROM ranked WHERE rn <= 20 AND tok IN (SELECT tok FROM dt)
+       |GROUP BY tok, df""".stripMargin
+
   // ------------------------------------------------------------------- bm25
 
   /** BM25 top-10 retrieval (k1 = 1.2, b = 0.75) for a data-derived query
@@ -203,6 +290,7 @@ object Retrieval {
 
   def queries: Map[String, Q] = Map(
     "index_postings" -> Q(indexPostings _, indexPostingsSql),
+    "index_postings_delta" -> Q(indexPostingsDelta _, indexPostingsDeltaSql),
     "text_bm25_topk" -> Q(textBm25Topk _, textBm25TopkSql)
   )
 }
