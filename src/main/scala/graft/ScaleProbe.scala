@@ -240,11 +240,15 @@ object ScaleProbe {
           r.getAs[Long]("df"), r.getAs[String]("postings"))).toSeq
       val secs = (System.nanoTime() - t0) / 1e9
       if (f == factors.min) dfRef ++= rows.map(r => r._1 -> r._2 / f)
+      // compare ONLY tokens already visible at the reference factor:
+      // postingsOver prunes df < 5, so replication legitimately grows
+      // the visible vocabulary (a base df-2 token crosses the prune at
+      // f >= 3) — linearity is a per-token law, not a vocab-set law
       val maxDev =
         if (dfRef.isEmpty) -1L
-        else rows.map { case (t, df, _) =>
-          math.abs(df - f * dfRef.getOrElse(t, 0L))
-        }.max
+        else rows.collect { case (t, df, _) if dfRef.contains(t) =>
+          math.abs(df - f * dfRef(t))
+        }.maxOption.getOrElse(-1L)
       val maxLen = rows.map(_._3.count(_ == '|') + 1).max
       println(
         f"""{"probe":"postings","factor":$f,"vocab":${rows.size},"max_df_dev":$maxDev,"max_postings":$maxLen,"secs":$secs%.2f}""")

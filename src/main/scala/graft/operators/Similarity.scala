@@ -390,7 +390,7 @@ object Similarity {
     // re-resolved the whole compound tree per step — measurable driver
     // overhead even though execution was already linear). Values are
     // unchanged: checkpointing only truncates lineage.
-    val xqc = xq.localCheckpoint()
+    val xqc = xq.localCheckpoint(false)
     var v: DataFrame = xqc.sparkSession.range(1).select(
       expr(s"transform(sequence(1, $d0), i -> CAST(1000000 AS BIGINT))").as("v"))
     for (_ <- 1 to iters) {
@@ -410,7 +410,7 @@ object Similarity {
           greatest(max(abs(col("u"))), lit(1L)).as("m"))
         .select(
           expr("transform(uarr, x -> x div greatest(m div 1000000, 1))").as("v"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     v.select(posexplode(col("v")).as(Seq("dim", "v_micro")))
       .select(col("dim").cast(LongType).as("dim"), col("v_micro"))

@@ -251,8 +251,9 @@ object Retrieval {
         (lit(22000000L).cast(d38) * col("tf") * col("sl") * col("n_docs"))
           .as("num"),
         (col("df").cast(d38) *
-          (lit(10L) * col("tf") * col("sl") + lit(3L) * col("sl") +
-            lit(9L) * col("dl") * col("n_docs"))).as("den"))
+          (lit(10L).cast(d38) * col("tf") * col("sl") +
+            lit(3L).cast(d38) * col("sl") +
+            lit(9L).cast(d38) * col("dl") * col("n_docs"))).as("den"))
       .select(col("doc_id"),
         expr("num div den").cast(LongType).as("score_micro"))
       .groupBy(col("doc_id"))
@@ -280,7 +281,8 @@ object Retrieval {
        |  SELECT tf.doc_id,
        |    CAST((CAST(22000000 AS HUGEINT) * tf * sl * n_docs) //
        |      (CAST(df AS HUGEINT) *
-       |        (10 * tf * sl + 3 * sl + 9 * dl * n_docs)) AS BIGINT)
+       |        (CAST(10 AS HUGEINT) * tf * sl + CAST(3 AS HUGEINT) * sl +
+       |         CAST(9 AS HUGEINT) * dl * n_docs)) AS BIGINT)
        |      AS score_micro
        |  FROM tf JOIN qterms USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
        |  CROSS JOIN scalars)
