@@ -1385,7 +1385,78 @@ object Extras {
       |  sum(drift_micro) // 2
       |FROM buckets GROUP BY dimension""".stripMargin
 
+  /** rolling z-score anomaly flags (the classic streaming-telemetry
+    * monitor — flag a reading that sits more than 2σ from the trailing
+    * window's mean; cf. the rolling var/std surface
+    * rolling.hpp:WINDOW + the drift monitors above).
+    *
+    * Exactness: the |x−μ| > 2σ comparison is ALGEBRAICALLY cleared of
+    * division and square roots — with n, s = Σx, q = Σx² over the
+    * trailing 7-row window, (x−μ)² > 4σ² ⟺ (n·x−s)² > 4·(n·q−s²) —
+    * and evaluated on DECIMAL(38,0)/HUGEINT over half-up-quantized
+    * cents, so both engines hold the identical flag bit for every row
+    * (no IEEE sqrt, no envelope assumption on Σx² — the decimal ride
+    * is the same policy BM25's saturation term uses).
+    *
+    * Scale shape: one user-partitioned window (ts, event_id total
+    * order) computing all three running sums in a single frame pass,
+    * then a map-side-combinable groupBy over the 5-value event_type
+    * keyspace. At 100 TB: one shuffle by user_id, bounded state per
+    * partition (7-row frames), 5-row output.
+    */
+  private def tsAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, 0)
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast(LongType).as("x"))
+      .select(col("event_type"), col("x").cast(d38).as("x"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x").cast(d38)).over(w).as("s"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).over(w).as("q"))
+      .filter(col("n") === 7)
+      .select(col("event_type"),
+        when(
+          (lit(7).cast(d38) * col("x") - col("s")) *
+            (lit(7).cast(d38) * col("x") - col("s")) >
+            lit(4).cast(d38) *
+              (lit(7).cast(d38) * col("q") - col("s") * col("s")),
+          lit(1L)).otherwise(lit(0L)).as("flag"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("flag")).as("n_anomalies"))
+      .select(col("event_type"), col("n_eval"), col("n_anomalies"),
+        expr("(n_anomalies * 1000000) div n_eval").as("anomaly_ppm"))
+  }
+
+  private val tsAnomalyZscoreSql =
+    """WITH cents AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+      |  FROM events),
+      |roll AS (
+      |  SELECT event_type, CAST(x AS HUGEINT) AS x,
+      |    count(*) OVER w AS n,
+      |    CAST(sum(x) OVER w AS HUGEINT) AS s,
+      |    CAST(sum(x * x) OVER w AS HUGEINT) AS q
+      |  FROM cents
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |flags AS (
+      |  SELECT event_type,
+      |    CASE WHEN (7 * x - s) * (7 * x - s) > 4 * (7 * q - s * s)
+      |      THEN 1 ELSE 0 END AS flag
+      |  FROM roll WHERE n = 7)
+      |SELECT event_type, count(*) AS n_eval,
+      |  CAST(sum(flag) AS BIGINT) AS n_anomalies,
+      |  (CAST(sum(flag) AS BIGINT) * 1000000) // count(*) AS anomaly_ppm
+      |FROM flags GROUP BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "ts_anomaly_zscore" -> Q(tsAnomalyZscore _, tsAnomalyZscoreSql),
     "drift_tvd" -> Q(driftTvd _, driftTvdSql),
     "drift_window_tvd" -> Q(driftWindowTvd _, driftWindowTvdSql),
     "outlier_mad" -> Q(outlierMad _, outlierMadSql),

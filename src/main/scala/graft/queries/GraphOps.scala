@@ -128,7 +128,119 @@ object GraphOps {
        |FROM r5""".stripMargin
   }
 
+  /** Triangle count + global clustering coefficient over the part
+    * co-purchase graph (parts appearing in the same order, one quarter
+    * of order dates): the third iterative-graph family next to
+    * PageRank and label-propagation CC, and the canonical
+    * graph-locality statistic a corpus-linkage audit reports.
+    *
+    * Algorithm: degree-ordered edge orientation (each undirected edge
+    * points from its lower-degree endpoint, ties by key) — the
+    * "compact-forward" scheme (Latapy 2008; also Suri & Vassilvitskii's
+    * MapReduce variant, WWW'11). Orienting by degree bounds every
+    * vertex's out-degree by O(√m), so the wedge join that enumerates
+    * candidate triangles is near-linear instead of Σd² on skewed
+    * graphs — THE difference between a plan that survives a power-law
+    * 100 TB graph and one that dies on its hottest hub.
+    *
+    * Exactness: pure integer counts; clustering coefficient in ppm by
+    * floor division (3·triangles·1e6 div wedges, wedges = Σ d(d−1)/2).
+    *
+    * Scale shape: edge build is one self-join of lineitem ON orderkey
+    * (co-partitioned, date-pruned at the scan) collapsed to distinct
+    * pairs; degrees are one map-side-combinable aggregate; the wedge
+    * join and the closing-edge join are both hash joins on compact
+    * (long, long) pairs. No driver state, no iteration.
+    */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val inWindow = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val e0 = li.as("l1")
+      .join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .join(inWindow, col("l1.l_orderkey") === col("o_orderkey"))
+      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e0.select(col("a").as("v"))
+      .unionByName(e0.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val e = e0
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("s"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("t"))
+      .localCheckpoint()
+    // wedges enumerate at each vertex's OUT-edges (bounded O(√m) by the
+    // degree orientation); the closing edge is probed in the
+    // key-canonical a<b set — NOT the oriented set, whose direction
+    // between the two wedge tips follows degree, not key
+    val tri = e.as("e1")
+      .join(e.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(
+        least(col("e1.t"), col("e2.t")).as("ws"),
+        greatest(col("e1.t"), col("e2.t")).as("wt"))
+      .join(e0.as("e3"),
+        col("ws") === col("e3.a") && col("wt") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(edges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("(3 * n_triangles * 1000000) div n_wedges")
+          .as("clustering_ppm"))
+  }
+
+  private val graphTrianglesSql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1
+      |  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |    AND l1.l_partkey < l2.l_partkey
+      |  JOIN orders ON o_orderkey = l1.l_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-04-01'),
+      |deg AS (
+      |  SELECT v, count(*) AS d
+      |  FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+      |  GROUP BY v),
+      |e AS (
+      |  SELECT
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b
+      |      END AS s,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a
+      |      END AS t
+      |  FROM e0 JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM e e1
+      |  JOIN e e2 ON e1.s = e2.s AND e1.t < e2.t
+      |  JOIN e0 e3 ON e3.a = LEAST(e1.t, e2.t) AND e3.b = GREATEST(e1.t, e2.t))
+      |SELECT
+      |  (SELECT count(*) FROM deg) AS n_nodes,
+      |  (SELECT count(*) FROM e) AS n_edges,
+      |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+      |  n_triangles,
+      |  CAST((3 * n_triangles * 1000000) //
+      |    (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+      |    AS BIGINT) AS clustering_ppm
+      |FROM tri""".stripMargin
+
   def queries: Map[String, Q] = Map(
-    "graph_pagerank" -> Q(graphPagerank _, graphPagerankSql)
+    "graph_pagerank" -> Q(graphPagerank _, graphPagerankSql),
+    "graph_triangles" -> Q(graphTriangles _, graphTrianglesSql)
   )
 }

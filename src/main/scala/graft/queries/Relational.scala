@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Agg, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -900,7 +901,75 @@ object Relational {
       |UNION ALL
       |SELECT o_orderkey, o_orderstatus, o_totalprice FROM delta""".stripMargin
 
+  /** Slowly-changing-dimension Type 2 history build (the warehouse twin
+    * of `merge_upsert`'s CDC apply): compress a change log into validity
+    * intervals — one row per (key, attribute-run) with valid_from /
+    * valid_to / version / is_current. The change log here is each
+    * customer's order-priority over time (one change event per
+    * customer-day, ties broken by highest order key).
+    *
+    * Scale shape: ONE shuffle by the dimension key serves all three
+    * window passes (same partition key and compatible sort — Catalyst
+    * plans a single Exchange with in-partition sorts), and the
+    * change-point filter (attr ≠ lag(attr)) collapses the frame before
+    * interval assembly. At 100 TB this is the standard
+    * log-to-dimension compaction: key-partitioned, no self-join, no
+    * driver state.
+    */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Window
+      .partitionBy(col("o_custkey"), col("d"))
+      .orderBy(col("o_orderkey").desc)
+    val byKey = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+    Tables
+      .orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast(DateType).as("d"),
+        col("o_orderpriority").as("attr"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") === 1)
+      .withColumn("prev", lag(col("attr"), 1).over(byKey))
+      .filter(col("prev").isNull || col("attr") =!= col("prev"))
+      .select(col("o_custkey"), col("attr"), col("d").as("valid_from"))
+      // open-ended rows carry the conventional SCD2 high sentinel
+      // (9999-12-31) rather than NULL: the point-in-time probe becomes
+      // a pure BETWEEN — no null branch in the hot predicate
+      .withColumn("valid_to",
+        coalesce(
+          lead(col("valid_from"), 1).over(
+            Window.partitionBy(col("o_custkey")).orderBy(col("valid_from"))),
+          lit("9999-12-31").cast(DateType)))
+      .withColumn("version",
+        row_number().over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("valid_from"))))
+      .withColumn("is_current",
+        when(col("valid_to") === lit("9999-12-31").cast(DateType), lit(1))
+          .otherwise(lit(0)))
+  }
+
+  private val scd2HistorySql =
+    """WITH log AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |    o_orderpriority AS attr,
+      |    row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+      |      ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders),
+      |changes AS (
+      |  SELECT o_custkey, d, attr,
+      |    lag(attr) OVER (PARTITION BY o_custkey ORDER BY d) AS prev
+      |  FROM log WHERE rn = 1),
+      |runs AS (
+      |  SELECT o_custkey, attr, d AS valid_from
+      |  FROM changes WHERE prev IS NULL OR attr <> prev)
+      |SELECT o_custkey, attr, valid_from,
+      |  coalesce(lead(valid_from) OVER w, DATE '9999-12-31') AS valid_to,
+      |  CAST(row_number() OVER w AS INTEGER) AS version,
+      |  CASE WHEN lead(valid_from) OVER w IS NULL THEN 1 ELSE 0 END
+      |    AS is_current
+      |FROM runs
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "scd2_history" -> Q(scd2History _, scd2HistorySql),
     "join_asof" -> Q(joinAsof _, joinAsofSql),
     "join_asof_fwd" -> Q(joinAsofFwd _, joinAsofFwdSql),
     "join_asof_nearest" -> Q(joinAsofNearest _, joinAsofNearestSql),

@@ -1075,7 +1075,67 @@ object TextOps {
       |WHERE c12 >= 5
       |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** blocked fuzzy self-join (the entity-resolution primitive:
+    * approximate string matching at scale; cf. the edit-distance
+    * surface edit_distance.hpp + the minhash blocking the dedup family
+    * uses): part-name pairs within Levenshtein distance 2, candidates
+    * generated by trigram blocking with stop-gram pruning.
+    *
+    * Declared semantics are the BLOCKED join (a candidate pair must
+    * share at least one surviving trigram) — the standard
+    * recall/efficiency trade every production fuzzy matcher makes;
+    * the oracle mirrors the identical blocking, so the gate pins both
+    * the verify predicate AND the candidate generation.
+    *
+    * Scale shape: the join runs on the DISTINCT-value frame, never the
+    * row frame (dictionary-collapse first — at 100 TB the name
+    * vocabulary is orders of magnitude smaller than the table);
+    * stop-gram pruning (df > 16) caps every blocking bucket, so the
+    * per-gram self-join is bounded quadratic in a SMALL constant, not
+    * in corpus hot-key frequency; matches broadcast back to rows when
+    * a caller needs row pairs. Levenshtein runs only on surviving
+    * candidates (codegen'd built-in in both engines).
+    */
+  private def joinFuzzyNgram(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .select(col("p_name").as("n")).distinct()
+    val grams = names.select(col("n"),
+      explode(expr(
+        "array_distinct(transform(sequence(1, greatest(length(n) - 2, 0)), i -> substring(n, i, 3)))"))
+        .as("g"))
+    val surviving = grams.join(
+      grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 16)
+        .select(col("g")),
+      Seq("g"))
+    surviving.as("x")
+      .join(surviving.as("y"),
+        col("x.g") === col("y.g") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("n1"), col("y.n").as("n2"))
+      .distinct()
+      .select(col("n1"), col("n2"),
+        levenshtein(col("n1"), col("n2")).as("dist"))
+      .filter(col("dist") <= 2)
+  }
+
+  private val joinFuzzyNgramSql =
+    """WITH names AS (SELECT DISTINCT p_name AS n FROM part),
+      |grams AS (
+      |  SELECT n, unnest(list_distinct(list_transform(
+      |    range(1, greatest(length(n) - 2, 0) + 1),
+      |    i -> substring(n, i, 3)))) AS g
+      |  FROM names),
+      |surviving AS (
+      |  SELECT n, g FROM grams
+      |  WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) <= 16)),
+      |cand AS (
+      |  SELECT DISTINCT x.n AS n1, y.n AS n2
+      |  FROM surviving x JOIN surviving y ON x.g = y.g AND x.n < y.n)
+      |SELECT n1, n2, CAST(levenshtein(n1, n2) AS INTEGER) AS dist
+      |FROM cand WHERE levenshtein(n1, n2) <= 2""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "join_fuzzy_ngram" -> Q(joinFuzzyNgram _, joinFuzzyNgramSql),
     "text_collocation_pmi" -> Q(collocationPmi _, collocationPmiSql),
     "text_zipf_ols" -> Q(zipfOls _, zipfOlsSql),
     "text_lm_score" -> Q(textLmScore _, textLmScoreSql),

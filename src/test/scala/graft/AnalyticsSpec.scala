@@ -117,4 +117,93 @@ class AnalyticsSpec extends AnyFunSuite {
       ev.filter(col("event_type").isNull).count())
     assert(rows.values.map(_.getAs[Long]("n")).toSet.size == 1)
   }
+
+  test("SCD2 history: dense versions, contiguous intervals, one current row") {
+    val rows = SparkEntry.queries("scd2_history")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byKey.foreach { case (k, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("version"))
+      // versions dense from 1, exactly one open (is_current) row
+      assert(sorted.map(_.getAs[Int]("version")).toSeq ==
+        (1 to rs.length), s"cust $k versions not dense")
+      assert(rs.count(_.getAs[Int]("is_current") == 1) == 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // contiguity: each version closes exactly where the next opens
+          assert(a.getAs[java.sql.Date]("valid_to") ==
+            b.getAs[java.sql.Date]("valid_from"), s"cust $k gap")
+          // change-point compression: adjacent runs differ in attribute
+          assert(a.getAs[String]("attr") != b.getAs[String]("attr"))
+        case _ => ()
+      }
+      assert(sorted.last.getAs[java.sql.Date]("valid_to").toString ==
+        "9999-12-31")
+    }
+  }
+
+  test("rolling z-score: evaluated-row count matches per-user full windows") {
+    val rows = SparkEntry.queries("ts_anomaly_zscore")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, a, ppm) = (r.getAs[Long]("n_eval"),
+        r.getAs[Long]("n_anomalies"), r.getAs[Long]("anomaly_ppm"))
+      assert(a <= n && ppm == a * 1000000L / n)
+    }
+    // Σ n_eval over types == Σ_users max(0, events_u − 6): rows with a
+    // full 7-row trailing window, independently recomputed
+    val expected = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .select(sum(greatest(col("c") - 6, lit(0L))).as("t"))
+      .head().getAs[Long]("t")
+    assert(rows.map(_.getAs[Long]("n_eval")).sum == expected)
+  }
+
+  test("triangles: degree-oriented count equals unoriented brute recount") {
+    val r = SparkEntry.queries("graph_triangles")(spark, sf).head()
+    val (wedges, tri, ppm) = (r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"), r.getAs[Long]("clustering_ppm"))
+    assert(3 * tri <= wedges && ppm == 3 * tri * 1000000L / wedges)
+    // independent recount on the UNORIENTED a<b edge canonicalization
+    // (different join shape from the compact-forward plan under test)
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    val ok = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val e = li.as("l1")
+      .join(li.as("l2"), col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_partkey") < col("l2.l_partkey"))
+      .join(ok, col("l1.l_orderkey") === col("o_orderkey"))
+      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .distinct()
+    val brute = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e1.a") === col("e3.a") &&
+        col("e2.b") === col("e3.b"))
+      .count()
+    assert(tri == brute, s"oriented $tri vs brute $brute")
+  }
+
+  test("fuzzy join: pairs are verified, ordered, and inside brute force") {
+    val got = SparkEntry.queries("join_fuzzy_ngram")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[String]("n1") < r.getAs[String]("n2"))
+      assert(r.getAs[Int]("dist") <= 2)
+    }
+    // blocking can only SHRINK the exact all-pairs answer, and every
+    // emitted pair must carry the true edit distance
+    val names = Tables.part(spark, sf).select(col("p_name").as("n"))
+      .distinct().as("a")
+    val exact = names
+      .join(names.select(col("n").as("m")), col("n") < col("m"))
+      .select(col("n"), col("m"), levenshtein(col("n"), col("m")).as("d"))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val gotSet = got.map(r => (r.getAs[String]("n1"),
+      r.getAs[String]("n2"), r.getAs[Int]("dist"))).toSet
+    assert(gotSet.subsetOf(exact),
+      s"${(gotSet -- exact).take(3)} not in brute force")
+  }
 }
