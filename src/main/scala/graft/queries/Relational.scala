@@ -908,9 +908,11 @@ object Relational {
     * customer's order-priority over time (one change event per
     * customer-day, ties broken by highest order key).
     *
-    * Scale shape: ONE shuffle by the dimension key serves all three
-    * window passes (same partition key and compatible sort — Catalyst
-    * plans a single Exchange with in-partition sorts), and the
+    * Scale shape: two exchanges total — the per-day dedup partitions
+    * by (key, day) with WindowGroupLimit pushing the top-1 partially
+    * BEFORE the exchange (map-side, so the shuffle ships at most one
+    * row per key-day), then ONE key-partitioned exchange serves both
+    * interval windows (lead + row_number share a Window op). The
     * change-point filter (attr ≠ lag(attr)) collapses the frame before
     * interval assembly. At 100 TB this is the standard
     * log-to-dimension compaction: key-partitioned, no self-join, no

@@ -132,6 +132,63 @@ object Streams {
       .toDF("user_id", "src", "dst")
   }
 
+  /** Change-log schema for the streaming SCD2 face: one change event
+    * per (key, day, seq) with the attribute observed; seq breaks
+    * same-day ties (highest wins, the batch query's max-orderkey rule).
+    */
+  val changeLogSchema: StructType = StructType(Seq(
+    StructField("key", LongType),
+    StructField("day", IntegerType),
+    StructField("seq", LongType),
+    StructField("attr", StringType)))
+
+  def readChangeStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(changeLogSchema).parquet(dir)
+
+  /** Streaming SCD Type-2 maintenance — the streaming face of the batch
+    * `scd2_history` query (Relational.scala): per key ONE
+    * (attr, valid_from_day, version) state row; when a change event
+    * carries a different attribute, the CLOSED validity interval is
+    * emitted append-mode and the state advances. The open interval
+    * lives only in state (append mode cannot retract), so the sink
+    * holds exactly the batch build's is_current = 0 rows —
+    * StreamingSpec pins that equality, including version numbers.
+    *
+    * Same-day ties follow the batch rule (highest seq wins) WITHIN a
+    * micro-batch; like the other state machines here, the differential
+    * contract assumes per-key day-completeness per batch (one file,
+    * AvailableNow replay in the spec). State is one row per key —
+    * bounded by the dimension's key domain, the sessionizer shape.
+    */
+  def scd2Steps(spark: SparkSession, changes: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = changes
+      .select(col("key"), col("day"), col("seq"), col("attr"))
+      .as[(Long, Int, Long, String)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Int, Int), (Long, String, Int, Int, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(String, Int, Int)]) =>
+          val perDay = rows.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+            .map { case (d, rs) => (d, rs.maxBy(_._3)._4) }
+          var st = state.getOption
+          val out = Seq.newBuilder[(Long, String, Int, Int, Int)]
+          perDay.foreach { case (d, attr) =>
+            st match {
+              case None => st = Some((attr, d, 1))
+              case Some((a, from, v)) if a != attr =>
+                out += ((key, a, from, d, v))
+                st = Some((attr, d, v + 1))
+              case _ => ()
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("key", "attr", "valid_from_day", "valid_to_day", "version")
+  }
+
   /** Streaming ordered-funnel state machine — the streaming face of the
     * batch `funnel_conversion` query: per user one (stage, stage_ts)
     * state row walks view → click → purchase with the SAME

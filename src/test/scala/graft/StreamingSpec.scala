@@ -377,6 +377,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(steps.count() == nEvents - nUsers)
   }
 
+  test("streaming SCD2 closed intervals equal the batch history's closed rows") {
+    val d = Files.createTempDirectory("graft-stream-scd2").toString
+    Tables.orders(spark, sf)
+      .select(col("o_custkey").as("key"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .as("day"),
+        col("o_orderkey").as("seq"),
+        col("o_orderpriority").as("attr"))
+      .orderBy(col("key"), col("day"), col("seq"))
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    val closed = Streams.runToCompletion(
+      spark, Streams.scd2Steps(spark, Streams.readChangeStream(spark, d)),
+      "t_scd2", "append")
+    val got = closed.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    val exp = SparkEntry.queries("scd2_history")(spark, sf)
+      .filter(col("is_current") === 0)
+      .select(col("o_custkey"), col("attr"),
+        datediff(col("valid_from"), lit("1970-01-01").cast("date")).as("f"),
+        datediff(col("valid_to"), lit("1970-01-01").cast("date")).as("t"),
+        col("version"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    assert(got == exp,
+      s"stream/batch SCD2 diverge: ${(got -- exp).take(2)} vs ${(exp -- got).take(2)}")
+    // bounded state: exactly one open interval per key stays in state,
+    // so closed rows = batch rows - distinct keys in the change log
+    val batch = SparkEntry.queries("scd2_history")(spark, sf)
+    assert(closed.count() ==
+      batch.count() - batch.select(col("o_custkey")).distinct().count())
+  }
+
   test("streaming funnel state machine matches the batch funnel counts") {
     val d = Files.createTempDirectory("graft-stream-funnel").toString
     Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
