@@ -103,7 +103,13 @@ object Bench {
     // round-10 late additions (cont.): grouped integer OLS (two linear
     // scans + 3-row broadcast model) and daily linear interpolation
     // (one user-day aggregate + one user-partitioned window sort)
-    "reg_ols_group", "resample_interpolate")
+    "reg_ols_group", "resample_interpolate",
+    // round-10 fourth wave: SCD2 history (WindowGroupLimit map-side
+    // top-1 + one key-partitioned interval exchange — the
+    // log-to-dimension compaction) and degree-oriented triangle count
+    // (compact-forward wedge join over the quarter-windowed co-purchase
+    // graph — out-degree bounded O(sqrt m), the skew-survival property)
+    "scd2_history", "graph_triangles")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime

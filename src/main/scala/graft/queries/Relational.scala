@@ -970,8 +970,65 @@ object Relational {
       |FROM runs
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)""".stripMargin
 
+  /** point-in-time enrichment join (the feature-store correctness
+    * primitive: an observation must see the dimension attribute that
+    * was valid AT its timestamp — never a later one, or the model
+    * trains on leaked future state): each event joined to the SCD2
+    * history on key + [valid_from, valid_to) containment, then
+    * collapsed to per-attribute counts.
+    *
+    * Scale shape: a key-equi join with an interval residual — because
+    * the SCD2 intervals PARTITION each key's timeline, every probe row
+    * matches at most one dimension row, so the join never amplifies;
+    * the dimension is orders-of-magnitude smaller than the fact stream
+    * (broadcast it when it fits, shuffle on key otherwise — here the
+    * optimizer picks from stats). Left join keeps observations that
+    * precede their key's first change (null attribute bucket).
+    */
+  private def joinPointInTime(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2History(s, dir)
+      .select(col("o_custkey"), col("attr"),
+        col("valid_from"), col("valid_to"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast(DateType).as("d"))
+      .join(dim,
+        col("user_id") === col("o_custkey") &&
+          col("d") >= col("valid_from") && col("d") < col("valid_to"),
+        "left")
+      .groupBy(col("attr"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val joinPointInTimeSql =
+    """WITH log AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |    o_orderpriority AS attr,
+      |    row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+      |      ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders),
+      |changes AS (
+      |  SELECT o_custkey, d, attr,
+      |    lag(attr) OVER (PARTITION BY o_custkey ORDER BY d) AS prev
+      |  FROM log WHERE rn = 1),
+      |runs AS (
+      |  SELECT o_custkey, attr, d AS valid_from
+      |  FROM changes WHERE prev IS NULL OR attr <> prev),
+      |dim AS (
+      |  SELECT o_custkey, attr, valid_from,
+      |    coalesce(lead(valid_from) OVER (PARTITION BY o_custkey
+      |      ORDER BY valid_from), DATE '9999-12-31') AS valid_to
+      |  FROM runs)
+      |SELECT attr, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM (SELECT user_id, CAST(ts AS DATE) AS d FROM events) e
+      |LEFT JOIN dim ON user_id = o_custkey
+      |  AND d >= valid_from AND d < valid_to
+      |GROUP BY attr""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "scd2_history" -> Q(scd2History _, scd2HistorySql),
+    "join_point_in_time" -> Q(joinPointInTime _, joinPointInTimeSql),
     "join_asof" -> Q(joinAsof _, joinAsofSql),
     "join_asof_fwd" -> Q(joinAsofFwd _, joinAsofFwdSql),
     "join_asof_nearest" -> Q(joinAsofNearest _, joinAsofNearestSql),

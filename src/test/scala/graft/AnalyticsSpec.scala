@@ -185,6 +185,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(tri == brute, s"oriented $tri vs brute $brute")
   }
 
+  test("point-in-time join: totals conserve and agree with the as-of operator") {
+    val got = SparkEntry.queries("join_point_in_time")(spark, sf).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"))).toMap
+    assert(got.values.map(_._1).sum == Tables.events(spark, sf).count())
+    // independent recompute through the AS-OF operator (window-union
+    // machinery — a different algorithm than the interval join): the
+    // attribute valid AT an event's date is the last change <= date
+    val ref = SparkEntry.queries("scd2_history")(spark, sf)
+      .select(col("o_custkey").as("key"), col("valid_from").as("d"),
+        col("attr"))
+    val probe = Tables.events(spark, sf)
+      .select(col("user_id").as("key"), col("ts").cast("date").as("d"))
+    val viaAsof = operators.AsOf.joinAsOf(probe, ref, "key", "d", "attr")
+      .groupBy(col("asof_attr"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("key")).as("n_users"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"))).toMap
+    assert(got == viaAsof, s"interval join $got vs as-of $viaAsof")
+  }
+
   test("fuzzy join: pairs are verified, ordered, and inside brute force") {
     val got = SparkEntry.queries("join_fuzzy_ngram")(spark, sf).collect()
     assert(got.nonEmpty)
