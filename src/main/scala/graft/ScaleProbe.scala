@@ -254,6 +254,33 @@ object ScaleProbe {
         f"""{"probe":"postings","factor":$f,"vocab":${rows.size},"max_df_dev":$maxDev,"max_postings":$maxLen,"secs":$secs%.2f}""")
     }
 
+    // triangles axis: replicate ORDERS (shifted orderkeys, identical
+    // part composition and dates) — the fact stream grows N× but the
+    // distinct co-purchase edge set is IDENTICAL, so the triangle count
+    // and clustering coefficient must be bit-invariant at every factor:
+    // the distinct-edge collapse absorbs input duplication before the
+    // quadratic-looking wedge stage ever sees it.
+    var triRef = -1L
+    def probeTriangles(f: Int): Unit = {
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val bigO = (0 until f).map(i => orders.select(
+          (col("o_orderkey") + lit(i.toLong * 1000000000L)).as("o_orderkey"),
+          col("o_orderdate"))).reduce(_ union _)
+      val bigL = (0 until f).map(i => li.select(
+          (col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
+          col("l_partkey"))).reduce(_ union _)
+      val t0 = System.nanoTime()
+      val r = queries.GraphOps.trianglesOver(bigL, bigO).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val tri = r.getAs[Long]("n_triangles")
+      if (f == factors.min) triRef = tri
+      println(
+        f"""{"probe":"triangles","factor":$f,"lineitem_rows":${bigL.count()},"n_triangles":$tri,"dev":${math.abs(tri - triRef)},"secs":$secs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
@@ -269,6 +296,7 @@ object ScaleProbe {
       probeCms(f, replicated)
       probeBm25(f, replicated)
       probePostings(f, replicated)
+      probeTriangles(f)
 
       // realistic: salt every token per replica so all shingles differ
       // across replicas (replica 0 keeps the original text, so the base

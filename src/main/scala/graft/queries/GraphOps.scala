@@ -152,9 +152,10 @@ object GraphOps {
     * join and the closing-edge join are both hash joins on compact
     * (long, long) pairs. No driver state, no iteration.
     */
-  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-    val inWindow = Tables.orders(s, dir)
+  private[graft] def trianglesOver(lineitem: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey"))
+    val inWindow = orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
       .select(col("o_orderkey"))
@@ -203,6 +204,9 @@ object GraphOps {
         expr("(3 * n_triangles * 1000000) div n_wedges")
           .as("clustering_ppm"))
   }
+
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    trianglesOver(Tables.lineitem(s, dir), Tables.orders(s, dir))
 
   private val graphTrianglesSql =
     """WITH e0 AS (
