@@ -1455,7 +1455,60 @@ object Extras {
       |  (CAST(sum(flag) AS BIGINT) * 1000000) // count(*) AS anomaly_ppm
       |FROM flags GROUP BY event_type""".stripMargin
 
+  /** daily OHLC bars (pandas/cudf `resample('D').ohlc()` — cf. the
+    * reference's resampler surface, python/cudf/cudf/core/resample.py):
+    * per user-day open/high/low/close of the value series in exact
+    * integer cents, the bar aggregation every time-series store ships.
+    *
+    * Open/close are order-statistics, not extremes — they need the
+    * FIRST/LAST row by (ts, event_id) within the bar. Both engines
+    * compute them from two row_number windows (asc + desc) sharing ONE
+    * user-partitioned exchange (same partition key, opposite sort →
+    * one shuffle, two in-partition sorts), then a map-side-combinable
+    * groupBy collapses each bar: open/close via the rn = 1 rows,
+    * high/low/n as plain aggregates. At 100 TB: one shuffle by user,
+    * output bounded by the user-day keyspace.
+    */
+  private def resampleOhlc(s: SparkSession, dir: String): DataFrame = {
+    val asc = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val desc = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast(LongType).as("x"))
+      .select(col("user_id"), col("day"), col("x"),
+        row_number().over(asc).as("rn_a"),
+        row_number().over(desc).as("rn_d"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        max(when(col("rn_a") === 1, col("x"))).as("open_cents"),
+        max(col("x")).as("high_cents"),
+        min(col("x")).as("low_cents"),
+        max(when(col("rn_d") === 1, col("x"))).as("close_cents"),
+        count(lit(1)).as("n"))
+  }
+
+  private val resampleOhlcSql =
+    """WITH cents AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+      |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+      |      ORDER BY ts ASC, event_id ASC) AS rn_a,
+      |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT user_id, day,
+      |  max(CASE WHEN rn_a = 1 THEN x END) AS open_cents,
+      |  max(x) AS high_cents,
+      |  min(x) AS low_cents,
+      |  max(CASE WHEN rn_d = 1 THEN x END) AS close_cents,
+      |  count(*) AS n
+      |FROM cents GROUP BY user_id, day""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "resample_ohlc" -> Q(resampleOhlc _, resampleOhlcSql),
     "ts_anomaly_zscore" -> Q(tsAnomalyZscore _, tsAnomalyZscoreSql),
     "drift_tvd" -> Q(driftTvd _, driftTvdSql),
     "drift_window_tvd" -> Q(driftWindowTvd _, driftWindowTvdSql),

@@ -185,6 +185,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(tri == brute, s"oriented $tri vs brute $brute")
   }
 
+  test("OHLC bars: low <= open/close <= high, counts conserve, singletons degenerate") {
+    val rows = SparkEntry.queries("resample_ohlc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c, n) = (r.getAs[Long]("open_cents"),
+        r.getAs[Long]("high_cents"), r.getAs[Long]("low_cents"),
+        r.getAs[Long]("close_cents"), r.getAs[Long]("n"))
+      assert(l <= o && o <= h && l <= c && c <= h)
+      if (n == 1L) assert(o == h && h == l && l == c)
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.events(spark, sf).count())
+  }
+
   test("point-in-time join: totals conserve and agree with the as-of operator") {
     val got = SparkEntry.queries("join_point_in_time")(spark, sf).collect()
       .map(r => Option(r.getString(0)) ->
