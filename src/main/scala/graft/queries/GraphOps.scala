@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over relational edge lists — the authority
@@ -208,6 +209,87 @@ object GraphOps {
   private def graphTriangles(s: SparkSession, dir: String): DataFrame =
     trianglesOver(Tables.lineitem(s, dir), Tables.orders(s, dir))
 
+  /** Synchronous label propagation (Raghavan et al. 2007), 3 fixed
+    * iterations with the DETERMINISTIC tie-break (highest neighbor-
+    * label count, then smallest label) over the same quarter-windowed
+    * part co-purchase graph as `graph_triangles` — community sizes as
+    * the report. Async LPA's update order makes results run-dependent;
+    * the synchronous variant with a total-ordered tie-break is a pure
+    * function of the graph, which is what makes it oracle-able AND
+    * what a reproducible 100 TB pipeline wants.
+    *
+    * Scale shape: per iteration ONE join of the (node, label) frame to
+    * the edge list (reusable edge partitioning — the Pregel shape
+    * PageRank uses) + one (node, label) count aggregate + a top-1-per-
+    * node window (WindowGroupLimit prunes map-side). Labels are
+    * node-cardinality frames, localCheckpoint'd lazily per iteration
+    * like PageRank's ranks. Fixed iteration count, no convergence
+    * collect.
+    */
+  private def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val inWindow = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val e0 = li.as("l1")
+      .join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .join(inWindow, col("l1.l_orderkey") === col("o_orderkey"))
+      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to 3) {
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("lbl").asc)
+      labels = edges
+        .join(labels.hint("shuffle_hash"), col("b") === col("node"))
+        .groupBy(col("a"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("a").as("node"), col("lbl"), col("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint(false)
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
+  private val graphLabelPropSql = {
+    val step = (i: Int) =>
+      s"""c$i AS (
+         |  SELECT e.a AS node, l.lbl, count(*) AS c
+         |  FROM edges e JOIN l${i - 1} l ON e.b = l.node
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM c$i) r
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1
+       |  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       |    AND l1.l_partkey < l2.l_partkey
+       |  JOIN orders ON o_orderkey = l1.l_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate < TIMESTAMP '1996-04-01'),
+       |edges AS (
+       |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+       |${(1 to 3).map(step).mkString(",\n")}
+       |SELECT lbl AS community, count(*) AS n_members
+       |FROM l3 GROUP BY lbl""".stripMargin
+  }
+
   private val graphTrianglesSql =
     """WITH e0 AS (
       |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -245,6 +327,7 @@ object GraphOps {
 
   def queries: Map[String, Q] = Map(
     "graph_pagerank" -> Q(graphPagerank _, graphPagerankSql),
-    "graph_triangles" -> Q(graphTriangles _, graphTrianglesSql)
+    "graph_triangles" -> Q(graphTriangles _, graphTrianglesSql),
+    "graph_label_prop" -> Q(graphLabelProp _, graphLabelPropSql)
   )
 }

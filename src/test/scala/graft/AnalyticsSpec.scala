@@ -222,6 +222,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == viaAsof, s"interval join $got vs as-of $viaAsof")
   }
 
+  test("label propagation: members conserve nodes, labels are node ids") {
+    val rows = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    val nodes = li.as("l1")
+      .join(li.as("l2"), col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_partkey") =!= col("l2.l_partkey"))
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey")),
+        col("l1.l_orderkey") === col("o_orderkey"))
+      .select(col("l1.l_partkey").as("v")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nodes.size.toLong)
+    rows.foreach(r => assert(nodes(r.getAs[Long]("community"))))
+  }
+
   test("fuzzy join: pairs are verified, ordered, and inside brute force") {
     val got = SparkEntry.queries("join_fuzzy_ngram")(spark, sf).collect()
     assert(got.nonEmpty)
