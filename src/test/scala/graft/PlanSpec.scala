@@ -191,4 +191,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"per-lang report must not widen into a real join:\n$p")
   }
+
+  test("scd2_history: map-side WindowGroupLimit, exactly two exchanges") {
+    val p = plan("scd2_history")
+    // the per-day dedup must prune to top-1 BEFORE its exchange
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number()=1 must compile to WindowGroupLimit:\n$p")
+    // count the detail entries ("(n) Exchange"), not the tree echo
+    val exchanges = p.linesIterator.count(l =>
+      l.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 2,
+      s"expected 2 shuffles (key-day dedup + key intervals), got $exchanges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ts_anomaly_zscore: one window exchange feeds a partial aggregate") {
+    val p = plan("ts_anomaly_zscore")
+    val exchanges = p.linesIterator.count(l =>
+      l.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 2,
+      s"expected user window shuffle + final agg shuffle, got $exchanges")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "event_type collapse must partial-aggregate map-side")
+  }
+
+  test("join_fuzzy_ngram: blocking buckets join by broadcast hash, no SMJ") {
+    val p = plan("join_fuzzy_ngram")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bounded blocking frames must hash-join:\n$p")
+  }
 }
