@@ -261,24 +261,31 @@ object ScaleProbe {
     // the distinct-edge collapse absorbs input duplication before the
     // quadratic-looking wedge stage ever sees it.
     var triRef = -1L
+    // replica shift derived from the data, not a constant: a hardcoded
+    // 1e9 would collide with real orderkeys at large SF and merge
+    // lineitems of different orders into spurious edges
+    lazy val orderkeyShift = Tables.orders(spark, sfDir)
+      .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    lazy val lineitemBaseRows = Tables.lineitem(spark, sfDir).count()
     def probeTriangles(f: Int): Unit = {
       val orders = Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_orderdate"))
       val li = Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_partkey"))
       val bigO = (0 until f).map(i => orders.select(
-          (col("o_orderkey") + lit(i.toLong * 1000000000L)).as("o_orderkey"),
+          (col("o_orderkey") + lit(i.toLong * orderkeyShift)).as("o_orderkey"),
           col("o_orderdate"))).reduce(_ union _)
       val bigL = (0 until f).map(i => li.select(
-          (col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
+          (col("l_orderkey") + lit(i.toLong * orderkeyShift)).as("l_orderkey"),
           col("l_partkey"))).reduce(_ union _)
       val t0 = System.nanoTime()
       val r = queries.GraphOps.trianglesOver(bigL, bigO).head()
       val secs = (System.nanoTime() - t0) / 1e9
       val tri = r.getAs[Long]("n_triangles")
       if (f == factors.min) triRef = tri
+      val dev = if (triRef < 0) -1L else math.abs(tri - triRef)
       println(
-        f"""{"probe":"triangles","factor":$f,"lineitem_rows":${bigL.count()},"n_triangles":$tri,"dev":${math.abs(tri - triRef)},"secs":$secs%.2f}""")
+        f"""{"probe":"triangles","factor":$f,"lineitem_rows":${f * lineitemBaseRows},"n_triangles":$tri,"dev":$dev,"secs":$secs%.2f}""")
     }
 
     factors.foreach { f =>

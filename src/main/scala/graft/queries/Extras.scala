@@ -1440,8 +1440,9 @@ object Extras {
       |roll AS (
       |  SELECT event_type, CAST(x AS HUGEINT) AS x,
       |    count(*) OVER w AS n,
-      |    CAST(sum(x) OVER w AS HUGEINT) AS s,
-      |    CAST(sum(x * x) OVER w AS HUGEINT) AS q
+      |    CAST(sum(CAST(x AS HUGEINT)) OVER w AS HUGEINT) AS s,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER w
+      |      AS HUGEINT) AS q
       |  FROM cents
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),

@@ -153,14 +153,19 @@ object GraphOps {
     * join and the closing-edge join are both hash joins on compact
     * (long, long) pairs. No driver state, no iteration.
     */
-  private[graft] def trianglesOver(lineitem: DataFrame,
+  /** quarter-windowed part co-purchase edges, key-canonical (a < b),
+    * distinct, lineage-cut — shared by the triangle and
+    * label-propagation families so the graph definition can't
+    * desynchronize between them.
+    */
+  private def coPurchaseEdges(lineitem: DataFrame,
       orders: DataFrame): DataFrame = {
     val li = lineitem.select(col("l_orderkey"), col("l_partkey"))
     val inWindow = orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
       .select(col("o_orderkey"))
-    val e0 = li.as("l1")
+    li.as("l1")
       .join(li.as("l2"),
         col("l1.l_orderkey") === col("l2.l_orderkey") &&
           col("l1.l_partkey") < col("l2.l_partkey"))
@@ -168,6 +173,11 @@ object GraphOps {
       .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
       .distinct()
       .localCheckpoint()
+  }
+
+  private[graft] def trianglesOver(lineitem: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val e0 = coPurchaseEdges(lineitem, orders)
     val deg = e0.select(col("a").as("v"))
       .unionByName(e0.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -227,18 +237,7 @@ object GraphOps {
     * collect.
     */
   private def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-    val inWindow = Tables.orders(s, dir)
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
-      .select(col("o_orderkey"))
-    val e0 = li.as("l1")
-      .join(li.as("l2"),
-        col("l1.l_orderkey") === col("l2.l_orderkey") &&
-          col("l1.l_partkey") < col("l2.l_partkey"))
-      .join(inWindow, col("l1.l_orderkey") === col("o_orderkey"))
-      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
-      .distinct()
+    val e0 = coPurchaseEdges(Tables.lineitem(s, dir), Tables.orders(s, dir))
     val edges = e0.unionByName(
       e0.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()

@@ -45,8 +45,11 @@ object TextOps {
       .select(col("doc_id"), substring(col("text"), 1, 80).as("t"))
       .select(
         col("doc_id"),
+        // length guard: Spark's sequence(1, 0) steps DOWN to [1, 0]
+        // rather than returning empty, so sub-trigram texts would count
+        // phantom grams that DuckDB's empty range never generates
         expr(
-          "size(array_distinct(transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))))")
+          "CASE WHEN length(t) >= 3 THEN size(array_distinct(transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)))) ELSE 0 END")
           .as("n_distinct_3grams"),
         graft.ArrCanon.joined(
           expr("transform(sequence(1, 3), i -> substring(t, i, 3))")).as("first_3grams"))
@@ -1097,8 +1100,13 @@ object TextOps {
     * candidates (codegen'd built-in in both engines).
     */
   private def joinFuzzyNgram(s: SparkSession, dir: String): DataFrame = {
+    // names shorter than a trigram generate no blocking grams in either
+    // engine — the explicit guard matters because Spark's
+    // sequence(1, 0) steps DOWNWARD to [1, 0] instead of returning
+    // empty, which would fabricate sub-trigram grams for short names
     val names = Tables.part(s, dir)
       .select(col("p_name").as("n")).distinct()
+      .filter(length(col("n")) >= 3)
     val grams = names.select(col("n"),
       explode(expr(
         "array_distinct(transform(sequence(1, greatest(length(n) - 2, 0)), i -> substring(n, i, 3)))"))
@@ -1119,7 +1127,8 @@ object TextOps {
   }
 
   private val joinFuzzyNgramSql =
-    """WITH names AS (SELECT DISTINCT p_name AS n FROM part),
+    """WITH names AS (
+      |  SELECT DISTINCT p_name AS n FROM part WHERE length(p_name) >= 3),
       |grams AS (
       |  SELECT n, unnest(list_distinct(list_transform(
       |    range(1, greatest(length(n) - 2, 0) + 1),

@@ -211,7 +211,7 @@ class PlanSpec extends AnyFunSuite {
       l.matches("""\(\d+\) Exchange.*"""))
     assert(exchanges == 2,
       s"expected user window shuffle + final agg shuffle, got $exchanges")
-    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+    assert(p.contains("partial_count"),
       "event_type collapse must partial-aggregate map-side")
   }
 
