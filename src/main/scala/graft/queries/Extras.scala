@@ -1508,7 +1508,50 @@ object Extras {
       |  count(*) AS n
       |FROM cents GROUP BY user_id, day""".stripMargin
 
+  /** last-touch attribution (the standard marketing-analytics credit
+    * model): every purchase is credited to the user's most recent
+    * STRICTLY-earlier touch event (view/click/signup — error events
+    * and other purchases never carry credit), '(none)' when no touch
+    * precedes. One pass: last(touch, ignoreNulls) over the
+    * user-ordered frame [unbounded, -1] carries the running last-touch
+    * to each row with no self-join; the purchase filter + channel
+    * aggregate collapse map-side. At 100 TB: one shuffle by user,
+    * 4-row output.
+    */
+  private def attributionLastTouch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), col("event_type"),
+        last(
+          when(col("event_type").isin("view", "click", "signup"),
+            col("event_type")),
+          ignoreNulls = true).over(w).as("touch"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val attributionLastTouchSql =
+    """WITH touched AS (
+      |  SELECT user_id, event_type,
+      |    last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+      |      THEN event_type END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events)
+      |SELECT coalesce(touch, '(none)') AS channel,
+      |  count(*) AS n_purchases,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM touched WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "attribution_last_touch" -> Q(attributionLastTouch _, attributionLastTouchSql),
     "resample_ohlc" -> Q(resampleOhlc _, resampleOhlcSql),
     "ts_anomaly_zscore" -> Q(tsAnomalyZscore _, tsAnomalyZscoreSql),
     "drift_tvd" -> Q(driftTvd _, driftTvdSql),

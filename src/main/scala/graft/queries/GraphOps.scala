@@ -324,9 +324,60 @@ object GraphOps {
       |    AS BIGINT) AS clustering_ppm
       |FROM tri""".stripMargin
 
+  /** common-neighbor link prediction (Liben-Nowell & Kleinberg 2003 —
+    * the baseline every link-prediction paper reports): the 20
+    * strongest NON-edges of the co-purchase graph by shared-neighbor
+    * count, deterministic (count desc, then pair) tie order.
+    *
+    * Scale shape: candidate pairs come from the same wedge enumeration
+    * the triangle count uses — one self-join of the doubled edge list
+    * on the shared vertex with t1 < t2 canonicalization, then a
+    * map-side-combinable pair count; existing edges leave via one
+    * anti-join against the compact (a, b) set; the final ranking is
+    * TakeOrdered(20), never a global sort. At cluster scale the wedge
+    * fan-out is the graph's Σd² — cap per-vertex neighbor lists (or
+    * degree-filter hubs) exactly like the LSH hot-bucket cap when the
+    * degree distribution is power-law.
+    */
+  private def graphLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val e0 = coPurchaseEdges(Tables.lineitem(s, dir), Tables.orders(s, dir))
+    val edges = e0.unionByName(
+      e0.select(col("b").as("a"), col("a").as("b")))
+    edges.as("e1")
+      .join(edges.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.b").as("u"), col("e2.b").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(e0, col("u") === col("a") && col("v") === col("b"), "left_anti")
+      .orderBy(col("common_neighbors").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  private val graphLinkPredictSql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1
+      |  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |    AND l1.l_partkey < l2.l_partkey
+      |  JOIN orders ON o_orderkey = l1.l_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-04-01'),
+      |edges AS (
+      |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      |cn AS (
+      |  SELECT e1.b AS u, e2.b AS v, count(*) AS common_neighbors
+      |  FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+      |  GROUP BY 1, 2)
+      |SELECT u, v, common_neighbors
+      |FROM cn
+      |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE a = u AND b = v)
+      |ORDER BY common_neighbors DESC, u, v LIMIT 20""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "graph_pagerank" -> Q(graphPagerank _, graphPagerankSql),
     "graph_triangles" -> Q(graphTriangles _, graphTrianglesSql),
-    "graph_label_prop" -> Q(graphLabelProp _, graphLabelPropSql)
+    "graph_label_prop" -> Q(graphLabelProp _, graphLabelPropSql),
+    "graph_link_predict" -> Q(graphLinkPredict _, graphLinkPredictSql)
   )
 }

@@ -222,6 +222,64 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == viaAsof, s"interval join $got vs as-of $viaAsof")
   }
 
+  test("attribution: purchase totals conserve, channels match a join recompute") {
+    val got = SparkEntry.queries("attribution_last_touch")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_purchases")).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    assert(got.values.sum == ev.filter(col("event_type") === "purchase").count())
+    assert(got.keySet.subsetOf(Set("view", "click", "signup", "(none)")))
+    // independent recompute: per purchase, the max-(ts, event_id) touch
+    // strictly before it, via an explicit join (different algorithm
+    // from the running-last window)
+    val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id").as("tu"), col("ts").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("channel"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts"), col("event_id"))
+      .orderBy(col("tts").desc, col("tid").desc)
+    val exp = purchases
+      .join(touches, col("user_id") === col("tu") &&
+        (col("tts") < col("ts") ||
+          (col("tts") === col("ts") && col("tid") < col("event_id"))),
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(coalesce(col("channel"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"window $got vs join recompute $exp")
+  }
+
+  test("link prediction: pairs are non-edges with true neighbor counts") {
+    val got = SparkEntry.queries("graph_link_predict")(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    // counts are non-increasing in rank order by construction; verify
+    // the top pair's count by intersecting neighbor sets directly
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    val e0 = li.as("l1")
+      .join(li.as("l2"), col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_partkey") < col("l2.l_partkey"))
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey")),
+        col("l1.l_orderkey") === col("o_orderkey"))
+      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrs = (e0.toSeq ++ e0.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val top = got.head
+    val (u, v, cn) = (top.getAs[Long]("u"), top.getAs[Long]("v"),
+      top.getAs[Long]("common_neighbors"))
+    assert(!e0((u, v)), "predicted link already exists")
+    assert(nbrs(u).intersect(nbrs(v)).size.toLong == cn,
+      s"top pair ($u,$v) count $cn != direct intersection")
+    got.foreach(r => assert(!e0((r.getAs[Long]("u"), r.getAs[Long]("v")))))
+  }
+
   test("label propagation: members conserve nodes, labels are node ids") {
     val rows = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(rows.nonEmpty)
