@@ -189,6 +189,49 @@ object Streams {
       .toDF("key", "attr", "valid_from_day", "valid_to_day", "version")
   }
 
+  /** Streaming rolling z-score monitor — the streaming face of the
+    * batch `ts_anomaly_zscore` query (Extras.scala): per user the state
+    * is a ≤7-element ring of recent cent values; when the trailing
+    * window is full the flag is the same sqrt-free integer comparison
+    * (n·x−s)² > 4·(n·q−s²), computed in BigInt so the parity with the
+    * batch DECIMAL(38,0) path is exact at any magnitude. Emits
+    * (event_type, flag) per evaluated event; aggregating the sink by
+    * event_type equals the batch monitor's (n_eval, n_anomalies)
+    * EXACTLY under ordered replay (StreamingSpec pins it). State is 7
+    * longs per user — the bounded-telemetry-monitor shape.
+    */
+  def zscoreFlags(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("x"))
+      .as[(Long, Long, Long, String, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], (String, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[List[Long]]) =>
+          var ring = state.getOption.getOrElse(Nil) // newest first, <= 7
+          val out = Seq.newBuilder[(String, Int)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            ring = (r._5 :: ring).take(7)
+            if (ring.length == 7) {
+              val x = BigInt(r._5)
+              val s = ring.map(BigInt(_)).sum
+              val q = ring.map(v => BigInt(v) * BigInt(v)).sum
+              val lhs = (7 * x - s) * (7 * x - s)
+              val rhs = 4 * (7 * q - s * s)
+              out += ((r._4, if (lhs > rhs) 1 else 0))
+            }
+          }
+          state.update(ring)
+          out.result().iterator
+      }
+      .toDF("event_type", "flag")
+  }
+
   /** Streaming ordered-funnel state machine — the streaming face of the
     * batch `funnel_conversion` query: per user one (stage, stage_ts)
     * state row walks view → click → purchase with the SAME

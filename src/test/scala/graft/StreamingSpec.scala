@@ -377,6 +377,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(steps.count() == nEvents - nUsers)
   }
 
+  test("streaming z-score flags aggregate to the batch anomaly monitor") {
+    val d = Files.createTempDirectory("graft-stream-zscore").toString
+    Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    val flags = Streams.runToCompletion(
+      spark, Streams.zscoreFlags(spark, Streams.readEventStream(spark, d)),
+      "t_zscore", "append")
+    val got = flags.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("flag")).as("n_anomalies"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exp = SparkEntry.queries("ts_anomaly_zscore")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_eval"), r.getAs[Long]("n_anomalies"))).toMap
+    assert(got == exp, s"stream $got vs batch $exp")
+  }
+
   test("streaming SCD2 closed intervals equal the batch history's closed rows") {
     val d = Files.createTempDirectory("graft-stream-scd2").toString
     Tables.orders(spark, sf)
