@@ -232,6 +232,40 @@ object Streams {
       .toDF("event_type", "flag")
   }
 
+  /** Streaming last-touch attribution — the streaming face of the batch
+    * `attribution_last_touch` query (Extras.scala): per user ONE string
+    * of state (the most recent view/click/signup); each purchase emits
+    * its attributed channel the moment it arrives ('(none)' before any
+    * touch). Aggregating the sink by channel equals the batch
+    * attribution exactly under ordered replay (StreamingSpec pins it).
+    * The real-time marketing-credit shape: O(1) state, O(1) work per
+    * event.
+    */
+  def attributionSteps(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val touches = Set("view", "click", "signup")
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[String, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[String]) =>
+          var touch = state.getOption.getOrElse("(none)")
+          val out = Seq.newBuilder[(Long, String)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (r._4 == "purchase") out += ((uid, touch))
+            else if (touches(r._4)) touch = r._4
+          }
+          state.update(touch)
+          out.result().iterator
+      }
+      .toDF("user_id", "channel")
+  }
+
   /** Streaming ordered-funnel state machine — the streaming face of the
     * batch `funnel_conversion` query: per user one (stage, stage_ts)
     * state row walks view → click → purchase with the SAME

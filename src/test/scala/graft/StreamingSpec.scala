@@ -377,6 +377,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(steps.count() == nEvents - nUsers)
   }
 
+  test("streaming attribution equals the batch last-touch credit") {
+    val d = Files.createTempDirectory("graft-stream-attr").toString
+    Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    val credits = Streams.runToCompletion(
+      spark, Streams.attributionSteps(spark, Streams.readEventStream(spark, d)),
+      "t_attr", "append")
+    val got = credits.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exp = SparkEntry.queries("attribution_last_touch")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_users"))).toMap
+    assert(got == exp, s"stream $got vs batch $exp")
+  }
+
   test("streaming z-score flags aggregate to the batch anomaly monitor") {
     val d = Files.createTempDirectory("graft-stream-zscore").toString
     Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
