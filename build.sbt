@@ -36,4 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // keeps per-group GC deltas flat so bench numbers measure the query,
   // not the collector.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // r11: the headline bench grew to 60 whole-stage-codegen'd queries;
+  // JDK 17's default 240 MB reserved code cache starts flushing warm
+  // nmethods under that load, so later groups re-JIT mid-measurement
+  // (the suspected r10 group-neighbor drift on unchanged plans). Bench
+  // prints per-group code-cache occupancy as evidence.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -123,6 +123,20 @@ object Bench {
       .sum
   }
 
+  /** JIT code-cache occupancy (MB used across the CodeHeap pools): when
+    * this saturates its reserve the sweeper flushes warm nmethods and
+    * later groups re-JIT mid-measurement — the drift-on-unchanged-plans
+    * mechanism. Printed per group so a future drift report carries the
+    * evidence.
+    */
+  private def codeCacheMb: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed)
+      .sum / (1024 * 1024)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -178,7 +192,8 @@ object Bench {
       val ts = Seq.fill(reps)(run(n))
       val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
       System.err.println(
-        f"[bench] $n%-22s median=$med%7.3fs heap=${heapUsedMb}%5dMB gc=${gcMillis}%6dms")
+        f"[bench] $n%-22s median=$med%7.3fs heap=${heapUsedMb}%5dMB " +
+          f"gc=${gcMillis}%6dms codecache=${codeCacheMb}%4dMB")
       groupCleanup()
       n -> med
     }

@@ -35,8 +35,18 @@ object Explain {
       // op (dimension-bounded); pack_sequences is a sorted-partition
       // mapPartitions scan (O(1) state, no codegen by construction).
       val intended = Set("reshape_transpose", "pack_sequences")
+      // Single-partition window: an unpartitioned Window moves the whole
+      // frame through one task — the r11 de-globalization rule is that
+      // every Window carries a PARTITION BY (global ranks go through
+      // operators.GlobalOrder instead). Detected structurally on the
+      // analyzed plan: a WindowExpression whose spec has no partition keys.
+      val globalWindow = df.queryExecution.analyzed.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.nonEmpty
       val smells = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "single-partition-Window" -> globalWindow,
         // FormattedMode marks whole-stage spans as "[codegen id : N]"
         "no-WholeStageCodegen" ->
           (!plan.contains("codegen id") && !intended.contains(name))

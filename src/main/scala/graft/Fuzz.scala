@@ -107,7 +107,36 @@ object Fuzz {
     }
 
     def query(): String = {
-      val kind = rng.nextInt(15)
+      val kind = rng.nextInt(16)
+      if (kind == 15) {
+        // WIDENING-SENSITIVE template (r11, after the HUGEINT incident):
+        // the shapes DuckDB widens to HUGEINT — sum-of-sum chains,
+        // products inside min/max folds, floor-division over SIGNED
+        // sums — each carrying the repo convention's CAST(... AS
+        // BIGINT). tools/check.py's type gate then verifies BOTH value
+        // and result-type agreement, so a convention regression (a
+        // dropped cast, or an engine changing its widening rules) fails
+        // the seeded run instead of hiding until a driver gate.
+        // floor(a / b) is the portable signed integer division here
+        // (both engines: exact double division of sub-2^52 ints, then
+        // floor) — `div`/`//` spellings are dialect-specific.
+        val c1 = 1 + rng.nextInt(9)
+        val c2 = 2 + rng.nextInt(50)
+        val shift = 100 + rng.nextInt(2000) // drives d1 negative
+        return s"""SELECT k, count(*) AS n,
+           |  CAST(sum(s1) AS BIGINT) AS ss,
+           |  CAST(min(s1 * $c1) AS BIGINT) AS mns,
+           |  CAST(max(d1) AS BIGINT) AS mxd,
+           |  CAST(sum(CAST(floor(CAST(d1 AS DOUBLE) / $c2) AS BIGINT))
+           |    AS BIGINT) AS sq
+           |FROM (
+           |  SELECT ${strExpr(1)} AS k, l_linenumber AS k2,
+           |    CAST(sum(${intExpr(1)}) AS BIGINT) AS s1,
+           |    CAST(sum(${intExpr(1)} - $shift) AS BIGINT) AS d1
+           |  FROM lineitem WHERE ${pred()}
+           |  GROUP BY 1, 2) t
+           |GROUP BY k""".stripMargin
+      }
       if (kind == 14) {
         // RANGE window-frame template: value-based frames over epoch
         // micros — the frame family where engine dialects actually

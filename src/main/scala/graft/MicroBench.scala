@@ -113,6 +113,19 @@ object MicroBench {
         org.apache.spark.sql.expressions.Window.orderBy(order: _*))),
       "ranged_offsets_s", "single_partition_window_s")
 
+    // PageRank cost split: the 0-iteration run prices the per-rep fixed
+    // cost (orders⋈lineitem edge build + eager localCheckpoint + rank
+    // init) the 5-iteration run adds its Pregel steps to — (full −
+    // build)/5 is the marginal per-iteration cost, the number that
+    // decides whether envelope work should target the build or the loop.
+    {
+      val orders = Tables.orders(spark, sfDir)
+      bench("pagerank_build_vs_5iter",
+        graft.queries.GraphOps.pagerank(orders, li, iters = 0),
+        graft.queries.GraphOps.pagerank(orders, li, iters = 5),
+        "build_only_s", "build_plus_5iter_s")
+    }
+
     // Bucketed (zero-Exchange) vs plain shuffled sort-merge join: the
     // write-once/join-many trade quantified. Both sides hinted merge so
     // the ONLY difference is the pre-shuffled storage layout.

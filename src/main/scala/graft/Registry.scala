@@ -32,6 +32,22 @@ object Q {
   * same formula on both sides.
   */
 object Agg {
+  /** CROSS-PLATFORM ENVELOPE for the floored-ln convention (used by
+    * text_zipf_ols, text_collocation_pmi, text_lm_score and the PMI/LM
+    * families): `floor(ln(x) * 1e6)` assumes java.lang.Math.log (Spark)
+    * and DuckDB's libm `ln` agree on the double BEFORE the floor. Neither
+    * is guaranteed correctly rounded by its spec, so a 1-ulp platform
+    * difference adjacent to a floor boundary could flip the micro-unit
+    * integer. In practice both route to the same correctly-rounded
+    * algorithms on this platform (fdlibm-descended), and the gate runs
+    * Spark and DuckDB on the SAME host/libm, so the convention is exact
+    * here; porting the oracle gate to a different libm may require
+    * comparing ln-derived integer columns at a ±1 micro-unit tolerance
+    * (values exactly ON a boundary are measure-zero but not impossible).
+    * Integer-input lns (ln(count), ln(rank)) hit identical doubles by
+    * construction, so only double-argument lns carry this caveat.
+    */
+
   /** Exact, order-independent sum of a double column, fixed-point at
     * `scale` decimals; result as double.
     *

@@ -199,7 +199,7 @@ object ScaleProbe {
         if (cmsRef.isEmpty) -1L
         else cells.map { case (k, v) =>
           math.abs(v - f * cmsRef.getOrElse(k, 0L))
-        }.max
+        }.maxOption.getOrElse(-1L)
       println(
         f"""{"probe":"cms_cells","factor":$f,"cells":${cells.size},"max_dev":$maxDev,"secs":$secs%.2f}""")
     }
@@ -219,13 +219,20 @@ object ScaleProbe {
         .collect().map(r => r.getLong(0) -> r.getAs[Long]("bm25_micro")).toMap
       val secs = (System.nanoTime() - t0) / 1e9
       if (f == factors.min) bm25Ref ++= scores
+      // missing keys are tracked as their own failure signal — folding
+      // them into the dev via a Long.MinValue sentinel would overflow
+      // math.abs and could report a genuine violation (a new doc
+      // entering the scored set) as a negative/absurd dev
+      val unseen =
+        if (bm25Ref.isEmpty) 0
+        else scores.count { case (k, _) => !bm25Ref.contains(k) }
       val maxDev =
         if (bm25Ref.isEmpty) -1L
-        else scores.map { case (k, v) =>
-          math.abs(v - bm25Ref.getOrElse(k, Long.MinValue))
-        }.max
+        else scores.collect { case (k, v) if bm25Ref.contains(k) =>
+          math.abs(v - bm25Ref(k))
+        }.maxOption.getOrElse(-1L)
       println(
-        f"""{"probe":"bm25_invariance","factor":$f,"scored_docs":${scores.size},"max_dev":$maxDev,"secs":$secs%.2f}""")
+        f"""{"probe":"bm25_invariance","factor":$f,"scored_docs":${scores.size},"max_dev":$maxDev,"unseen_docs":$unseen,"secs":$secs%.2f}""")
     }
 
     // postings axis: under N× replication the vocabulary is fixed, df
@@ -249,7 +256,7 @@ object ScaleProbe {
         else rows.collect { case (t, df, _) if dfRef.contains(t) =>
           math.abs(df - f * dfRef(t))
         }.maxOption.getOrElse(-1L)
-      val maxLen = rows.map(_._3.count(_ == '|') + 1).max
+      val maxLen = rows.map(_._3.count(_ == '|') + 1).maxOption.getOrElse(0)
       println(
         f"""{"probe":"postings","factor":$f,"vocab":${rows.size},"max_df_dev":$maxDev,"max_postings":$maxLen,"secs":$secs%.2f}""")
     }
@@ -288,6 +295,33 @@ object ScaleProbe {
         f"""{"probe":"triangles","factor":$f,"lineitem_rows":${f * lineitemBaseRows},"n_triangles":$tri,"dev":$dev,"secs":$secs%.2f}""")
     }
 
+    // wedge-cap axis: a synthetic star hub whose degree GROWS with the
+    // factor (20000·f leaves) plus a small clique of real structure.
+    // Uncapped, the hub alone would emit d·(d−1)/2 ≈ 2·10⁸·f² wedge
+    // candidates; with GraphOps.wedgeCap the law is
+    // min(d, cap)·(min(d, cap) − 1)/2 — CONSTANT in f once d > cap.
+    // The probe prints the actual candidate count next to that bound;
+    // equality is the boundedness witness for graph_link_predict under
+    // power-law degree skew.
+    def probeWedgeCap(f: Int): Unit = {
+      import spark.implicits._
+      val d = 20000L * f
+      val cap = queries.GraphOps.wedgeCap.toLong
+      val hub = spark.range(1, d + 1)
+        .select(lit(0L).as("a"), col("id").as("b"))
+      val clique = spark.range(1, 6).as[Long].flatMap(i =>
+        ((i + 1) to 6).map(j => (i + 1000000000L, j + 1000000000L)))
+        .toDF("a", "b")
+      val t0 = System.nanoTime()
+      val candidates = queries.GraphOps
+        .cappedWedgeCandidates(hub.unionByName(clique)).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val m = math.min(d, cap)
+      val hubBound = m * (m - 1) / 2
+      println(
+        f"""{"probe":"wedge_cap","factor":$f,"hub_degree":$d,"candidates":$candidates,"hub_bound":$hubBound,"secs":$secs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
@@ -304,6 +338,7 @@ object ScaleProbe {
       probeBm25(f, replicated)
       probePostings(f, replicated)
       probeTriangles(f)
+      probeWedgeCap(f)
 
       // realistic: salt every token per replica so all shingles differ
       // across replicas (replica 0 keeps the original text, so the base

@@ -37,6 +37,28 @@ object GlobalOrder {
   /** Appends `out` = 1-based global row number (LongType) of each row
     * under `order` (must be a total order).
     */
+  /** SQL-standard `ntile(k)` recomputed from a global row number and the
+    * frame's total row count — the scalable replacement for
+    * `ntile(k) OVER (ORDER BY …)`, whose single-partition sort is the
+    * thing [[rowNumber]] exists to avoid. Semantics are identical to
+    * Spark's and DuckDB's ntile: with n rows, the first `n mod k` tiles
+    * take `n/k + 1` rows, the rest `n/k` (the `q = 0` small-frame edge
+    * falls out of the first branch, so the `/ q` in the second is never
+    * evaluated there).
+    */
+  def ntileFromRowNumber(rn: Column, n: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{floor, when}
+    // Spark's `/` on integer Columns is double division; floor() yields
+    // the true integer quotient for nonnegative operands below 2^52 —
+    // frames beyond 4.5e15 ROWS are out of envelope even at 100 TB.
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast(LongType)
+    val q = idiv(n, org.apache.spark.sql.functions.lit(k))
+    val r = n % k
+    val cut = r * (q + 1)
+    when(rn <= cut, idiv(rn - 1, q + 1) + 1)
+      .otherwise(r + idiv(rn - cut - 1, q) + 1)
+  }
+
   def rowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
     val sorted = df
       .repartitionByRange(order: _*)

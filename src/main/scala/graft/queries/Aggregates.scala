@@ -401,23 +401,26 @@ object Aggregates {
 
   /** Explicit GROUPING SETS (the general form the cube/rollup queries
     * specialize): per-flag totals, per-(flag, status) cells, and the
-    * grand total in one pass — Spark's SQL surface, since the DataFrame
-    * API exposes only cube/rollup. Same one-Expand-one-Aggregate plan
-    * as cube, just a sparser set list.
+    * grand total in one pass — via Spark 4's Dataset.groupingSets, so
+    * the builder stays a side-effect-free DataFrame expression (the
+    * earlier SQL formulation registered a session-global temp view,
+    * which two concurrent callers on one SparkSession could race).
+    * Same one-Expand-one-Aggregate plan as cube, just a sparser set
+    * list.
     */
-  private def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir).createOrReplaceTempView("li_gsets")
-    s.sql(
-      s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(sum(floor(l_extendedprice * 1e4)) AS DOUBLE) / 1e4
-         |    AS sum_price,
-         |  count(*) AS n,
-         |  CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
-         |  CAST(grouping(l_linestatus) AS TINYINT) AS g_status
-         |FROM li_gsets
-         |GROUP BY GROUPING SETS ((l_returnflag),
-         |  (l_returnflag, l_linestatus), ())""".stripMargin)
-  }
+  private def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")),
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(floor(col("l_extendedprice") * 1e4)).cast(DoubleType) / 1e4)
+          .as("sum_price"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("tinyint").as("g_flag"),
+        grouping(col("l_linestatus")).cast("tinyint").as("g_status"))
 
   private val groupingSetsAggSql =
     s"""SELECT l_returnflag, l_linestatus,

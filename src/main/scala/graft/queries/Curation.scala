@@ -242,10 +242,10 @@ object Curation {
       |  FROM pl),
       |tot AS (SELECT sum(n_tokens) AS nn, sum(w) AS ww FROM w)
       |SELECT lang, n_tokens,
-      |  (n_tokens * 1000000) // nn AS share_ppm,
-      |  (w * 1000000) // ww AS target_share_ppm,
-      |  (((w * 1000000) // ww) * 1000000) // ((n_tokens * 1000000) // nn)
-      |    AS factor_micro
+      |  CAST((n_tokens * 1000000) // nn AS BIGINT) AS share_ppm,
+      |  CAST((w * 1000000) // ww AS BIGINT) AS target_share_ppm,
+      |  CAST((((w * 1000000) // ww) * 1000000)
+      |    // ((n_tokens * 1000000) // nn) AS BIGINT) AS factor_micro
       |FROM w CROSS JOIN tot""".stripMargin
 
   // ------------------------------------- content-defined chunking dedup
@@ -330,7 +330,7 @@ object Curation {
        |  count(DISTINCT fp) AS n_distinct_fp,
        |  count(*) - count(DISTINCT fp) AS dup_chunks,
        |  ((count(*) - count(DISTINCT fp)) * 1000000) // count(*) AS dup_ppm,
-       |  (sum(len) * 1000000) // count(*) AS mean_len_micro
+       |  CAST((sum(len) * 1000000) // count(*) AS BIGINT) AS mean_len_micro
        |FROM chunks""".stripMargin
 
   def queries: Map[String, Q] = Map(

@@ -460,7 +460,8 @@ object Extras {
       |  SELECT src, dst, count(*) AS n FROM seq
       |  WHERE dst IS NOT NULL GROUP BY src, dst)
       |SELECT src, dst, n,
-      |  (n * 1000000) // sum(n) OVER (PARTITION BY src) AS p_ppm
+      |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY src) AS BIGINT)
+      |    AS p_ppm
       |FROM tr""".stripMargin
 
   /** Per-user-day time-weighted average of the event value (TWAP): each
@@ -668,14 +669,14 @@ object Extras {
     * last event to the corpus' last day — computed via a 1-row
     * broadcast, not a driver round-trip.
     *
-    * Scale shape: events collapse to ONE user-keyed aggregate first, so
-    * the three ntile windows sort the |users| frame, not events; at
-    * 100 TB the boundaries would come from approx quantiles broadcast +
-    * map-side bucketing — same output contract, same downstream
-    * aggregate. The segment report is ≤ 64 rows.
+    * Scale shape: events collapse to ONE user-keyed aggregate first, and
+    * the quartiles are [[graft.operators.GlobalOrder.rowNumber]] ranks
+    * folded through [[graft.operators.GlobalOrder.ntileFromRowNumber]] —
+    * three range repartitions of the |users| frame, never a
+    * single-partition ntile window. The segment report is ≤ 64 rows.
     */
   private def rfmSegments(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.operators.GlobalOrder
     val users = Tables.events(s, dir)
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"),
@@ -684,20 +685,25 @@ object Extras {
       .agg(max(col("day")).as("last_day"),
         count(lit(1)).as("freq"),
         sum(col("vc")).as("mon"))
-    val corpusMax = users.agg(max(col("last_day")).as("corpus_last"))
-    val rfm = users
-      .crossJoin(broadcast(corpusMax))
-      .select(col("user_id"), col("freq"), col("mon"),
+    val corpusStats = users.agg(max(col("last_day")).as("corpus_last"),
+      count(lit(1)).as("nu"))
+    val base = users
+      .crossJoin(broadcast(corpusStats))
+      .select(col("user_id"), col("freq"), col("mon"), col("nu"),
         (col("corpus_last") - col("last_day")).as("rec"))
-      .select(col("user_id"), col("freq"), col("mon"),
-        // recency quartile 1 = most recent, so order rec ASC
-        ntile(4).over(Window.orderBy(col("rec"), col("user_id")))
-          .cast(LongType).as("r_q"),
-        // frequency/monetary quartile 4 = heaviest, order ASC
-        ntile(4).over(Window.orderBy(col("freq"), col("user_id")))
-          .cast(LongType).as("f_q"),
-        ntile(4).over(Window.orderBy(col("mon"), col("user_id")))
-          .cast(LongType).as("m_q"))
+    // recency quartile 1 = most recent (rec ASC); frequency/monetary
+    // quartile 4 = heaviest (ASC) — same total orders as before, each
+    // realized as a range-partitioned global rank.
+    val ranked = GlobalOrder.rowNumber(
+      GlobalOrder.rowNumber(
+        GlobalOrder.rowNumber(base,
+          Seq(col("rec"), col("user_id")), "rrn"),
+        Seq(col("freq"), col("user_id")), "frn"),
+      Seq(col("mon"), col("user_id")), "mrn")
+    val rfm = ranked.select(col("user_id"), col("mon"),
+      GlobalOrder.ntileFromRowNumber(col("rrn"), col("nu"), 4).as("r_q"),
+      GlobalOrder.ntileFromRowNumber(col("frn"), col("nu"), 4).as("f_q"),
+      GlobalOrder.ntileFromRowNumber(col("mrn"), col("nu"), 4).as("m_q"))
     rfm
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"), sum(col("mon")).as("mon_cents"))
@@ -1036,7 +1042,8 @@ object Extras {
       |  FROM span LEFT JOIN daily
       |    ON span.user_id = daily.user_id AND span.day = daily.day)
       |SELECT user_id, day,
-      |  coalesce(v, pv + ((nv - pv) * (day - pd)) // (nd - pd)) AS v_cents,
+      |  CAST(coalesce(v, pv + ((nv - pv) * (day - pd)) // (nd - pd))
+      |    AS BIGINT) AS v_cents,
       |  v IS NULL AS interpolated
       |FROM nb""".stripMargin
 
@@ -1191,19 +1198,19 @@ object Extras {
   private val validateExpectationsSql =
     """WITH scalar AS (
       |  SELECT count(*) AS total,
-      |    sum(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0) THEN 1 ELSE 0 END) AS v_qty,
-      |    sum(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END) AS v_disc,
-      |    sum(CASE WHEN NOT (l_tax BETWEEN 0.0 AND 0.08) THEN 1 ELSE 0 END) AS v_tax,
-      |    sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS v_price,
-      |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS v_flag,
+      |    CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+      |    CAST(sum(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+      |    CAST(sum(CASE WHEN NOT (l_tax BETWEEN 0.0 AND 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS v_tax,
+      |    CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+      |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
       |    count(*) - (SELECT count(*) FROM (
       |      SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_suppkey
       |      FROM lineitem)) AS v_dup
       |  FROM lineitem),
       |joined AS (
       |  SELECT count(*) AS total,
-      |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_orphan,
-      |    sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS v_ship
+      |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_orphan,
+      |    CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
       |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
       |SELECT 'quantity_range_1_50' AS check_name, v_qty AS violations, total FROM scalar
       |UNION ALL SELECT 'discount_le_0.06', v_disc, total FROM scalar
@@ -1347,7 +1354,10 @@ object Extras {
       |    abs(g.p_base - coalesce(cur.p_cur, 0)) AS drift_micro
       |  FROM grid g LEFT JOIN cur ON g.day = cur.day AND g.bucket = cur.bucket),
       |tvd AS (SELECT day, sum(drift_micro) // 2 AS tvd_micro FROM rws GROUP BY 1)
-      |SELECT rws.day, bucket, p_base_micro, p_cur_micro, drift_micro, tvd_micro
+      |SELECT rws.day, bucket, CAST(p_base_micro AS BIGINT) AS p_base_micro,
+      |  CAST(p_cur_micro AS BIGINT) AS p_cur_micro,
+      |  CAST(drift_micro AS BIGINT) AS drift_micro,
+      |  CAST(tvd_micro AS BIGINT) AS tvd_micro
       |FROM rws JOIN tvd ON rws.day = tvd.day""".stripMargin
 
   private val driftTvdSql =
@@ -1378,11 +1388,14 @@ object Extras {
       |  SELECT dimension, bucket, p_base_micro, p_cur_micro,
       |    abs(p_base_micro - p_cur_micro) AS drift_micro
       |  FROM (SELECT * FROM tdim UNION ALL SELECT * FROM vdim))
-      |SELECT dimension, bucket, p_base_micro, p_cur_micro, drift_micro
+      |SELECT dimension, bucket, CAST(p_base_micro AS BIGINT) AS p_base_micro,
+      |  CAST(p_cur_micro AS BIGINT) AS p_cur_micro,
+      |  CAST(drift_micro AS BIGINT) AS drift_micro
       |FROM buckets
       |UNION ALL
-      |SELECT dimension, 'TVD_TOTAL', sum(p_base_micro), sum(p_cur_micro),
-      |  sum(drift_micro) // 2
+      |SELECT dimension, 'TVD_TOTAL', CAST(sum(p_base_micro) AS BIGINT),
+      |  CAST(sum(p_cur_micro) AS BIGINT),
+      |  CAST(sum(drift_micro) // 2 AS BIGINT)
       |FROM buckets GROUP BY dimension""".stripMargin
 
   /** rolling z-score anomaly flags (the classic streaming-telemetry

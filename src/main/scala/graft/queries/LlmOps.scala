@@ -1772,7 +1772,8 @@ object LlmOps {
        |  FROM dd),
        |dims AS (SELECT unnest(range(0, (SELECT d FROM dd))) AS dim),
        |${(1 to 5).map(step).mkString(",\n")}
-       |SELECT dim, u // greatest(m // 1000000, 1) AS v_micro FROM u5, m5""".stripMargin
+       |SELECT dim, CAST(u // greatest(m // 1000000, 1) AS BIGINT) AS v_micro
+       |FROM u5, m5""".stripMargin
   }
 
   /** Top TWO principal directions by fixed-point deflation
@@ -1831,10 +1832,10 @@ object LlmOps {
        |  FROM dd),
        |${(1 to 5).map(step("xq2", "b", _)).mkString(",\n")}
        |SELECT a.dim, a.v1_micro, b.v2_micro
-       |FROM (SELECT dim, u // greatest(m // 1000000, 1) AS v1_micro
-       |      FROM u5, m5) a
-       |JOIN (SELECT dim, u // greatest(m // 1000000, 1) AS v2_micro
-       |      FROM bu5, bm5) b USING (dim)""".stripMargin
+       |FROM (SELECT dim, CAST(u // greatest(m // 1000000, 1) AS BIGINT)
+       |        AS v1_micro FROM u5, m5) a
+       |JOIN (SELECT dim, CAST(u // greatest(m // 1000000, 1) AS BIGINT)
+       |        AS v2_micro FROM bu5, bm5) b USING (dim)""".stripMargin
   }
 
   /** Batched k-NN similarity join — top-3 cosine neighbors for EVERY

@@ -229,15 +229,20 @@ object Retrieval {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // Bounded pick: TakeOrdered(14) over the vocab (never a vocab-wide
-    // single-partition sort), then rank WITHIN the 14-row frame — the
-    // unpartitioned window is fine because its input is 14 rows by
-    // construction.
-    val qterms = dfq
+    // single-partition sort), then rank WITHIN the 14-row frame via a
+    // broadcast self-join count — 14×14 rows, and it keeps the registry
+    // free of unpartitioned windows entirely (Explain asserts that).
+    val picked = dfq
       .filter(length(col("tok")) >= 4)
       .orderBy(col("df").desc, col("tok"))
       .limit(14)
-      .withColumn("qrn",
-        row_number().over(Window.orderBy(col("df").desc, col("tok"))))
+    val qterms = picked
+      .join(broadcast(picked.select(
+          col("df").as("df2"), col("tok").as("tok2"))),
+        col("df2") > col("df") ||
+          (col("df2") === col("df") && col("tok2") <= col("tok")))
+      .groupBy(col("tok"), col("df"))
+      .agg(count(lit(1)).as("qrn"))
       .filter(col("qrn").between(10, 14))
       .select(col("tok"), col("df"))
     val scalars = tf.agg(
@@ -286,7 +291,8 @@ object Retrieval {
        |      AS score_micro
        |  FROM tf JOIN qterms USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
        |  CROSS JOIN scalars)
-       |SELECT doc_id, count(*) AS n_terms, sum(score_micro) AS bm25_micro
+       |SELECT doc_id, count(*) AS n_terms,
+       |  CAST(sum(score_micro) AS BIGINT) AS bm25_micro
        |FROM scored GROUP BY doc_id
        |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
 

@@ -949,7 +949,8 @@ object TextOps {
        |SELECT doc_id, count(*) AS n_bigrams,
        |  CAST(sum(rare) AS BIGINT) AS rare_bigrams,
        |  ${Agg.dsumSql("lp", 6)} AS sum_logp,
-       |  sum(CAST(floor(lp * 1e6) AS BIGINT)) // count(*) AS avg_logp_micro
+       |  CAST(sum(CAST(floor(lp * 1e6) AS BIGINT)) // count(*) AS BIGINT)
+       |    AS avg_logp_micro
        |FROM p GROUP BY doc_id""".stripMargin
   }
 
@@ -962,21 +963,22 @@ object TextOps {
     * moment formulas — two independently-oracled operators composing
     * without a new exactness argument.
     *
-    * Scale shape: one token aggregate; the rank window runs over the
-    * VOCABULARY (collapsed counts), not the corpus; the fit is a 1-group
-    * moment aggregate over that same vocabulary frame.
+    * Scale shape: one token aggregate; ranks come from
+    * [[graft.operators.GlobalOrder.rowNumber]] (range repartition +
+    * zipWithIndex — no single-partition window even though the frame is
+    * only the vocabulary, which is itself unbounded on web corpora);
+    * the fit is a 1-group moment aggregate over that same frame.
     */
   private def zipfOls(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val freq = Tables
-      .documents(s, dir)
-      .select(explode(toks(coalesce(col("text"), lit(""))))
-        .as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy(col("tok"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+    val freq = graft.operators.GlobalOrder.rowNumber(
+      Tables
+        .documents(s, dir)
+        .select(explode(toks(coalesce(col("text"), lit(""))))
+          .as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("c")),
+      Seq(col("c").desc, col("tok")), "rn")
     val pts = freq.select(
       lit("corpus").as("g"),
       floor(log(col("rn").cast(DoubleType)) * 1e6).cast(LongType).as("x"),

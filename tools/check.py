@@ -8,6 +8,17 @@ Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` has been run already
 outDir, runs the matching oracle SQL from oracle_sql.json in DuckDB over the
 same testdata parquet tables, canonicalizes row order (sort by all columns,
 nulls first), and compares cell-by-cell exactly.
+
+Type gate (r11): the driver's hash canonicalization distinguishes DuckDB's
+widened integer types (HUGEINT from un-cast sum()/`//` chains) from the
+Spark parquet schema's BIGINT even when every cell is numerically equal —
+the r10 root cause. So before comparing cells we compare DuckDB logical
+types of the oracle against the result parquet's types: the int family
+(TINYINT..BIGINT) is normalized (pandas lands all of them in int64, and
+the driver greens INTEGER-vs-BIGINT), everything else must match exactly,
+and HUGEINT/UHUGEINT/DECIMAL anywhere in the oracle is an unconditional
+fail. `--lint` runs ONLY that oracle-typing scan (no result parquet
+needed beyond oracle_sql.json), for use as a pre-commit regression gate.
 """
 import json
 import math
@@ -37,6 +48,26 @@ def canon(con, rel_sql):
     return df
 
 
+INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+
+
+def type_norm(t):
+    t = str(t)
+    return "INT" if t in INT_FAMILY else t
+
+
+def widened(t):
+    t = str(t)
+    return t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+
+
+def oracle_type_leaks(con, sql):
+    """Columns of `sql` whose DuckDB logical type the driver's hash
+    canonicalization cannot reconcile with any Spark parquet type."""
+    rel = con.sql(sql)
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types) if widened(t)]
+
+
 def cell_eq(a, b):
     if a is None and b is None:
         return True
@@ -61,8 +92,9 @@ def cell_eq(a, b):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "target/verify_out")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = Path(args[1] if len(args) > 1 else "target/verify_out")
     if "--run" in sys.argv:
         subprocess.run(
             ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
@@ -84,6 +116,21 @@ def main():
     # grammar only ever passes CAST(ts AS TIMESTAMP))
     con.execute(
         "CREATE MACRO unix_micros(t) AS epoch_us(CAST(t AS TIMESTAMP))")
+
+    if "--lint" in sys.argv:
+        leaks = 0
+        for name in sorted(oracle):
+            try:
+                bad = oracle_type_leaks(con, oracle[name])
+            except Exception as e:
+                leaks += 1
+                print(f"LINT-FAIL [oracle-error] {name}: {e}")
+                continue
+            if bad:
+                leaks += 1
+                print(f"LINT-FAIL [widened-type] {name}: {bad}")
+        print(f"{len(oracle)} oracles, {leaks} with widened-type leaks")
+        sys.exit(1 if leaks else 0)
 
     n_pass = n_fail = n_noracle = 0
     results = sorted(p.name for p in out_dir.iterdir() if p.is_dir())
@@ -107,6 +154,22 @@ def main():
         if list(exp.columns) != list(got.columns):
             n_fail += 1
             print(f"FAIL [cols] {name}: oracle={list(exp.columns)} got={list(got.columns)}")
+            continue
+        leaks = oracle_type_leaks(con, oracle[name])
+        if leaks:
+            n_fail += 1
+            print(f"FAIL [widened-type] {name}: {leaks}")
+            continue
+        ot = {c: str(t) for c, t in zip(con.sql(oracle[name]).columns,
+                                        con.sql(oracle[name]).types)}
+        grel = con.sql(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        gt = {c: str(t) for c, t in zip(grel.columns, grel.types)}
+        tdiff = {c: (ot[c], gt[c]) for c in ot
+                 if type_norm(ot[c]) != type_norm(gt[c])}
+        if tdiff:
+            n_fail += 1
+            print(f"FAIL [type] {name}: {tdiff}")
             continue
         if len(exp) != len(got):
             n_fail += 1
