@@ -288,6 +288,57 @@ object CustomExprs {
         graft.ArrCanon.joined(slice(col("pieces"), 1, 5)).as("head_pieces"))
   }
 
+  /** The BPE TRAINER's distributed core, oracled: the frequency-weighted
+    * adjacent code-point pair statistics over the frequent-word table
+    * (minFreq = 50, the [[graft.functions.Bpe.learnMerges]] parameters)
+    * — exactly the aggregate whose argmax picks merge #1, and the ONLY
+    * distributed computation in the trainer (the 200-step loop then
+    * replays this fold driver-side over the bounded word table, covered
+    * by goldens in BpeSpec). Top-20 pairs by (weight desc, pair), so
+    * the oracle pins both the pair weighting and the trainer's
+    * deterministic tie order. Closes the "BPE trainer has no oracle
+    * path" gap structurally: a wrong pair count here IS a wrong merge
+    * table.
+    *
+    * Scale shape: one word-count aggregate (map-side combined), pair
+    * explosion only over the frequency-filtered vocabulary (bounded,
+    * never the corpus), TakeOrdered(20) — no global sort. (The trainer
+    * additionally caps its word table at [[graft.functions.Bpe.maxWords]]
+    * before looping; the cap never binds at gate scale, and the
+    * WordpieceSpec weld test pins the actual argmax equality.)
+    */
+  private def bpePairStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 50 && length(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, char_length(w) - 1),
+          |  i -> struct(substring(w, i, 1) AS a,
+          |              substring(w, i + 1, 1) AS b))""".stripMargin))
+        .as("p"), col("c"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("c")).as("pair_weight"))
+      .orderBy(col("pair_weight").desc, col("a"), col("b"))
+      .limit(20)
+
+  private val bpePairStatsSql =
+    """WITH w AS (
+      |  SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |    FROM documents) t
+      |  WHERE length(w) > 0 GROUP BY w
+      |  HAVING count(*) >= 50),
+      |p AS (
+      |  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, c
+      |  FROM w, unnest(range(1, length(w))) AS u(i)
+      |  WHERE length(w) >= 2)
+      |SELECT a, b, CAST(sum(c) AS BIGINT) AS pair_weight
+      |FROM p GROUP BY a, b
+      |ORDER BY pair_weight DESC, a, b LIMIT 20""".stripMargin
+
   /** percentile_approx — the engine's t-digest stand-in (TDIGEST Kind,
     * aggregation.hpp:121; Spark's GK sketch, tolerance documented).
     */
@@ -309,6 +360,7 @@ object CustomExprs {
     "text_fertility" -> Q(textFertility _, textFertilitySql),
     "text_bpe" -> Q(bpeTokens _, None),
     "text_bpe_portable" -> Q(bpePortable _, bpePortableSql),
+    "text_bpe_pair_stats" -> Q(bpePairStats _, bpePairStatsSql),
     "agg_percentile_approx" -> Q(percentileApprox _, None)
   )
 }

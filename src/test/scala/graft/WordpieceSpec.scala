@@ -98,6 +98,18 @@ class WordpieceSpec extends AnyFunSuite {
     }
   }
 
+  test("oracled pair stats pick the trainer's first merge (the weld)") {
+    import graft.functions.Bpe
+    // text_bpe_pair_stats is the DuckDB-oracled distributed core of the
+    // trainer; this pins that its (weight desc, a, b) argmax IS the
+    // trainer's first learned merge on the real testdata table — so the
+    // oracle transitively checks the trainer's step-1 choice.
+    val top = SparkEntry.queries("text_bpe_pair_stats")(spark, sf).head()
+    val merges =
+      Bpe.learnMerges(Tables.documents(spark, sf), nMerges = 1, minFreq = 50)
+    assert(merges.head == ((top.getString(0), top.getString(1))))
+  }
+
   test("text_bpe query runs over the documents table with sane shape") {
     val out = SparkEntry.queries("text_bpe")(spark, sf)
     assert(out.columns.toSeq == Seq("doc_id", "n_pieces", "head_pieces"))
