@@ -109,7 +109,11 @@ object Bench {
     // log-to-dimension compaction) and degree-oriented triangle count
     // (compact-forward wedge join over the quarter-windowed co-purchase
     // graph — out-degree bounded O(sqrt m), the skew-survival property)
-    "scd2_history", "graph_triangles")
+    "scd2_history", "graph_triangles",
+    // round-11: the BPE trainer's oracled distributed core (one
+    // map-side-combined word aggregate + bounded pair explosion +
+    // TakeOrdered) — benched so the trainer path's cost stays visible
+    "text_bpe_pair_stats")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime

