@@ -296,9 +296,179 @@ object Retrieval {
        |FROM scored GROUP BY doc_id
        |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------ rrf fusion
+
+  /** Hybrid lexical+dense retrieval fused by reciprocal-rank fusion —
+    * the shape a RAG curation / training-neighbor pipeline actually
+    * serves: document 0 is the query; the LEXICAL arm scores BM25 over
+    * doc 0's own selective terms (distinct length ≥ 4 tokens with
+    * corpus df ≥ 5, the 16 most selective by (df asc, tok) — hapaxes
+    * pruned, stop-words never selected), the DENSE arm scores
+    * fixed-point cosine against doc 0's embedding (doc_id and vec_id
+    * share one id space), and each arm's top-50 ranks combine as
+    * RRF(d) = Σ_arms 10⁶ div (60 + rank_arm(d)) — Cormack/Clarke/
+    * Buettcher's k = 60, in integer division so both engines produce
+    * the identical long. Output: top-10 by (rrf_micro desc, doc_id)
+    * with each arm's rank kept (0 = not retrieved by that arm).
+    *
+    * Exactness: BM25 rides the same cleared-fraction integer formula as
+    * `text_bm25_topk` (DECIMAL(38,0)/HUGEINT); the dense score ranks on
+    * floor(cos·10⁶) where cos = dot/(‖a‖‖b‖) in IEEE doubles — every op
+    * (mul, add-in-index-order, sqrt, div) is correctly rounded, so the
+    * floored long is engine-identical; RRF contributions are integer
+    * division over integer ranks.
+    *
+    * Scale shape: each arm is one corpus-scan pipeline ending in
+    * TakeOrdered(50) — the lexical arm's tf slice flows through a
+    * broadcast of 16 query terms, the dense arm is a map-side dot
+    * against a 1-row broadcast query — and everything after retrieval
+    * (rank-within-50 via broadcast self-join count, the full-outer
+    * fuse, the final top-10) is bounded at 50 rows per arm regardless
+    * of corpus size. No unpartitioned windows anywhere.
+    */
+  private def retrievalRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotF64.dotf64
+    val d38 = DecimalType(38, 0)
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qterms = tf
+      .filter(col("doc_id") === 0 && length(col("tok")) >= 4)
+      .join(dfq, Seq("tok"))
+      .filter(col("df") >= 5)
+      .orderBy(col("df").asc, col("tok"))
+      .limit(16)
+      .select(col("tok"), col("df"))
+    val scalars = tf.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("sl"))
+    val lexTop = tf
+      .filter(col("doc_id") =!= 0)
+      .join(broadcast(qterms), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .select(
+        col("doc_id"),
+        (lit(22000000L).cast(d38) * col("tf") * col("sl") * col("n_docs"))
+          .as("num"),
+        (col("df").cast(d38) *
+          (lit(10L).cast(d38) * col("tf") * col("sl") +
+            lit(3L).cast(d38) * col("sl") +
+            lit(9L).cast(d38) * col("dl") * col("n_docs"))).as("den"))
+      .select(col("doc_id"),
+        expr("num div den").cast(LongType).as("score_micro"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_micro")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(50)
+    val lexRanked = lexTop
+      .join(broadcast(lexTop.select(
+          col("bm25_micro").as("s2"), col("doc_id").as("d2"))),
+        col("s2") > col("bm25_micro") ||
+          (col("s2") === col("bm25_micro") && col("d2") <= col("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("lex_rank"))
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val denseTop = emb
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        floor((dotf64(col("e"), col("qe")) /
+            (sqrt(dotf64(col("e"), col("e"))) *
+              sqrt(dotf64(col("qe"), col("qe"))))) * lit(1e6))
+          .cast(LongType).as("fp"))
+      .orderBy(col("fp").desc, col("doc_id"))
+      .limit(50)
+    val denseRanked = denseTop
+      .join(broadcast(denseTop.select(col("fp").as("f2"), col("doc_id").as("d2"))),
+        col("f2") > col("fp") ||
+          (col("f2") === col("fp") && col("d2") <= col("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dense_rank"))
+    lexRanked
+      .join(denseRanked, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        (when(col("lex_rank") > 0, expr("1000000 div (60 + lex_rank)"))
+          .otherwise(lit(0L)) +
+          when(col("dense_rank") > 0, expr("1000000 div (60 + dense_rank)"))
+            .otherwise(lit(0L))).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val retrievalRrfFusionSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM (
+       |    $tokensSqlFrom) t
+       |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |qterms AS (
+       |  SELECT tok, df FROM (
+       |    SELECT q.tok, d.df,
+       |      row_number() OVER (ORDER BY d.df, q.tok) AS rn
+       |    FROM (SELECT DISTINCT tok FROM tf
+       |          WHERE doc_id = 0 AND length(tok) >= 4) q
+       |    JOIN dfq d USING (tok) WHERE d.df >= 5) r
+       |  WHERE rn <= 16),
+       |scalars AS (
+       |  SELECT count(DISTINCT doc_id) AS n_docs, sum(tf) AS sl FROM tf),
+       |lex AS (
+       |  SELECT tf.doc_id,
+       |    CAST(sum(CAST((CAST(22000000 AS HUGEINT) * tf * sl * n_docs) //
+       |      (CAST(df AS HUGEINT) *
+       |        (CAST(10 AS HUGEINT) * tf * sl + CAST(3 AS HUGEINT) * sl +
+       |         CAST(9 AS HUGEINT) * dl * n_docs)) AS BIGINT)) AS BIGINT)
+       |      AS bm25_micro
+       |  FROM tf JOIN qterms USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN scalars
+       |  WHERE tf.doc_id <> 0 GROUP BY tf.doc_id),
+       |lexr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS lex_rank
+       |  FROM lex QUALIFY lex_rank <= 50),
+       |ev AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |qv AS (SELECT e AS qe FROM ev WHERE vec_id = 0),
+       |dense AS (
+       |  SELECT vec_id AS doc_id,
+       |    CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, len(e) + 1), i -> e[i] * qe[i])),
+       |        (a, v) -> a + v) /
+       |      (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(e, x -> x * x)), (a, v) -> a + v)) *
+       |       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(qe, x -> x * x)), (a, v) -> a + v)))) * 1e6)
+       |      AS BIGINT) AS fp
+       |  FROM ev, qv WHERE vec_id <> 0),
+       |denser AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY fp DESC, doc_id) AS dense_rank
+       |  FROM dense QUALIFY dense_rank <= 50)
+       |SELECT doc_id,
+       |  CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |  CAST(coalesce(dense_rank, 0) AS BIGINT) AS dense_rank,
+       |  CAST((CASE WHEN lex_rank IS NOT NULL
+       |          THEN 1000000 // (60 + lex_rank) ELSE 0 END) +
+       |       (CASE WHEN dense_rank IS NOT NULL
+       |          THEN 1000000 // (60 + dense_rank) ELSE 0 END) AS BIGINT)
+       |    AS rrf_micro
+       |FROM lexr FULL JOIN denser USING (doc_id)
+       |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "index_postings" -> Q(indexPostings _, indexPostingsSql),
     "index_postings_delta" -> Q(indexPostingsDelta _, indexPostingsDeltaSql),
-    "text_bm25_topk" -> Q(textBm25Topk _, textBm25TopkSql)
+    "text_bm25_topk" -> Q(textBm25Topk _, textBm25TopkSql),
+    "retrieval_rrf_fusion" -> Q(retrievalRrfFusion _, retrievalRrfFusionSql)
   )
 }

@@ -62,4 +62,38 @@ class RetrievalSpec extends AnyFunSuite {
     winLines.foreach(l => assert(l.contains("tok"),
       s"window not partitioned by tok: $l"))
   }
+
+  test("rrf fusion: ranks bounded, contributions recompute, order exact") {
+    val rows = SparkEntry.queries("retrieval_rrf_fusion")(spark, sf).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Long]("rrf_micro")).toSeq
+    assert(scores == scores.sorted.reverse, "not ranked by rrf desc")
+    rows.foreach { r =>
+      val lex = r.getAs[Long]("lex_rank")
+      val dense = r.getAs[Long]("dense_rank")
+      assert(lex >= 0 && lex <= 50 && dense >= 0 && dense <= 50)
+      assert(lex > 0 || dense > 0, "a fused doc must come from some arm")
+      val want = (if (lex > 0) 1000000L / (60 + lex) else 0L) +
+        (if (dense > 0) 1000000L / (60 + dense) else 0L)
+      assert(r.getAs[Long]("rrf_micro") == want,
+        s"rrf(${lex}, ${dense}) != $want")
+      assert(r.getAs[Long]("doc_id") != 0L, "the query doc must not self-hit")
+    }
+    // both arms contribute to the fused set (the hybrid premise)
+    assert(rows.exists(_.getAs[Long]("lex_rank") > 0))
+    assert(rows.exists(_.getAs[Long]("dense_rank") > 0))
+  }
+
+  test("rrf fusion plan: per-arm TakeOrdered, broadcast fuse, no shuffle sort") {
+    val p = SparkEntry.queries("retrieval_rrf_fusion")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      "arm top-50 and final top-10 must be TakeOrdered, not global sorts")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "query terms / query vector / rank self-joins must broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian products")
+    // no unpartitioned windows: ranking inside the 50-row frames is the
+    // broadcast self-join count, not a window
+    assert(!p.contains("windowspecdefinition"), "rrf must not use windows")
+  }
 }
