@@ -218,15 +218,26 @@ object Multimodal extends Serializable {
     MediaHeader("wav", None, None, None, None)
   }
 
+  /** GIF: 6-byte version signature, then the logical screen descriptor's
+    * little-endian width/height shorts at offsets 6/8.
+    */
+  private def parseGif(p: Array[Byte]): MediaHeader =
+    if (p.length >= 10) {
+      val w = le16(p, 6); val h = le16(p, 8)
+      if (w > 0 && h > 0) MediaHeader("gif", Some(w), Some(h), None, None)
+      else MediaHeader("gif", None, None, None, None)
+    } else MediaHeader("gif", None, None, None, None)
+
   /** Sniff the container by magic bytes (each magic needs only its own
-    * length: 8 for PNG, 2 for JPEG, 12 for RIFF/WAVE) and parse its
-    * header.
+    * length: 8 for PNG, 2 for JPEG, 6 for GIF, 12 for RIFF/WAVE) and
+    * parse its header.
     */
   def parseHeader(p: Array[Byte]): MediaHeader =
     if (p == null || p.length < 2) MediaHeader("unknown", None, None, None, None)
     else if (p.length >= 8 && (0 until 8).forall(j => p(j) == pngSig(j)))
       parsePng(p)
     else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) parseJpeg(p)
+    else if (ascii(p, 0, "GIF87a") || ascii(p, 0, "GIF89a")) parseGif(p)
     else if (p.length >= 12 && ascii(p, 0, "RIFF") && ascii(p, 8, "WAVE"))
       parseWav(p)
     else MediaHeader("unknown", None, None, None, None)
@@ -285,6 +296,19 @@ object Multimodal extends Serializable {
     b.put(3.toByte)
     for (c <- 1 to 3) { b.put(c.toByte).put(0x11.toByte).put(0.toByte) }
     b.put(0xff.toByte).put(0xd9.toByte)
+    b.array()
+  }
+
+  /** Minimal VALID GIF89a: signature + logical screen descriptor +
+    * trailer (no global color table, no image data — header-complete).
+    */
+  def buildGif(width: Int, height: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer
+      .allocate(14).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes("US-ASCII"))
+    b.putShort(width.toShort).putShort(height.toShort)
+    b.put(0.toByte).put(0.toByte).put(0.toByte)
+    b.put(0x3b.toByte)
     b.array()
   }
 

@@ -2614,10 +2614,10 @@ object LlmOps {
       |FROM documents""".stripMargin
 
   /** REAL multimodal header extraction, differentially verified: each
-    * doc synthesizes a VALID container payload (PNG / JPEG / WAV by
-    * doc_id mod 3, dimensions and audio parameters derived from table
+    * doc synthesizes a VALID container payload (PNG / JPEG / WAV / GIF
+    * by doc_id mod 4, dimensions and audio parameters derived from table
     * fields via [[graft.multimodal.Multimodal.buildPng]]/buildJpeg/
-    * buildWav), and [[graft.multimodal.Multimodal.parseHeaders]] — a
+    * buildWav/buildGif), and [[graft.multimodal.Multimodal.parseHeaders]] — a
     * genuine bounds-checked byte-walk parser, not a stub — recovers
     * format, width/height, sample rate and channel count from the BYTES.
     * The oracle computes the expected metadata directly from the same
@@ -2632,10 +2632,13 @@ object LlmOps {
     */
   private def multimodalHeaders(s: SparkSession, dir: String): DataFrame = {
     val mm = graft.multimodal.Multimodal
-    val synth = udf((docId: Long, nChars: Long) => (docId % 3) match {
+    val synth = udf((docId: Long, nChars: Long) => (docId % 4) match {
       case 0L => mm.buildPng((1 + nChars % 1024).toInt, (1 + docId % 64).toInt)
       case 1L => mm.buildJpeg((1 + nChars % 512).toInt, (1 + docId % 128).toInt)
-      case _ => mm.buildWav((8000L * (1 + docId % 4)).toInt, (1 + docId % 2).toInt)
+      case 2L =>
+        mm.buildWav((8000L * (1 + (docId / 4) % 4)).toInt,
+          (1 + (docId / 4) % 2).toInt)
+      case _ => mm.buildGif((1 + nChars % 1024).toInt, (1 + docId % 256).toInt)
     })
     val media = Tables
       .documents(s, dir)
@@ -2651,15 +2654,17 @@ object LlmOps {
 
   private val multimodalHeadersSql =
     """SELECT doc_id,
-      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-      |    ELSE 'wav' END AS format,
-      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + n_chars % 1024
-      |    WHEN 1 THEN 1 + n_chars % 512 END AS BIGINT) AS width,
-      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 64
-      |    WHEN 1 THEN 1 + doc_id % 128 END AS BIGINT) AS height,
-      |  CAST(CASE doc_id % 3 WHEN 2 THEN 8000 * (1 + doc_id % 4)
+      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |    WHEN 2 THEN 'wav' ELSE 'gif' END AS format,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 + n_chars % 1024
+      |    WHEN 1 THEN 1 + n_chars % 512
+      |    WHEN 3 THEN 1 + n_chars % 1024 END AS BIGINT) AS width,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 64
+      |    WHEN 1 THEN 1 + doc_id % 128
+      |    WHEN 3 THEN 1 + doc_id % 256 END AS BIGINT) AS height,
+      |  CAST(CASE doc_id % 4 WHEN 2 THEN 8000 * (1 + (doc_id // 4) % 4)
       |    END AS BIGINT) AS sample_rate,
-      |  CAST(CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2
+      |  CAST(CASE doc_id % 4 WHEN 2 THEN 1 + (doc_id // 4) % 2
       |    END AS BIGINT) AS channels
       |FROM documents""".stripMargin
 

@@ -147,11 +147,16 @@ class MultimodalIoSpec extends AnyFunSuite {
       val a = parseHeader(buildWav(sr, ch))
       assert(a == MediaHeader("wav", None, None, Some(sr), Some(ch)), s"wav $sr/$ch")
     }
+    for (w <- Seq(1, 1024, 65535); h <- Seq(1, 256, 65535)) {
+      val g = parseHeader(buildGif(w, h))
+      assert(g == MediaHeader("gif", Some(w), Some(h), None, None), s"gif $w x $h")
+    }
   }
 
   test("header parser is null-safe on garbage: truncations, corrupt magics") {
     import Multimodal._
-    val wholes = Seq(buildPng(640, 480), buildJpeg(320, 240), buildWav(44100, 2))
+    val wholes = Seq(buildPng(640, 480), buildJpeg(320, 240),
+      buildWav(44100, 2), buildGif(320, 200))
     // every truncation prefix parses without throwing, and never invents
     // dimensions the bytes don't contain
     wholes.foreach { whole =>
