@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Aggregates, Conversions, Curation, CustomExprs, Extras, Functions, GraphOps, LlmOps, Ndsh, Relational, Reshape, Retrieval, TextOps, UdfSurface, Windows}
+import graft.queries.{Aggregates, Conversions, Curation, CustomExprs, Extras, Functions, GraphOps, LlmOps, Ndsh, PipelineOps, Relational, Reshape, Retrieval, TextOps, UdfSurface, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
       Windows.queries ++ Functions.queries ++ TextOps.queries ++
       LlmOps.queries ++ CustomExprs.queries ++ Conversions.queries ++
       UdfSurface.queries ++ Extras.queries ++ Reshape.queries ++
-      GraphOps.queries ++ Curation.queries ++ Retrieval.queries
+      GraphOps.queries ++ Curation.queries ++ Retrieval.queries ++
+      PipelineOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -195,9 +195,17 @@ object LlmOps {
     * generation, AND the estimate bit-for-bit. `dedup_minhash_lsh`
     * stays as the native-speed path; this row proves the pipeline.
     */
-  private def dedupMinhashLshPortable(s: SparkSession, dir: String): DataFrame = {
+  private def dedupMinhashLshPortable(s: SparkSession, dir: String): DataFrame =
+    lshPortablePairs(Tables.documents(s, dir))
+
+  /** The portable LSH candidate pipeline over ANY (doc_id, text) corpus —
+    * exposed so compositions (the oracled end-to-end funnel in
+    * [[PipelineOps]]) run the identical signatures/bands/cap/threshold on
+    * a filtered corpus.
+    */
+  private[queries] def lshPortablePairs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = withShingles(Tables.documents(s, dir))
+    val sigs = withShingles(docs)
       .select(col("doc_id"),
         graft.functions.PolyHash31.polyhash31(col("tk")).as("ph"))
       .select(col("doc_id"), col("ph.pp").as("pp"), col("ph.ww").as("ww"))
@@ -234,15 +242,21 @@ object LlmOps {
       .filter(col("est_jaccard") >= 0.75)
   }
 
-  private val dedupMinhashLshPortableSql =
-    """WITH grams AS (
+  /** The portable-LSH oracle pipeline as a CTE-chain FRAGMENT over `src`
+    * (any CTE/table with doc_id + text), ending in `lshcand(id_a, id_b,
+    * est_jaccard)` with the 0.75 threshold applied — embeddable in larger
+    * oracle statements (the funnel query composes it over a filtered
+    * corpus).
+    */
+  private[queries] def lshPortableCtes(src: String): String =
+    s"""grams AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
       |      i -> concat(string_split(text, ' ')[i], '_',
       |                  string_split(text, ' ')[i + 1], '_',
       |                  string_split(text, ' ')[i + 2]))) AS tk
-      |  FROM documents),
+      |  FROM $src),
       |prehashed AS (
       |  SELECT doc_id,
       |    list_transform(tk, g ->
@@ -272,18 +286,23 @@ object LlmOps {
       |capped AS (
       |  SELECT * FROM banded
       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
-      |pairs AS (
+      |lshpairs AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM capped a JOIN capped b
-      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-      |SELECT p.id_a, p.id_b,
-      |  CAST(len(list_filter(list_transform(range(1, 17),
-      |    i -> sa.mh[i] = sb.mh[i]), v -> v)) AS DOUBLE) / 16 AS est_jaccard
-      |FROM pairs p
-      |  JOIN sigs sa ON sa.doc_id = p.id_a
-      |  JOIN sigs sb ON sb.doc_id = p.id_b
-      |WHERE CAST(len(list_filter(list_transform(range(1, 17),
-      |    i -> sa.mh[i] = sb.mh[i]), v -> v)) AS DOUBLE) / 16 >= 0.75""".stripMargin
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |lshcand AS (
+      |  SELECT p.id_a, p.id_b,
+      |    CAST(len(list_filter(list_transform(range(1, 17),
+      |      i -> sa.mh[i] = sb.mh[i]), v -> v)) AS DOUBLE) / 16 AS est_jaccard
+      |  FROM lshpairs p
+      |    JOIN sigs sa ON sa.doc_id = p.id_a
+      |    JOIN sigs sb ON sb.doc_id = p.id_b
+      |  WHERE CAST(len(list_filter(list_transform(range(1, 17),
+      |      i -> sa.mh[i] = sb.mh[i]), v -> v)) AS DOUBLE) / 16 >= 0.75)""".stripMargin
+
+  private val dedupMinhashLshPortableSql =
+    s"""WITH ${lshPortableCtes("documents")}
+      |SELECT id_a, id_b, est_jaccard FROM lshcand""".stripMargin
 
   /** Connected-component keeper resolution over the portable LSH pairs,
     * oracle-checked end to end: Spark runs [[graft.operators.Dedup]]'s

@@ -47,4 +47,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(after - before <= 3,
       s"cached RDDs grew from $before to $after — stage caches leaked")
   }
+
+  test("oracled funnel: monotone attrition, exact early stages vs library") {
+    val rows = SparkEntry.queries("pipeline_funnel")(spark, sf)
+      .orderBy(col("stage_ord")).collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("0_input", "1_quality", "2_lang", "3_exact_dedup",
+        "4_near_dedup", "5_decontaminated"))
+    val docs = rows.map(_.getAs[Long]("n_docs")).toSeq
+    val toks = rows.map(_.getAs[Long]("n_tokens")).toSeq
+    assert(docs == docs.sorted.reverse && toks == toks.sorted.reverse,
+      s"funnel must be non-increasing: $docs / $toks")
+    assert(docs.last > 0, "a curation run that drops everything is a bug")
+    // stages 0-3 share exact semantics with the library pipeline (the
+    // near-dup stage legitimately differs: portable vs native-hash LSH)
+    val (_, counts) = TrainingDataPipeline.run(spark, Tables.documents(spark, sf))
+    assert(docs(0) == counts("input"))
+    assert(docs(1) == counts("after_quality"))
+    assert(docs(2) == counts("after_lang"))
+    assert(docs(3) == counts("after_exact_dedup"))
+    assert(docs(4) <= docs(3) && counts("after_near_dedup") <= docs(3))
+  }
 }
