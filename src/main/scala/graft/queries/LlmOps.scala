@@ -1281,6 +1281,136 @@ object LlmOps {
     * log, is the production pattern); the LSH side only scores the
     * bucket-matched slice. No corpus×corpus joins anywhere.
     */
+  /** MMR (maximal-marginal-relevance) diversity rerank — Carbonell &
+    * Goldstein 1998, the standard redundancy-vs-relevance rerank a RAG
+    * retrieval stack runs between candidate generation and the context
+    * window: greedily pick 10 of the top-50 cosine candidates maximizing
+    * λ·rel − (1−λ)·max-sim-to-already-picked with λ = 0.7.
+    *
+    * Exactness: relevance and all pairwise candidate similarities are
+    * floored cosine micro-units (the engine-identical IEEE tree of the
+    * sim family), and the greedy objective is scaled through by 10 —
+    * `mmr_micro = 7·rel − 3·maxsim` in pure long arithmetic (first pick:
+    * maxsim = 0, so argmax rel) with ties to the lowest vec_id. The
+    * DuckDB twin replays the greedy EXACTLY by unrolling the 10 steps as
+    * chained CTEs (the PCA-oracle unrolling pattern), each picking via
+    * ORDER BY score DESC, id LIMIT 1 against the accumulated picked
+    * list.
+    *
+    * Scale shape: the distributed work is the corpus scan + broadcast
+    * query + TakeOrdered(50); the rerank itself is O(k²) = 50² over a
+    * BOUNDED collected dimension (the same exemption as query vectors /
+    * centroids) — exactly where production MMR runs (rerank happens on
+    * the retrieved page, never corpus-side).
+    */
+  private def simMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotF64.dotf64
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val cand = emb
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("e"),
+        floor((dotf64(col("e"), col("qe")) /
+            (sqrt(dotf64(col("e"), col("e"))) *
+              sqrt(dotf64(col("qe"), col("qe"))))) * lit(1e6))
+          .cast(LongType).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(50)
+    val picked = graft.DimCache.cached(s"mmr-rerank:$dir:50:10") {
+      val rows = cand.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+        .sortBy(t => (-t._3, t._1))
+        .toIndexedSeq
+      def simMicro(a: Array[Double], b: Array[Double]): Long = {
+        var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+      }
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val remaining = scala.collection.mutable.ArrayBuffer(rows: _*)
+      while (sel.length < 10 && remaining.nonEmpty) {
+        val scored = remaining.map { c =>
+          val maxSim =
+            if (sel.isEmpty) 0L
+            else sel.map(p => simMicro(c._2,
+              rows.find(_._1 == p._2).get._2)).max
+          (c._1, c._3, 7L * c._3 - 3L * maxSim)
+        }
+        val best = scored.minBy(t => (-t._3, t._1))
+        sel += ((sel.length + 1L, best._1, best._3))
+        remaining --= remaining.filter(_._1 == best._1)
+      }
+      sel.map { case (rank, id, score) =>
+        (rank, id, rows.find(_._1 == id).get._3, score)
+      }.toIndexedSeq
+    }
+    import s.implicits._
+    picked.toDF("rank", "vec_id", "rel_micro", "mmr_micro")
+  }
+
+  /** The chained greedy steps MUST be `AS MATERIALIZED`: DuckDB inlines
+    * CTEs by default, and step k references p(k-1) twice (the candidate
+    * filter and the list append), so the un-materialized plan tree
+    * doubles per step — 2¹⁰ copies of the corpus scan (observed as a
+    * >10-minute oracle before the hint; milliseconds after).
+    */
+  private val simMmrRerankSql = {
+    val candPrefix =
+      """WITH ev AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |qv AS MATERIALIZED (SELECT e AS qe FROM ev WHERE vec_id = 0),
+        |cand AS MATERIALIZED (
+        |  SELECT vec_id AS id, e,
+        |    CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(e) + 1), i -> e[i] * qe[i])),
+        |        (a, v) -> a + v) /
+        |      (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(e, x -> x * x)), (a, v) -> a + v)) *
+        |       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(qe, x -> x * x)), (a, v) -> a + v)))) * 1e6)
+        |      AS BIGINT) AS rel
+        |  FROM ev, qv WHERE vec_id <> 0
+        |  ORDER BY rel DESC, vec_id LIMIT 50),
+        |psim AS MATERIALIZED (
+        |  SELECT a.id AS ia, b.id AS ib,
+        |    CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])),
+        |        (x, v) -> x + v) /
+        |      (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(a.e, x -> x * x)), (x, v) -> x + v)) *
+        |       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(b.e, x -> x * x)), (x, v) -> x + v)))) * 1e6)
+        |      AS BIGINT) AS s
+        |  FROM cand a JOIN cand b ON a.id <> b.id),
+        |cand2 AS MATERIALIZED (
+        |  SELECT c.id, c.rel, list(struct_pack(o := p.ib, s := p.s)) AS sims
+        |  FROM cand c JOIN psim p ON p.ia = c.id GROUP BY c.id, c.rel),
+        |s1 AS MATERIALIZED (SELECT id, rel, CAST(7 * rel AS BIGINT) AS score
+        |  FROM cand2 ORDER BY rel DESC, id LIMIT 1),
+        |p1 AS MATERIALIZED (SELECT list(id) AS ids FROM s1)""".stripMargin
+    val steps = (2 to 10).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT id, rel,
+         |    CAST(7 * rel - 3 * list_max(list_transform(
+         |      list_filter(sims, x -> list_contains(ids, x.o)),
+         |      x -> x.s)) AS BIGINT) AS score
+         |  FROM cand2, p${k - 1} WHERE NOT list_contains(ids, id)
+         |  ORDER BY score DESC, id LIMIT 1),
+         |p$k AS MATERIALIZED (SELECT list(id) AS ids FROM (
+         |  SELECT unnest(ids) AS id FROM p${k - 1}
+         |  UNION ALL SELECT id FROM s$k) t)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to 10).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, id AS vec_id,
+         |  rel AS rel_micro, score AS mmr_micro FROM s$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$candPrefix,\n$steps\n$sel"
+  }
+
   private def simLshRecall(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.DotF64.dotf64
     import org.apache.spark.sql.expressions.Window
@@ -2759,6 +2889,7 @@ object LlmOps {
     "dedup_component_stats" -> Q(dedupComponentStats _, dedupComponentStatsSql),
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
     "sim_lsh_recall" -> Q(simLshRecall _, simLshRecallSql),
+    "sim_mmr_rerank" -> Q(simMmrRerank _, simMmrRerankSql),
     "emb_label_quality" -> Q(embLabelQuality _, embLabelQualitySql),
     "emb_quantize" -> Q(embQuantize _, embQuantizeSql),
     "dedup_semantic" -> Q(dedupSemantic _, dedupSemanticSql),

@@ -413,4 +413,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(v2.map(math.abs).max - 1e6) <= 1e6,
       s"v2 micro-unit L∞ contract broken: ${v2.map(math.abs).max}")
   }
+
+  test("mmr rerank: greedy invariants and the diversity trade") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("sim_mmr_rerank")(spark, sf)
+      .orderBy(col("rank")).collect()
+    assert(rows.length == 10)
+    val ids = rows.map(_.getAs[Long]("vec_id")).toSeq
+    assert(ids.distinct.length == 10 && !ids.contains(0L),
+      s"picks must be 10 distinct non-query docs: $ids")
+    val mmr = rows.map(_.getAs[Long]("mmr_micro")).toSeq
+    assert(mmr == mmr.sorted.reverse,
+      s"greedy pick scores must be non-increasing: $mmr")
+    // first pick is pure relevance (maxsim = 0): mmr = 7*rel, and its rel
+    // dominates every other picked doc's rel
+    val first = rows.head
+    assert(first.getAs[Long]("mmr_micro") ==
+      7L * first.getAs[Long]("rel_micro"))
+    assert(rows.tail.forall(r =>
+      r.getAs[Long]("rel_micro") <= first.getAs[Long]("rel_micro")))
+    // every later pick's score is 7*rel - 3*maxsim with maxsim a cosine
+    // micro-unit in [-1e6, 1e6] (NEGATIVE similarity to the picked set
+    // legitimately raises the score on a near-orthogonal corpus)
+    rows.tail.foreach { r =>
+      val dev = r.getAs[Long]("mmr_micro") - 7L * r.getAs[Long]("rel_micro")
+      assert(math.abs(dev) <= 3000000L, s"penalty out of cosine range: $dev")
+    }
+    // the trade happened at least once on the real corpus: some pick is
+    // NOT in relevance order (pure-rel rank 2 was deferred for diversity)
+    val rels = rows.map(_.getAs[Long]("rel_micro")).toSeq
+    assert(rels != rels.sorted.reverse,
+      "picks in pure relevance order — MMR penalty had no effect")
+  }
 }
