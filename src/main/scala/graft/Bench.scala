@@ -113,7 +113,13 @@ object Bench {
     // round-11: the BPE trainer's oracled distributed core (one
     // map-side-combined word aggregate + bounded pair explosion +
     // TakeOrdered) — benched so the trainer path's cost stays visible
-    "text_bpe_pair_stats")
+    "text_bpe_pair_stats",
+    // round-11 retrieval additions: hybrid RRF fusion (two corpus-scan
+    // arms + bounded fuse) and the real header-parse stage (map-side
+    // byte walk). sim_mmr_rerank is deliberately NOT here: its bounded
+    // greedy result is DimCache'd (the whole answer, not an index), so
+    // reps would time a LocalRelation scan — a meaningless number.
+    "retrieval_rrf_fusion", "multimodal_headers")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime
