@@ -322,12 +322,46 @@ object ScaleProbe {
         f"""{"probe":"wedge_cap","factor":$f,"hub_degree":$d,"candidates":$candidates,"hub_bound":$hubBound,"secs":$secs%.2f}""")
     }
 
+    // funnel invariance axis: replicate the FULL (doc_id, text, lang)
+    // table with fresh ids and identical payloads. Law under test:
+    // stage 0-2 counts scale exactly ×f (per-row predicates), stage 3-5
+    // counts are EXACTLY constant — exact dedup collapses every replica
+    // onto the original min id, so near-dedup and decontamination see
+    // the identical corpus at every factor. Any nonzero deviation is a
+    // composition bug (e.g. a stage accidentally keyed on doc_id).
+    val funnelBase = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def probeFunnel(f: Int): Unit = {
+      val full = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val big = (0 until f)
+        .map(i => full.select(
+          (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+          col("text"), col("lang")))
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val rows = queries.PipelineOps.funnelOver(big)
+        .collect()
+        .map(r => (r.getAs[String]("stage"),
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))))
+        .toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (f == factors.min && funnelBase.isEmpty) funnelBase ++= rows
+      val devs = rows.map { case (stage, (nd, nt)) =>
+        val (bd, bt) = funnelBase.getOrElse(stage, (-1L, -1L))
+        val scale = if (stage < "3") f.toLong / factors.min else 1L
+        math.max(math.abs(nd - bd * scale), math.abs(nt - bt * scale))
+      }.max
+      println(
+        f"""{"probe":"funnel_invariance","factor":$f,"final_docs":${rows("5_decontaminated")._1},"max_dev":$devs,"secs":$secs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
         .map(i => docs.select((col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"), col("text")))
         .reduce(_ union _)
       probe("lsh_dedup", f, replicated)
+      probeFunnel(f)
 
       probePack(f)
       probeTfidf(f)
