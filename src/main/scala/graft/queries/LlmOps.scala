@@ -2000,6 +2000,86 @@ object LlmOps {
     * the 6-dp fixed-point floor so cross-engine order is exact by
     * construction (ties → lowest vec_id).
     */
+  /** Hard-negative mining for contrastive training — for every query
+    * vector (vec_id < 8), the 3 most-cosine-similar corpus vectors with
+    * a DIFFERENT label: the "looks like the anchor but isn't its class"
+    * examples an embedding-model trainer pairs against each anchor (the
+    * in-batch-negatives upgrade every retrieval-model pipeline runs).
+    * Same machinery as `sim_knn_join` (queries a bounded collected
+    * dimension shipped as literals, map-side scoring, [[graft.agg
+    * .TopKAgg]] O(k) ranking, fixed-point floor ties to lowest vec_id)
+    * plus the label-mismatch predicate — so at 100 TB it stays one
+    * corpus scan with ≤ |Q|×k pairs per map partition in the exchange.
+    */
+  private def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), embDouble.as("e"), col("label"))
+    val qRows = graft.DimCache.cached(s"hardneg-queries:$dir:8") {
+      emb.filter(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+        .sortBy(_._1).toIndexedSeq
+    }
+    val qIds = array(qRows.map(r => lit(r._1)): _*)
+    val qLabels = array(qRows.map(r => lit(r._3)): _*)
+    val qUnits = array(qRows.map { r =>
+      val n = math.sqrt(r._2.map(x => x * x).sum)
+      array(r._2.map(x => lit(if (n == 0d) 0d else x / n)): _*)
+    }: _*)
+    val topk = udaf(new graft.agg.TopKAgg(3))
+    emb.filter(col("vec_id") >= 8)
+      .withColumn("ne",
+        sqrt(graft.functions.DotF64.dotf64(col("e"), col("e"))))
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(qUnits, qu =>
+          graft.functions.DotF64.dotf64(col("e"), qu) / col("ne")))
+          .as(Seq("qi", "cos")))
+      .filter(element_at(qLabels, col("qi") + 1) =!= col("label"))
+      .select(element_at(qIds, col("qi") + 1).as("q_id"),
+        element_at(qLabels, col("qi") + 1).as("q_label"),
+        col("vec_id"), col("label").as("neg_label"),
+        (-floor(col("cos") * lit(1e6))).cast(LongType).as("rk"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(topk(col("rk"), col("vec_id")).as("picks"))
+      .select(col("q_id"), col("q_label"),
+        posexplode(col("picks")).as(Seq("pos", "pick")))
+      .select(col("q_id"), col("q_label").cast(LongType).as("q_label"),
+        col("pick._2").as("vec_id"),
+        (col("pos") + 1).cast(LongType).as("rn"),
+        ((-col("pick._1")).cast(DoubleType) / 1e6).as("sim6"))
+  }
+
+  private val simHardNegativesSql =
+    """WITH ev AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, label
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id AS q_id, label AS q_label,
+      |    list_transform(e, x -> CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+      |      ELSE x / n END) AS qu
+      |  FROM (
+      |    SELECT vec_id, label, e,
+      |      sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(e, x -> x * x)), (acc, v) -> acc + v)) AS n
+      |    FROM ev WHERE vec_id < 8)),
+      |c AS (
+      |  SELECT vec_id, label, e,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (acc, v) -> acc + v)) AS ne
+      |  FROM ev WHERE vec_id >= 8),
+      |scored AS (
+      |  SELECT q.q_id, q.q_label, c.vec_id,
+      |    CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, len(c.e) + 1), i -> c.e[i] * q.qu[i])),
+      |      (acc, v) -> acc + v) / c.ne) * 1e6) AS BIGINT) AS fp
+      |  FROM c CROSS JOIN q WHERE c.label <> q.q_label)
+      |SELECT q_id, CAST(q_label AS BIGINT) AS q_label, vec_id,
+      |  CAST(rn AS BIGINT) AS rn,
+      |  CAST(fp AS DOUBLE) / 1e6 AS sim6
+      |FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY fp DESC, vec_id) AS rn FROM scored)
+      |WHERE rn <= 3""".stripMargin
+
   private def simKnnJoin(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
     val qRows = graft.DimCache.cached(s"knn-queries:$dir:8") {
@@ -2890,6 +2970,7 @@ object LlmOps {
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
     "sim_lsh_recall" -> Q(simLshRecall _, simLshRecallSql),
     "sim_mmr_rerank" -> Q(simMmrRerank _, simMmrRerankSql),
+    "sim_hard_negatives" -> Q(simHardNegatives _, simHardNegativesSql),
     "emb_label_quality" -> Q(embLabelQuality _, embLabelQualitySql),
     "emb_quantize" -> Q(embQuantize _, embQuantizeSql),
     "dedup_semantic" -> Q(dedupSemantic _, dedupSemanticSql),

@@ -445,4 +445,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rels != rels.sorted.reverse,
       "picks in pure relevance order — MMR penalty had no effect")
   }
+
+  test("hard negatives: label-mismatched, ranked, and harder than random") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("sim_hard_negatives")(spark, sf).collect()
+    assert(rows.length == 24, "8 queries x 3 negatives")
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (qid, g) =>
+      assert(g.length == 3, s"query $qid must have 3 negatives")
+      val sims = g.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("sim6"))
+      assert(sims.sortBy(-_).toSeq == sims.toSeq, s"query $qid not ranked")
+      g.foreach { r =>
+        assert(r.getAs[Long]("q_label") == labels(qid).toLong)
+        assert(labels(r.getAs[Long]("vec_id")).toLong !=
+          r.getAs[Long]("q_label"),
+          s"negative shares the anchor label for query $qid")
+      }
+    }
+    // "hard": every mined negative is more similar to its anchor than the
+    // corpus-median cosine (~0 on this near-orthogonal corpus)
+    assert(rows.forall(_.getAs[Double]("sim6") > 0.0),
+      "a hard negative should at least beat orthogonality")
+  }
 }
