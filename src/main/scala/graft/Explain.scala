@@ -33,8 +33,11 @@ object Explain {
       println(plan)
       // Known intended exceptions: reshape_transpose is an eager native
       // op (dimension-bounded); pack_sequences is a sorted-partition
-      // mapPartitions scan (O(1) state, no codegen by construction).
-      val intended = Set("reshape_transpose", "pack_sequences")
+      // mapPartitions scan (O(1) state, no codegen by construction);
+      // sim_mmr_rerank's plan is the bounded greedy's LocalRelation (the
+      // distributed top-50 retrieval ran eagerly at build time).
+      val intended =
+        Set("reshape_transpose", "pack_sequences", "sim_mmr_rerank")
       // Single-partition window: an unpartitioned Window moves the whole
       // frame through one task — the r11 de-globalization rule is that
       // every Window carries a PARTITION BY (global ranks go through
