@@ -554,11 +554,63 @@ object Retrieval {
        |FROM lexr FULL JOIN denser USING (doc_id)
        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------ query expansion
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM3 family) —
+    * the retrieval-stack stage after first-pass ranking: mine the BM25
+    * top-10 docs for the 5 strongest expansion terms (length ≥ 4, not
+    * already a query term), weighted tf-in-feedback × inverse document
+    * frequency in pure integers: `weight_micro = (tf10 · 10⁶) div df`.
+    * Ties → token order. A second-pass retrieval would OR these into
+    * the query; the term table is the oracle-checkable artifact.
+    *
+    * Scale shape: the feedback-set tf slice is a semi join of the
+    * per-doc tf aggregate against 10 broadcast ids; df rides the
+    * existing corpus aggregate; final pick is TakeOrdered(5).
+    */
+  private def textQueryExpansion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = tfOver(docs)
+    val topDocs = bm25ScoresOver(docs)
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"))
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(topDocs), Seq("doc_id"), "leftsemi")
+      .filter(length(col("tok")) >= 4)
+      .join(broadcast(corpusQueryTerms(tf).select(col("tok"))),
+        Seq("tok"), "leftanti")
+      .groupBy(col("tok"))
+      .agg(sum(col("tf")).as("tf10"))
+      .join(dfq, Seq("tok"))
+      .select(col("tok"), col("tf10"), col("df"),
+        expr("(tf10 * 1000000) div df").as("weight_micro"))
+      .orderBy(col("weight_micro").desc, col("tok"))
+      .limit(5)
+  }
+
+  private val textQueryExpansionSql =
+    s"""WITH $bm25Ctes,
+       |top10 AS (
+       |  SELECT doc_id FROM docscore
+       |  ORDER BY bm25_micro DESC, doc_id LIMIT 10),
+       |fb AS (
+       |  SELECT tok, CAST(sum(tf) AS BIGINT) AS tf10
+       |  FROM tf JOIN top10 USING (doc_id)
+       |  WHERE length(tok) >= 4
+       |    AND tok NOT IN (SELECT tok FROM qterms)
+       |  GROUP BY tok)
+       |SELECT fb.tok, tf10, df,
+       |  CAST((tf10 * 1000000) // df AS BIGINT) AS weight_micro
+       |FROM fb JOIN dfq ON fb.tok = dfq.tok
+       |ORDER BY weight_micro DESC, fb.tok LIMIT 5""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "index_postings" -> Q(indexPostings _, indexPostingsSql),
     "index_postings_delta" -> Q(indexPostingsDelta _, indexPostingsDeltaSql),
     "text_bm25_topk" -> Q(textBm25Topk _, textBm25TopkSql),
     "text_snippet_extract" -> Q(textSnippetExtract _, textSnippetExtractSql),
+    "text_query_expansion" -> Q(textQueryExpansion _, textQueryExpansionSql),
     "retrieval_rrf_fusion" -> Q(retrievalRrfFusion _, retrievalRrfFusionSql)
   )
 }

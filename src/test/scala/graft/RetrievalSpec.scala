@@ -87,6 +87,23 @@ class RetrievalSpec extends AnyFunSuite {
     assert(qts.nonEmpty)
   }
 
+  test("query expansion: novel terms, weight recomputes, ranked desc") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("text_query_expansion")(spark, sf).collect()
+    assert(rows.length == 5)
+    val bm25Terms = SparkEntry.queries("text_bm25_topk")(spark, sf)
+    val ws = rows.map(_.getAs[Long]("weight_micro")).toSeq
+    assert(ws == ws.sorted.reverse, "expansion terms must rank by weight")
+    rows.foreach { r =>
+      val tok = r.getAs[String]("tok")
+      assert(tok.length >= 4)
+      assert(r.getAs[Long]("weight_micro") ==
+        r.getAs[Long]("tf10") * 1000000L / r.getAs[Long]("df"))
+      assert(r.getAs[Long]("tf10") >= 1 && r.getAs[Long]("df") >= 1)
+    }
+    assert(bm25Terms.count() == 10)
+  }
+
   test("rrf fusion: ranks bounded, contributions recompute, order exact") {
     val rows = SparkEntry.queries("retrieval_rrf_fusion")(spark, sf).collect()
     assert(rows.length == 10)
