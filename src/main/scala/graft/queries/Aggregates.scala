@@ -523,7 +523,63 @@ object Aggregates {
       |FROM li JOIN model ON li.l_returnflag = model.l_returnflag
       |GROUP BY li.l_returnflag, n, slope_micro, intercept_micro""".stripMargin
 
+  /** t-digest per-group quantile estimates (p50/p90/p99 of
+    * l_extendedprice by return flag) — the reference's tdigest
+    * aggregation (cudf aggregation.hpp:121) as [[graft.agg.TDigestAgg]]:
+    * O(δ) mergeable state, map-side combine, tail-weighted accuracy.
+    * Rows-only by sketch design (centroid formation is merge-order-
+    * dependent, like HLL/GK); the accuracy CONTRACT is oracled by
+    * `agg_tdigest_vs_exact` below, and TDigestSpec pins rank error,
+    * repartition stability, and the state bound.
+    */
+  private def aggTdigestQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val td = udaf(new graft.agg.TDigestAgg(100, Seq(0.5, 0.9, 0.99)))
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(td(col("l_extendedprice").cast(DoubleType)).as("qs"))
+      .select(col("l_returnflag"),
+        col("qs").getItem(0).as("p50_est"),
+        col("qs").getItem(1).as("p90_est"),
+        col("qs").getItem(2).as("p99_est"))
+  }
+
+  /** One-sided oracle contract for the t-digest (the
+    * `decontaminate_bloom_vs_exact` pattern): Spark measures the TRUE
+    * rank of each estimate within its group and emits whether the rank
+    * error stays ≤ 0.02; DuckDB pins every flag TRUE (plus the exact
+    * group counts) — any accuracy violation flips a boolean cell and
+    * fails the hash, so the sketch's contract is gate-checked even
+    * though its centroids are not replayable.
+    */
+  private def aggTdigestVsExact(s: SparkSession, dir: String): DataFrame = {
+    val td = udaf(new graft.agg.TDigestAgg(100, Seq(0.5, 0.9, 0.99)))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("rf"),
+        col("l_extendedprice").cast(DoubleType).as("p"))
+    val ests = li.groupBy(col("rf")).agg(td(col("p")).as("qs"))
+      .select(col("rf"), col("qs").getItem(0).as("e50"),
+        col("qs").getItem(1).as("e90"), col("qs").getItem(2).as("e99"))
+    li.join(broadcast(ests), Seq("rf"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("p") <= col("e90"), 1L).otherwise(0L)).as("r90"),
+        sum(when(col("p") <= col("e99"), 1L).otherwise(0L)).as("r99"))
+      .select(col("rf").as("l_returnflag"), col("n_rows"),
+        (abs(col("r50") / col("n_rows") - 0.5) <= 0.02).as("p50_ok"),
+        (abs(col("r90") / col("n_rows") - 0.9) <= 0.02).as("p90_ok"),
+        (abs(col("r99") / col("n_rows") - 0.99) <= 0.02).as("p99_ok"))
+  }
+
+  private val aggTdigestVsExactSql =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "agg_tdigest_quantiles" -> Q(aggTdigestQuantiles _, None),
+    "agg_tdigest_vs_exact" -> Q(aggTdigestVsExact _, aggTdigestVsExactSql),
     "reg_ols_group" -> Q(regOlsGroup _, regOlsGroupSql),
     "agg_mode" -> Q(modeAgg _, modeAggSql),
     "agg_skew_kurt" -> Q(skewKurt _, skewKurtSql),
