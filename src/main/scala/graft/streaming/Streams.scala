@@ -539,6 +539,29 @@ object Streams {
           .as("est_distinct"))
   }
 
+  /** Per-window value quantiles via the mergeable t-digest
+    * ([[graft.agg.TDigestAgg]]) — the third bounded-state streaming
+    * sketch next to CMS and KMV, and the streaming face of
+    * `agg_tdigest_quantiles`: the p50/p99 latency-style monitor a
+    * pipeline runs per tumbling window with O(δ) state per window
+    * instead of buffering every value. Centroid formation is
+    * merge-order-dependent, so stream-vs-batch equality is an ACCURACY
+    * envelope (rank error vs the exact per-window quantile), not
+    * bit-equality — StreamingSpec pins it.
+    */
+  def tdigestWindowQuantiles(events: DataFrame, delta: Int = 100): DataFrame = {
+    val td = udaf(new graft.agg.TDigestAgg(delta, Seq(0.5, 0.99)))
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(td(col("value")).as("qs"), count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("win_start"),
+        col("n_events"),
+        col("qs").getItem(0).as("p50_est"),
+        col("qs").getItem(1).as("p99_est"))
+  }
+
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(dim, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),

@@ -356,6 +356,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming per-window t-digest quantiles stay inside the rank envelope") {
+    val stream = Streams.readEventStream(spark, replayDir)
+    val got = Streams
+      .runToCompletion(spark, Streams.tdigestWindowQuantiles(stream),
+        "t_tdig", mode = "complete")
+    assert(got.count() > 0)
+    // exact per-window values for rank checking
+    val exact = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(collect_list(col("value")).as("vs"))
+      .select(col("window.start").as("win_start"), col("vs"))
+      .collect()
+      .map(r => r.getTimestamp(0) -> r.getSeq[Double](1).sorted.toIndexedSeq)
+      .toMap
+    def rankOf(sorted: IndexedSeq[Double], x: Double): Double = {
+      val i = sorted.count(_ <= x)
+      i.toDouble / sorted.length
+    }
+    got.collect().foreach { r =>
+      val w = r.getTimestamp(0)
+      val vs = exact(w)
+      assert(r.getLong(1) == vs.length, s"window $w event count off")
+      val e50 = math.abs(rankOf(vs, r.getDouble(2)) - 0.5)
+      val e99 = math.abs(rankOf(vs, r.getDouble(3)) - 0.99)
+      assert(e50 <= 0.03, s"window $w p50 rank err $e50")
+      assert(e99 <= 0.03, s"window $w p99 rank err $e99")
+    }
+  }
+
   test("streaming transition steps aggregate to the batch Markov counts") {
     // single sorted file => one AvailableNow micro-batch, so per-user
     // arrival order equals the batch (ts, event_id) total order
