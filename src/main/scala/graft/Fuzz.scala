@@ -107,7 +107,30 @@ object Fuzz {
     }
 
     def query(): String = {
-      val kind = rng.nextInt(16)
+      val kind = rng.nextInt(17)
+      if (kind == 16) {
+        // STRING-BUILDER parity template (r11): the pad/repeat/position/
+        // translate/split_part family over documents, with nullif-
+        // injected NULLs flowing through concat_ws (null-SKIPPING in
+        // both dialects, unlike concat() — the seed-4242 trap this
+        // grammar already pins for `||`). instr is 1-based with 0 for
+        // no-match in both; split_part out-of-range yields '' in both;
+        // translate with a shorter `to` DELETES the tail chars in both.
+        val d = 1 + rng.nextInt(3)
+        val needle = pick(Seq("data", "key", "row", "spark", "zz"))
+        return s"""SELECT doc_id,
+           |  concat_ws('-', nullif(lang, '${pick(Seq("en", "de", "fr"))}'),
+           |    source, nullif(lang, 'zh')) AS t1,
+           |  lpad(source, ${3 + rng.nextInt(8)}, '*') AS t2,
+           |  rpad(lang, ${3 + rng.nextInt(6)}, '.') AS t3,
+           |  repeat(lang, ${1 + rng.nextInt(3)}) AS t4,
+           |  CAST(instr(text, '$needle') AS BIGINT) AS p1,
+           |  split_part(text, ' ', ${1 + rng.nextInt(6)}) AS w1,
+           |  translate(lang, 'aeiou', 'xy') AS t5,
+           |  left(text, ${1 + rng.nextInt(12)}) AS h1,
+           |  right(source, ${1 + rng.nextInt(4)}) AS h2
+           |FROM documents WHERE doc_id % $d = 0""".stripMargin
+      }
       if (kind == 15) {
         // WIDENING-SENSITIVE template (r11, after the HUGEINT incident):
         // the shapes DuckDB widens to HUGEINT — sum-of-sum chains,
