@@ -332,6 +332,39 @@ object LlmOps {
       |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r)
       |SELECT id AS doc_id, min(r) AS keeper FROM reach GROUP BY id""".stripMargin
 
+  /** Cross-source duplication matrix — the "who copies whom" report a
+    * corpus-curation run ships next to the funnel: every near-dup pair
+    * (the PERSISTED write-once LSH pair artifact, the same one the
+    * leakage-safe split consumes) mapped to its unordered source pair
+    * and counted. The oracle recomputes the entire portable LSH
+    * pipeline from scratch and must agree, so the persisted artifact's
+    * faithfulness is re-proven by this row too (the incremental-LSH
+    * gate's trick). Scale: two broadcast-or-shuffle joins on doc_id
+    * against the compact pair set, one aggregate over ≤ |sources|²
+    * keys.
+    */
+  private def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    s.read.parquet(lshPairsDir(s, dir))
+      .join(docs.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val dedupSourceMatrixSql =
+    s"""WITH ${lshPortableCtes("documents")},
+       |m AS (
+       |  SELECT least(da.source, db.source) AS src_lo,
+       |    greatest(da.source, db.source) AS src_hi
+       |  FROM lshcand p
+       |    JOIN documents da ON da.doc_id = p.id_a
+       |    JOIN documents db ON db.doc_id = p.id_b)
+       |SELECT src_lo, src_hi, count(*) AS n_pairs
+       |FROM m GROUP BY src_lo, src_hi""".stripMargin
+
   /** SimHash-style 64-bit signature from token hashes — bit b of the
     * signature is the majority vote of bit b across token xxhash64 values.
     */
@@ -2967,6 +3000,7 @@ object LlmOps {
     "cluster_kmeans_step" -> Q(clusterKmeansStep _, clusterKmeansStepSql),
     "split_leakage_safe" -> Q(splitLeakageSafe _, splitLeakageSafeSql),
     "dedup_component_stats" -> Q(dedupComponentStats _, dedupComponentStatsSql),
+    "dedup_source_matrix" -> Q(dedupSourceMatrix _, dedupSourceMatrixSql),
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
     "sim_lsh_recall" -> Q(simLshRecall _, simLshRecallSql),
     "sim_mmr_rerank" -> Q(simMmrRerank _, simMmrRerankSql),
