@@ -2207,10 +2207,30 @@ object LlmOps {
       p
     }
 
+  /** The RESOLVED component keepers as a second write-once artifact
+    * layered on the pair set: `resolveKeepers` is iterative (O(log d)
+    * pointer-doubling rounds with eager lineage cuts), so consumers
+    * that only need the final (doc_id, keeper) map — the split and the
+    * component stats — would otherwise re-pay those rounds per builder
+    * invocation. A real pipeline materializes components once next to
+    * its pair set; each consumer is then one broadcast-or-shuffle join.
+    * Faithfulness stays oracle-checked: every consumer's DuckDB twin
+    * recomputes components from raw text via the recursive closure.
+    */
+  private def lshKeepersDir(s: SparkSession, dir: String): String =
+    graft.DimCache.cached(s"lsh-keepers:$dir") {
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val p = System.getProperty("java.io.tmpdir") + s"/graft_lshkeep_$tag"
+      graft.operators.Dedup.resolveKeepers(
+          s.read.parquet(lshPairsDir(s, dir)))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
   private def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
     val rep = coalesce(col("keeper"), col("doc_id"))
-    val keepers = graft.operators.Dedup.resolveKeepers(
-      s.read.parquet(lshPairsDir(s, dir)))
+    val keepers = s.read.parquet(lshKeepersDir(s, dir))
     Tables.documents(s, dir).select(col("doc_id"))
       .join(keepers, Seq("doc_id"), "left")
       .select(col("doc_id"), rep.as("keeper"),
@@ -2253,8 +2273,7 @@ object LlmOps {
     * groupBys over id-sized rows; nothing corpus-wide shuffles twice.
     */
   private def dedupComponentStats(s: SparkSession, dir: String): DataFrame = {
-    val keepers = graft.operators.Dedup.resolveKeepers(
-      s.read.parquet(lshPairsDir(s, dir)))
+    val keepers = s.read.parquet(lshKeepersDir(s, dir))
     Tables.documents(s, dir).select(col("doc_id"))
       .join(keepers, Seq("doc_id"), "left")
       .select(coalesce(col("keeper"), col("doc_id")).as("rep"))
