@@ -577,7 +577,64 @@ object Aggregates {
       |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Exact weighted median (lower-median convention) per group: rows
+    * sort by (value, full unique key) within the group, and the pick is
+    * the first row whose doubled cumulative weight reaches the group
+    * total — deterministic, integer-exact (weights are integral), and
+    * the reported value is a row ELEMENT (no interpolation), so the
+    * double is bit-identical across engines. The weighted twin of
+    * `agg_median_quantile`, and the shape a mixing pipeline uses for
+    * "median token count weighted by sampling probability".
+    *
+    * Scale: one group-partitioned sort serves both running sum and the
+    * pick rank; the group total rides the same partition as an
+    * unordered window — no second shuffle.
+    */
+  private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity").cast(LongType).as("wt"))
+      .withColumn("cum", sum(col("wt")).over(wOrd))
+      .withColumn("tot", sum(col("wt")).over(wAll))
+      .filter(col("cum") * 2 >= col("tot"))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("tot").as("total_weight"),
+        col("l_extendedprice").as("wmedian_price"))
+  }
+
+  private val weightedMedianSql =
+    """SELECT l_returnflag, tot AS total_weight,
+      |  l_extendedprice AS wmedian_price
+      |FROM (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+      |        l_partkey, l_suppkey) AS rn
+      |  FROM (
+      |    SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+      |      l_partkey, l_suppkey,
+      |      sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+      |        ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+      |          l_partkey, l_suppkey) AS cum,
+      |      sum(CAST(l_quantity AS BIGINT))
+      |        OVER (PARTITION BY l_returnflag) AS tot
+      |    FROM lineitem) c
+      |  WHERE cum * 2 >= tot) r
+      |JOIN (
+      |  SELECT l_returnflag AS rf2,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tot
+      |  FROM lineitem GROUP BY l_returnflag) t ON r.l_returnflag = t.rf2
+      |WHERE rn = 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "agg_weighted_median" -> Q(weightedMedian _, weightedMedianSql),
     "agg_tdigest_quantiles" -> Q(aggTdigestQuantiles _, None),
     "agg_tdigest_vs_exact" -> Q(aggTdigestVsExact _, aggTdigestVsExactSql),
     "reg_ols_group" -> Q(regOlsGroup _, regOlsGroupSql),

@@ -319,4 +319,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(gotSet.subsetOf(exact),
       s"${(gotSet -- exact).take(3)} not in brute force")
   }
+
+  test("weighted median satisfies its defining inequality per group") {
+    val got = SparkEntry.queries("agg_weighted_median")(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("total_weight"), r.getAs[Double]("wmedian_price")))
+      .toMap
+    assert(got.nonEmpty)
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("w"))
+      .collect()
+      .groupBy(_.getString(0))
+    got.foreach { case (rf, (tot, med)) =>
+      val rows = data(rf).map(r => (r.getDouble(1), r.getLong(2)))
+      assert(rows.map(_._2).sum == tot, s"group $rf total weight")
+      val below = rows.filter(_._1 < med).map(_._2).sum
+      val atOrBelow = rows.filter(_._1 <= med).map(_._2).sum
+      // lower weighted median: mass strictly below < half, mass through
+      // the median's value >= half
+      assert(below * 2 < tot, s"group $rf: too much mass below $med")
+      assert(atOrBelow * 2 >= tot, s"group $rf: $med too low")
+      assert(rows.exists(_._1 == med), s"group $rf: $med not an element")
+    }
+  }
 }
