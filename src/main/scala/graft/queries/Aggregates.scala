@@ -633,7 +633,72 @@ object Aggregates {
       |  FROM lineitem GROUP BY l_returnflag) t ON r.l_returnflag = t.rf2
       |WHERE rn = 1""".stripMargin
 
+  /** Pairwise correlation MATRIX over the four numeric lineitem
+    * measures (scaled to comparable magnitude), melted to (c1, c2,
+    * corr) rows — the profiling report (`frame_describe`'s bivariate
+    * companion) a first-contact pass ships for an unknown table. ONE
+    * corpus scan computes all 4 sums + 4 square sums + 6 cross sums +
+    * n via the fixed-point dsum contract; every correlation is then the
+    * identical IEEE tree over those exact pieces in both engines (the
+    * `covar_corr` convention, matrixed). Melt is a literal 6-element
+    * explode of the 1-row aggregate — no extra pass.
+    */
+  private def frameCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("disc", "price", "qty", "tax")
+    val pairs =
+      for { i <- cols.indices; j <- (i + 1) until cols.length }
+        yield (cols(i), cols(j))
+    val base = Tables.lineitem(s, dir).select(
+      col("l_quantity").as("qty"),
+      (col("l_extendedprice") / 1000).as("price"),
+      (col("l_discount") * 10).as("disc"),
+      (col("l_tax") * 10).as("tax"))
+    val aggs =
+      cols.map(c => dsum(col(c), 6).as(s"s_$c")) ++
+        cols.map(c => dsum(col(c) * col(c), 6).as(s"s_${c}_$c")) ++
+        pairs.map { case (a, b) =>
+          dsum(col(a) * col(b), 6).as(s"s_${a}_$b")
+        } ++ Seq(count(lit(1)).as("n"))
+    def corrExpr(a: String, b: String) =
+      ((col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b") / col("n")) / col("n")) /
+        (sqrt((col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a") / col("n")) / col("n")) *
+          sqrt((col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b") / col("n")) / col("n")))
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+          struct(lit(a).as("c1"), lit(b).as("c2"), corrExpr(a, b).as("corr"))
+        }: _*)).as("r"))
+      .select(col("r.c1").as("c1"), col("r.c2").as("c2"),
+        col("r.corr").as("corr"))
+  }
+
+  private val frameCorrMatrixSql = {
+    val cols = Seq("disc", "price", "qty", "tax")
+    val pairs =
+      for { i <- cols.indices; j <- (i + 1) until cols.length }
+        yield (cols(i), cols(j))
+    val sums =
+      (cols.map(c => s"${dsumSql(c, 6)} AS s_$c") ++
+        cols.map(c => s"${dsumSql(s"$c * $c", 6)} AS s_${c}_$c") ++
+        pairs.map { case (a, b) => s"${dsumSql(s"$a * $b", 6)} AS s_${a}_$b" } ++
+        Seq("count(*) AS n")).mkString(",\n    ")
+    def corr(a: String, b: String) =
+      s"(((s_${a}_$b - s_$a * s_$b / n) / n) / " +
+        s"(sqrt((s_${a}_$a - s_$a * s_$a / n) / n) * " +
+        s"sqrt((s_${b}_$b - s_$b * s_$b / n) / n)))"
+    val rows = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS c1, '$b' AS c2, ${corr(a, b)} AS corr FROM m"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT
+       |    $sums
+       |  FROM (SELECT l_quantity AS qty, l_extendedprice / 1000 AS price,
+       |          l_discount * 10 AS disc, l_tax * 10 AS tax
+       |        FROM lineitem) t)
+       |$rows""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "frame_corr_matrix" -> Q(frameCorrMatrix _, frameCorrMatrixSql),
     "agg_weighted_median" -> Q(weightedMedian _, weightedMedianSql),
     "agg_tdigest_quantiles" -> Q(aggTdigestQuantiles _, None),
     "agg_tdigest_vs_exact" -> Q(aggTdigestVsExact _, aggTdigestVsExactSql),
