@@ -248,6 +248,62 @@ object Curation {
       |    // ((n_tokens * 1000000) // nn) AS BIGINT) AS factor_micro
       |FROM w CROSS JOIN tot""".stripMargin
 
+  /** Per-language EPOCH SCHEDULE under a token budget — the data-
+    * schedule table a training run is configured from (the "how many
+    * passes over each source" report of the LLaMA/mBERT lineage):
+    * budget B = 1 × corpus tokens (one corpus-sized pass), allocated by the α = 0.5
+    * temperature-smoothed target shares of `mix_temperature`, giving
+    * per-language target tokens and the pass count
+    * epochs_micro = B·share / n_tokens — low-resource languages go
+    * over one epoch (oversampled = true), high-resource under. The
+    * nn·share_ppm product rides DECIMAL(38,0)/HUGEINT (at web scale
+    * nn·10⁶ overflows a long), final projections cast to BIGINT.
+    * Same scale shape as mix_temperature: one lang-keyed aggregate +
+    * a broadcast 1-row total.
+    */
+  private def mixEpochSchedule(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perLang = Tables.documents(s, dir)
+      .select(col("lang"), size(toks).cast(LongType).as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("n_tokens").cast(DoubleType)) * lit(1e6)).cast(LongType))
+    val tot = perLang.agg(
+      sum(col("n_tokens")).as("nn"), sum(col("w")).as("ww"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"),
+        expr("(w * 1000000) div ww").as("target_share_ppm"),
+        col("nn"))
+      .select(col("lang"), col("n_tokens"), col("target_share_ppm"),
+        (lit(1L).cast(d38) * col("nn") * col("target_share_ppm")).as("num"))
+      .select(col("lang"), col("n_tokens"), col("target_share_ppm"),
+        expr("num div 1000000").cast(LongType).as("target_tokens"),
+        expr("num div n_tokens").cast(LongType).as("epochs_micro"))
+      .withColumn("oversampled", col("epochs_micro") > 1000000L)
+  }
+
+  private val mixEpochScheduleSql =
+    """WITH pl AS (
+      |  SELECT lang, CAST(sum(len(list_filter(
+      |      string_split(coalesce(text, ''), ' '),
+      |      t -> length(t) > 0))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |w AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w
+      |  FROM pl),
+      |tot AS (SELECT sum(n_tokens) AS nn, sum(w) AS ww FROM w),
+      |sched AS (
+      |  SELECT lang, n_tokens,
+      |    CAST((w * 1000000) // ww AS BIGINT) AS target_share_ppm,
+      |    1 * CAST(nn AS HUGEINT) * ((w * 1000000) // ww) AS num
+      |  FROM w CROSS JOIN tot)
+      |SELECT lang, n_tokens, target_share_ppm,
+      |  CAST(num // 1000000 AS BIGINT) AS target_tokens,
+      |  CAST(num // n_tokens AS BIGINT) AS epochs_micro,
+      |  CAST(num // n_tokens AS BIGINT) > 1000000 AS oversampled
+      |FROM sched""".stripMargin
+
   // ------------------------------------- content-defined chunking dedup
 
   /** Content-defined chunking + chunk-level duplicate accounting: token
@@ -337,6 +393,7 @@ object Curation {
     "sketch_cms_topk" -> Q(sketchCmsTopk _, sketchCmsTopkSql),
     "dsir_importance" -> Q(dsirImportance _, dsirImportanceSql),
     "mix_temperature" -> Q(mixTemperature _, mixTemperatureSql),
+    "mix_epoch_schedule" -> Q(mixEpochSchedule _, mixEpochScheduleSql),
     "chunk_cdc_dedup" -> Q(chunkCdcDedup _, chunkCdcDedupSql)
   )
 }
