@@ -336,7 +336,56 @@ object Conversions {
        |  AND l_suppkey BETWEEN sk_lo AND sk_hi
        |GROUP BY l_returnflag""".stripMargin
 
+  /** Business-day (weekday) arithmetic — the SLA/lead-time calendar op
+    * every warehouse reports with: order-to-ship weekday lead time per
+    * return flag. Portable via the Monday-anchored epoch
+    * fold, NOT the engines' dayofweek (Spark counts 1 = Sunday, DuckDB
+    * 0 = Sunday — a dialect trap): with e(d) = days since 1970-01-05
+    * (a Monday), the weekdays strictly before d are
+    * g(d) = (e div 7)·5 + least(e mod 7, 5), and the span count is
+    * g(ship) − g(order) — pure integer arithmetic on date
+    * differences both engines compute identically (TPC-H dates are all
+    * post-epoch, so the div/mod never see negatives). One fact-to-fact join on the order key
+    * (co-partitioned shuffle), map-side g() folds, one group aggregate; avg reported in exact micro units.
+    */
+  private def dtBusinessDays(s: SparkSession, dir: String): DataFrame = {
+    def g(d: org.apache.spark.sql.Column) = {
+      // e >= 0 for all TPC-H dates, so floor(e/7) == e div 7 and % is
+      // the plain non-negative remainder — no negative-modulo dialect
+      // hazard reaches the formula
+      val e = datediff(d, lit("1970-01-05").cast(DateType))
+      floor(e / lit(7)).cast(LongType) * 5 +
+        least(e % lit(7), lit(5)).cast(LongType)
+    }
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_returnflag"),
+        (g(col("l_shipdate")) - g(col("o_orderdate"))).as("biz"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("biz")).as("sum_biz"),
+        max(col("biz")).as("max_biz"))
+      .select(col("l_returnflag"), col("n"),
+        expr("(sum_biz * 1000000) div n").as("avg_biz_micro"),
+        col("max_biz"))
+  }
+
+  private val dtBusinessDaysSql = {
+    def g(d: String) =
+      s"(((CAST($d AS DATE) - DATE '1970-01-05') // 7) * 5 + " +
+        s"least((CAST($d AS DATE) - DATE '1970-01-05') % 7, 5))"
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  CAST((CAST(sum(${g("l_shipdate")} - ${g("o_orderdate")})
+       |    AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS avg_biz_micro,
+       |  CAST(max(${g("l_shipdate")} - ${g("o_orderdate")}) AS BIGINT)
+       |    AS max_biz
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY l_returnflag""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+    "dt_business_days" -> Q(dtBusinessDays _, dtBusinessDaysSql),
     "conv_zorder" -> Q(zorderCode _, zorderCodeSql),
     "scan_zorder_pruned" -> Q(scanZorderPruned _, scanZorderPrunedSql),
     "conv_byte_cast" -> Q(byteCast _, byteCastSql),
