@@ -465,7 +465,82 @@ object GraphOps {
       |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE a = u AND b = v)
       |ORDER BY common_neighbors DESC, u, v LIMIT 20""".stripMargin
 
+  /** Adamic–Adar link prediction — the degree-discounted upgrade of the
+    * common-neighbor score (Adamic & Adar 2003): a shared HUB neighbor
+    * is weak evidence, a shared rare neighbor strong, so each wedge
+    * center z contributes 1/ln(deg z). Runs on the SAME persisted edge
+    * artifact and capped adjacency as `graph_link_predict` (degrees
+    * measured on the capped adjacency, keeping the whole statistic
+    * cap-consistent); the weight is integer micro-units
+    * 10¹² div floor(ln(deg)·10⁶) — deg ≥ 2 for any wedge center, so
+    * ln > 0, and integer-input ln hits identical doubles in both
+    * engines (the documented floored-ln envelope). One extra broadcast
+    * join (the degree table) over the link-predict plan.
+    */
+  private def graphAdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = s.read.parquet(coPurchaseEdgesDir(s, dir))
+    val edges = e0.unionByName(
+        e0.select(col("b").as("a"), col("a").as("b")))
+      .withColumn("nrn",
+        row_number().over(Window.partitionBy(col("a")).orderBy(col("b"))))
+      .filter(col("nrn") <= wedgeCap)
+      .select(col("a"), col("b"))
+    val weights = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      // only deg >= 2 nodes can center a wedge; ln(1) = 0 must never
+      // reach the division
+      .filter(col("deg") >= 2)
+      .select(col("a").as("z"),
+        expr("1000000000000 div CAST(floor(ln(CAST(deg AS DOUBLE)) * 1e6) AS BIGINT)")
+          .as("w"))
+    edges.as("e1")
+      .join(edges.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.b").as("u"), col("e2.b").as("v"), col("e1.a").as("z"))
+      .join(broadcast(weights), Seq("z"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("w")).as("aa_micro"))
+      .join(e0, col("u") === col("a") && col("v") === col("b"), "left_anti")
+      .orderBy(col("aa_micro").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  private val graphAdamicAdarSql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1
+      |  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |    AND l1.l_partkey < l2.l_partkey
+      |  JOIN orders ON o_orderkey = l1.l_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-04-01'),
+      |alledges AS (
+      |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      |edges AS (
+      |  SELECT a, b FROM (
+      |    SELECT a, b,
+      |      row_number() OVER (PARTITION BY a ORDER BY b) AS nrn
+      |    FROM alledges) r
+      |  WHERE nrn <= 1000),
+      |wt AS (
+      |  SELECT a AS z,
+      |    1000000000000 //
+      |      CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w
+      |  FROM edges GROUP BY a HAVING count(*) >= 2),
+      |aa AS (
+      |  SELECT e1.b AS u, e2.b AS v, count(*) AS common_neighbors,
+      |    CAST(sum(w) AS BIGINT) AS aa_micro
+      |  FROM edges e1
+      |    JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+      |    JOIN wt ON wt.z = e1.a
+      |  GROUP BY 1, 2)
+      |SELECT u, v, common_neighbors, aa_micro
+      |FROM aa
+      |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE a = u AND b = v)
+      |ORDER BY aa_micro DESC, u, v LIMIT 20""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "graph_adamic_adar" -> Q(graphAdamicAdar _, graphAdamicAdarSql),
     "graph_pagerank" -> Q(graphPagerank _, graphPagerankSql),
     "graph_triangles" -> Q(graphTriangles _, graphTrianglesSql),
     "graph_label_prop" -> Q(graphLabelProp _, graphLabelPropSql),
