@@ -562,6 +562,50 @@ object Streams {
         col("qs").getItem(1).as("p99_est"))
   }
 
+  /** Document-stream schema (replayed documents table). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType)))
+
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+
+  /** Streaming inverted-index maintenance — the real-time face of
+    * `index_postings`: per token, ONE state row holding the true
+    * document frequency plus the 20 SMALLEST doc_ids (the min-k set is
+    * incrementally maintainable — insert, drop the largest past 20 —
+    * which is exactly why the batch face caps by doc_id-ascending
+    * PREFIX). Each arriving doc contributes its distinct tokens once
+    * (the stream contract: append-only, one arrival per doc — the
+    * batch face's per-doc distinct applied at explode). Emits the
+    * updated index row per touched token per batch; the LAST emission
+    * per token equals the batch `postingsOver` row exactly, any
+    * arrival order (StreamingSpec pins it against the oracled batch
+    * twin). State is O(21 longs) per vocabulary entry — the bounded
+    * per-key contract of every stream op here.
+    */
+  def postingsMaintain(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pairs = docs
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(filter(split(coalesce(text, ''), ' '),
+          |  t -> length(t) > 0))""".stripMargin)).as("tok"))
+      .as[(Long, String)]
+    pairs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (String, Long, Boolean, String)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (tok, rows, state: GroupState[(Long, Seq[Long])]) =>
+          val (df0, p0) = state.getOption.getOrElse((0L, Seq.empty[Long]))
+          val ids = rows.map(_._1).toSeq
+          val df = df0 + ids.length
+          val posts = (p0 ++ ids).distinct.sorted.take(20)
+          state.update((df, posts))
+          Iterator((tok, df, df > 20, posts.mkString("|")))
+      }
+      .toDF("tok", "df", "capped", "postings")
+  }
+
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(dim, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),

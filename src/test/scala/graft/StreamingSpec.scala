@@ -385,6 +385,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming postings maintenance converges to the batch index") {
+    // multi-file replay + maxFilesPerTrigger forces MULTIPLE micro-
+    // batches, so cross-batch state merging (df accumulation, min-20
+    // postings maintenance) is actually exercised
+    val d = Files.createTempDirectory("graft-stream-post").toString
+    Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .repartition(6).write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(Streams.docSchema)
+      .option("maxFilesPerTrigger", "2").parquet(d)
+    val got = Streams.runToCompletion(
+      spark, Streams.postingsMaintain(spark, stream), "t_post", "update")
+    // final state per token = the emission with the highest df (df is
+    // monotone across batches)
+    import org.apache.spark.sql.expressions.Window
+    val fin = got
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("tok")).orderBy(col("df").desc)))
+      .filter(col("rn") === 1 && col("df") >= 5)
+      .select(col("tok"), col("df"), col("capped"), col("postings"))
+    val batch = graft.queries.Retrieval.postingsOver(
+      Tables.documents(spark, sf))
+    assert(fin.count() > 0)
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty,
+      "final streaming index diverges from the batch index")
+  }
+
   test("streaming transition steps aggregate to the batch Markov counts") {
     // single sorted file => one AvailableNow micro-batch, so per-user
     // arrival order equals the batch (ts, event_id) total order
