@@ -2262,6 +2262,56 @@ object LlmOps {
       |    ELSE 'test' END AS split
       |FROM s""".stripMargin
 
+  /** The audit that certifies the leakage-safe split's defining
+    * property: ZERO near-dup pairs may cross a split boundary (both
+    * endpoints of every pair share a component, hence a keeper, hence
+    * a split). The Spark side measures it over the persisted pair +
+    * keeper artifacts; the oracle re-derives pairs, components, and
+    * split assignments from RAW TEXT via the recursive closure — so a
+    * bug anywhere in the artifact chain (stale pairs, wrong keeper
+    * resolution, a split keyed on doc_id instead of the keeper) flips
+    * n_cross_pairs or the flag and fails the hash. This is the check a
+    * real pipeline ships with its eval split.
+    */
+  private def splitLeakageAudit(s: SparkSession, dir: String): DataFrame = {
+    val split = splitLeakageSafe(s, dir).select(col("doc_id"), col("split"))
+    s.read.parquet(lshPairsDir(s, dir))
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sp_a")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sp_b")), "id_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("sp_a") =!= col("sp_b"), lit(1))).as("n_cross_pairs"))
+      .select(col("n_pairs"), col("n_cross_pairs"),
+        (col("n_cross_pairs") === 0L).as("leakage_free"))
+  }
+
+  private val splitLeakageAuditSql =
+    s"""WITH RECURSIVE base AS (
+      |  SELECT id_a, id_b FROM (
+      |$dedupMinhashLshPortableSql) t),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM base
+      |  UNION
+      |  SELECT id_b, id_a FROM base),
+      |reach AS (
+      |  SELECT a AS id, a AS r FROM edges
+      |  UNION
+      |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+      |k AS (SELECT id AS doc_id, min(r) AS keeper FROM reach GROUP BY id),
+      |sp AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN ((coalesce(k.keeper, d.doc_id) * 48271) % 2147483647)
+      |           % 10 < 8 THEN 'train'
+      |         WHEN ((coalesce(k.keeper, d.doc_id) * 48271) % 2147483647)
+      |           % 10 = 8 THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM documents d LEFT JOIN k USING (doc_id))
+      |SELECT count(*) AS n_pairs,
+      |  count(*) FILTER (sa.split <> sb.split) AS n_cross_pairs,
+      |  count(*) FILTER (sa.split <> sb.split) = 0 AS leakage_free
+      |FROM base
+      |  JOIN sp sa ON sa.doc_id = base.id_a
+      |  JOIN sp sb ON sb.doc_id = base.id_b""".stripMargin
+
   /** Near-dup component-size histogram — the corpus-health report a
     * dedup pass ships with its output ("how clustered is this crawl"):
     * every doc resolves to its connected-component representative
@@ -3018,6 +3068,7 @@ object LlmOps {
     "emb_pca_two" -> Q(embPcaTwo _, embPcaTwoSql),
     "cluster_kmeans_step" -> Q(clusterKmeansStep _, clusterKmeansStepSql),
     "split_leakage_safe" -> Q(splitLeakageSafe _, splitLeakageSafeSql),
+    "split_leakage_audit" -> Q(splitLeakageAudit _, splitLeakageAuditSql),
     "dedup_component_stats" -> Q(dedupComponentStats _, dedupComponentStatsSql),
     "dedup_source_matrix" -> Q(dedupSourceMatrix _, dedupSourceMatrixSql),
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
