@@ -101,6 +101,83 @@ object Windows {
       |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
       |""".stripMargin
 
+  /** Rolling lag-1 autocorrelation over a 20-row frame per user — the
+    * windowed time-series diagnostic (is this signal trending or
+    * mean-reverting RIGHT NOW) a monitoring pipeline computes next to
+    * rolling variance. The pair domain is rows where BOTH value and its
+    * lag are non-null (px/py are null-masked to exactly that domain, so
+    * all five frame sums and the pair count agree); sums ride the
+    * fixed-point long path and the correlation is the identical IEEE
+    * tree over exact pieces (the `covar_corr` convention inside a
+    * moving frame). Emitted only when n ≥ 5 pairs and both variance
+    * terms are strictly positive — the zero-variance frame would be
+    * 0/0 and NaN canonicalization is not part of the oracle contract.
+    * One user-partitioned sort serves the lag AND the frame.
+    */
+  private def rollingAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val w = ord.rowsBetween(-19, 0)
+    def fsum(c: org.apache.spark.sql.Column) =
+      sum(floor(c * 1e4).cast(LongType)).over(w).cast(DoubleType) / 1e4
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("x"),
+        lag(col("value"), 1).over(ord).as("y"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("y").isNotNull, col("x")).as("px"),
+        when(col("x").isNotNull, col("y")).as("py"))
+      .select(col("user_id"), col("event_id"),
+        fsum(col("px")).as("sx"), fsum(col("py")).as("sy"),
+        fsum(col("px") * col("px")).as("sxx"),
+        fsum(col("py") * col("py")).as("syy"),
+        fsum(col("px") * col("py")).as("sxy"),
+        count(col("px")).over(w).as("n"))
+      .select(col("user_id"), col("event_id"), col("n").as("n_pairs"),
+        when(col("n") >= 5 &&
+            (col("sxx") - col("sx") * col("sx") / col("n")) > 0 &&
+            (col("syy") - col("sy") * col("sy") / col("n")) > 0,
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")) /
+            (sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")) *
+              sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n"))))
+          .as("autocorr"))
+  }
+
+  private val rollingAutocorrSql =
+    """SELECT user_id, event_id, n AS n_pairs,
+      |  CASE WHEN n >= 5 AND (sxx - sx * sx / n) > 0
+      |            AND (syy - sy * sy / n) > 0
+      |    THEN ((sxy - sx * sy / n) / n) /
+      |      (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n))
+      |  END AS autocorr
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    (CAST(sum(CAST(floor(px * 1e4) AS BIGINT)) OVER w AS DOUBLE) / 1e4)
+      |      AS sx,
+      |    (CAST(sum(CAST(floor(py * 1e4) AS BIGINT)) OVER w AS DOUBLE) / 1e4)
+      |      AS sy,
+      |    (CAST(sum(CAST(floor(px * px * 1e4) AS BIGINT)) OVER w AS DOUBLE) / 1e4)
+      |      AS sxx,
+      |    (CAST(sum(CAST(floor(py * py * 1e4) AS BIGINT)) OVER w AS DOUBLE) / 1e4)
+      |      AS syy,
+      |    (CAST(sum(CAST(floor(px * py * 1e4) AS BIGINT)) OVER w AS DOUBLE) / 1e4)
+      |      AS sxy,
+      |    count(px) OVER w AS n
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN y IS NOT NULL THEN x END AS px,
+      |      CASE WHEN x IS NOT NULL THEN y END AS py
+      |    FROM (
+      |      SELECT user_id, event_id, ts, value AS x,
+      |        lag(value, 1) OVER (PARTITION BY user_id
+      |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS y
+      |      FROM events) t0) t1
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) t2""".stripMargin
+
   /** Range (order-by-value) window: "3 days preceding"
     * (grouped_range_rolling_window, rolling.hpp:539) over order dates per
     * customer, expressed on an epoch-seconds orderBy.
@@ -324,6 +401,7 @@ object Windows {
     "win_percentile_bands" -> Q(percentileBands _, percentileBandsSql),
     "win_rolling_rows" -> Q(rollingRows _, rollingRowsSql),
     "win_rolling_var" -> Q(rollingVar _, rollingVarSql),
+    "win_rolling_autocorr" -> Q(rollingAutocorr _, rollingAutocorrSql),
     "win_range_days" -> Q(rangeWindow _, rangeWindowSql),
     "win_lead_lag" -> Q(leadLag _, leadLagSql),
     "win_rank_family" -> Q(rankFamily _, rankFamilySql),
