@@ -250,6 +250,83 @@ object TextOps {
        |        FROM documents))""".stripMargin
   }
 
+  /** Classifier evaluation over the langid heuristic — the model-eval
+    * reporting family (confusion matrix; per-class precision/recall/F1)
+    * a pipeline ships whenever a heuristic labeler gates data. The
+    * matrix is exact counts; P/R/F1 are integer ppm
+    * (F1 = 2·p·r div (p+r) stays in ppm), zero-guarded for classes
+    * never predicted. One corpus scan → a |labels|×|preds| aggregate;
+    * the per-class unpivot is a 3-literal explode of that tiny frame.
+    */
+  private def evalLangidConfusion(s: SparkSession, dir: String): DataFrame =
+    langId(s, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  private val evalLangidConfusionSql =
+    s"""SELECT labeled_lang, predicted_lang, count(*) AS n
+       |FROM ($langIdSql) t
+       |GROUP BY labeled_lang, predicted_lang""".stripMargin
+
+  private def evalLangidPrf(s: SparkSession, dir: String): DataFrame = {
+    val cm = evalLangidConfusion(s, dir)
+    cm.select(explode(array(lit("en"), lit("fr"), lit("de"))).as("klass"),
+        col("labeled_lang"), col("predicted_lang"), col("n"))
+      .groupBy(col("klass"))
+      .agg(
+        sum(when(col("labeled_lang") === col("klass") &&
+          col("predicted_lang") === col("klass"), col("n")).otherwise(0L))
+          .as("tp"),
+        sum(when(col("labeled_lang") =!= col("klass") &&
+          col("predicted_lang") === col("klass"), col("n")).otherwise(0L))
+          .as("fp"),
+        sum(when(col("labeled_lang") === col("klass") &&
+          col("predicted_lang") =!= col("klass"), col("n")).otherwise(0L))
+          .as("fn"))
+      .select(col("klass"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("(tp * 1000000) div (tp + fp)")).otherwise(0L)
+          .as("precision_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("(tp * 1000000) div (tp + fn)")).otherwise(0L)
+          .as("recall_ppm"))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") > 0,
+          expr("(2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)"))
+          .otherwise(0L))
+  }
+
+  private val evalLangidPrfSql =
+    s"""WITH cm AS (
+       |  SELECT labeled_lang, predicted_lang, count(*) AS n
+       |  FROM ($langIdSql) t
+       |  GROUP BY labeled_lang, predicted_lang),
+       |per AS (
+       |  SELECT klass,
+       |    CAST(sum(CASE WHEN labeled_lang = klass
+       |      AND predicted_lang = klass THEN n ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN labeled_lang <> klass
+       |      AND predicted_lang = klass THEN n ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN labeled_lang = klass
+       |      AND predicted_lang <> klass THEN n ELSE 0 END) AS BIGINT) AS fn
+       |  FROM cm CROSS JOIN (SELECT unnest(['en', 'fr', 'de']) AS klass) k
+       |  GROUP BY klass),
+       |pr AS (
+       |  SELECT klass, tp, fp, fn,
+       |    CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp)
+       |      ELSE 0 END AS precision_ppm,
+       |    CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn)
+       |      ELSE 0 END AS recall_ppm
+       |  FROM per)
+       |SELECT klass, tp, fp, fn,
+       |  CAST(precision_ppm AS BIGINT) AS precision_ppm,
+       |  CAST(recall_ppm AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN precision_ppm + recall_ppm > 0
+       |    THEN (2 * precision_ppm * recall_ppm)
+       |      // (precision_ppm + recall_ppm)
+       |    ELSE 0 END AS BIGINT) AS f1_ppm
+       |FROM pr""".stripMargin
+
   /** edit_distance (edit_distance.hpp:62) on adjacent-id doc pairs —
     * blocked pairing, not an O(n²) matrix.
     */
@@ -1166,6 +1243,8 @@ object TextOps {
     "text_quality_score" -> Q(qualityScore _, qualityScoreSql),
     "filter_quality_quantile" -> Q(filterQualityQuantile _, filterQualityQuantileSql),
     "text_lang_id" -> Q(langId _, langIdSql),
+    "eval_langid_confusion" -> Q(evalLangidConfusion _, evalLangidConfusionSql),
+    "eval_langid_prf" -> Q(evalLangidPrf _, evalLangidPrfSql),
     "text_edit_distance" -> Q(editDistancePairs _, editDistancePairsSql),
     "text_jaccard_pairs" -> Q(jaccardPairs _, jaccardPairsSql),
     "text_normalize_filter" -> Q(normalizeFilterTokens _, normalizeFilterTokensSql)
