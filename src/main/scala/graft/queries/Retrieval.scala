@@ -415,10 +415,13 @@ object Retrieval {
     * fuse, the final top-10) is bounded at 50 rows per arm regardless
     * of corpus size. No unpartitioned windows anywhere.
     */
-  private def retrievalRrfFusion(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.DotF64.dotf64
+  /** Per-doc BM25 scores for the DOC-0 query (its 16 most selective
+    * terms) — the lexical arm shared by RRF fusion and the nDCG
+    * agreement audit.
+    */
+  private def doc0Bm25Scores(documents: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val tf = Tables.documents(s, dir)
+    val tf = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
@@ -434,8 +437,7 @@ object Retrieval {
     val scalars = tf.agg(
       countDistinct(col("doc_id")).as("n_docs"),
       sum(col("tf")).as("sl"))
-    val lexTop = tf
-      .filter(col("doc_id") =!= 0)
+    tf.filter(col("doc_id") =!= 0)
       .join(broadcast(qterms), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(scalars))
@@ -451,6 +453,51 @@ object Retrieval {
         expr("num div den").cast(LongType).as("score_micro"))
       .groupBy(col("doc_id"))
       .agg(sum(col("score_micro")).as("bm25_micro"))
+  }
+
+  /** The doc-0 lexical pipeline as an oracle CTE fragment ending in
+    * `lex(doc_id, bm25_micro)` — shared by the RRF and nDCG twins.
+    */
+  private val doc0LexCtes =
+    s"""tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM (
+       |    $tokensSqlFrom) t
+       |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |qterms AS (
+       |  SELECT tok, df FROM (
+       |    SELECT q.tok, d.df,
+       |      row_number() OVER (ORDER BY d.df, q.tok) AS rn
+       |    FROM (SELECT DISTINCT tok FROM tf
+       |          WHERE doc_id = 0 AND length(tok) >= 4) q
+       |    JOIN dfq d USING (tok) WHERE d.df >= 5) r
+       |  WHERE rn <= 16),
+       |scalars AS (
+       |  SELECT count(DISTINCT doc_id) AS n_docs, sum(tf) AS sl FROM tf),
+       |lex AS (
+       |  SELECT tf.doc_id,
+       |    CAST(sum(CAST((CAST(22000000 AS HUGEINT) * tf * sl * n_docs) //
+       |      (CAST(df AS HUGEINT) *
+       |        (CAST(10 AS HUGEINT) * tf * sl + CAST(3 AS HUGEINT) * sl +
+       |         CAST(9 AS HUGEINT) * dl * n_docs)) AS BIGINT)) AS BIGINT)
+       |      AS bm25_micro
+       |  FROM tf JOIN qterms USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN scalars
+       |  WHERE tf.doc_id <> 0 GROUP BY tf.doc_id)""".stripMargin
+
+  private def retrievalRrfFusion(s: SparkSession, dir: String): DataFrame =
+    rrfFused(s, dir)
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(10)
+
+  /** The full fused RRF frame (doc_id, lex_rank, dense_rank, rrf_micro;
+    * 0 = not retrieved by that arm) BEFORE the final top-10 — shared by
+    * the fusion query and the nDCG audit of the fused ranking.
+    */
+  private def rrfFused(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotF64.dotf64
+    val lexTop = doc0Bm25Scores(Tables.documents(s, dir))
       .orderBy(col("bm25_micro").desc, col("doc_id"))
       .limit(50)
     val lexRanked = lexTop
@@ -489,37 +536,14 @@ object Retrieval {
           .otherwise(lit(0L)) +
           when(col("dense_rank") > 0, expr("1000000 div (60 + dense_rank)"))
             .otherwise(lit(0L))).as("rrf_micro"))
-      .orderBy(col("rrf_micro").desc, col("doc_id"))
-      .limit(10)
   }
 
-  private val retrievalRrfFusionSql =
-    s"""WITH tf AS (
-       |  SELECT doc_id, tok, count(*) AS tf FROM (
-       |    $tokensSqlFrom) t
-       |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
-       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-       |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-       |qterms AS (
-       |  SELECT tok, df FROM (
-       |    SELECT q.tok, d.df,
-       |      row_number() OVER (ORDER BY d.df, q.tok) AS rn
-       |    FROM (SELECT DISTINCT tok FROM tf
-       |          WHERE doc_id = 0 AND length(tok) >= 4) q
-       |    JOIN dfq d USING (tok) WHERE d.df >= 5) r
-       |  WHERE rn <= 16),
-       |scalars AS (
-       |  SELECT count(DISTINCT doc_id) AS n_docs, sum(tf) AS sl FROM tf),
-       |lex AS (
-       |  SELECT tf.doc_id,
-       |    CAST(sum(CAST((CAST(22000000 AS HUGEINT) * tf * sl * n_docs) //
-       |      (CAST(df AS HUGEINT) *
-       |        (CAST(10 AS HUGEINT) * tf * sl + CAST(3 AS HUGEINT) * sl +
-       |         CAST(9 AS HUGEINT) * dl * n_docs)) AS BIGINT)) AS BIGINT)
-       |      AS bm25_micro
-       |  FROM tf JOIN qterms USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
-       |  CROSS JOIN scalars
-       |  WHERE tf.doc_id <> 0 GROUP BY tf.doc_id),
+  /** The fused-RRF oracle pipeline as a CTE fragment ending in
+    * `fused(doc_id, lex_rank, dense_rank, rrf_micro)` — shared by the
+    * fusion query and the nDCG audit.
+    */
+  private val rrfFusedCtes =
+    s"""$doc0LexCtes,
        |lexr AS (
        |  SELECT doc_id,
        |    row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS lex_rank
@@ -542,16 +566,22 @@ object Retrieval {
        |denser AS (
        |  SELECT doc_id,
        |    row_number() OVER (ORDER BY fp DESC, doc_id) AS dense_rank
-       |  FROM dense QUALIFY dense_rank <= 50)
-       |SELECT doc_id,
-       |  CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
-       |  CAST(coalesce(dense_rank, 0) AS BIGINT) AS dense_rank,
-       |  CAST((CASE WHEN lex_rank IS NOT NULL
-       |          THEN 1000000 // (60 + lex_rank) ELSE 0 END) +
-       |       (CASE WHEN dense_rank IS NOT NULL
-       |          THEN 1000000 // (60 + dense_rank) ELSE 0 END) AS BIGINT)
-       |    AS rrf_micro
-       |FROM lexr FULL JOIN denser USING (doc_id)
+       |  FROM dense QUALIFY dense_rank <= 50),
+       |fused AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |    CAST(coalesce(dense_rank, 0) AS BIGINT) AS dense_rank,
+       |    CAST((CASE WHEN lex_rank IS NOT NULL
+       |            THEN 1000000 // (60 + lex_rank) ELSE 0 END) +
+       |         (CASE WHEN dense_rank IS NOT NULL
+       |            THEN 1000000 // (60 + dense_rank) ELSE 0 END) AS BIGINT)
+       |      AS rrf_micro
+       |  FROM lexr FULL JOIN denser USING (doc_id))""".stripMargin
+
+  private val retrievalRrfFusionSql =
+    s"""WITH $rrfFusedCtes
+       |SELECT doc_id, lex_rank, dense_rank, rrf_micro
+       |FROM fused
        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
 
   // ------------------------------------------------------ query expansion
@@ -605,12 +635,86 @@ object Retrieval {
        |FROM fb JOIN dfq ON fb.tok = dfq.tok
        |ORDER BY weight_micro DESC, fb.tok LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------- nDCG eval
+
+  /** Retrieval-quality evaluation: nDCG@10 of the FUSED (RRF) ranking
+    * against graded relevance from the dense arm — the audit a hybrid
+    * stack runs to answer "how much semantic relevance does fusing the
+    * lexical signal preserve for this query". Dense top-10 docs carry
+    * graded relevance 10..1; a fused position's gain is rel·w(i) with
+    * the integer floored-ln discounts w(i) = 10¹² div floor(ln(i+1)·10⁶)
+    * (integer-input ln — identical doubles both engines); IDCG is the
+    * same formula over the ideal ordering, computed from a generated
+    * 10-row frame so BOTH engines derive it rather than trusting a
+    * constant. Output: one row — dcg, idcg, ndcg_ppm, and how many of
+    * the fused top-10 carry dense relevance. Positions within the
+    * bounded fused top-10 are broadcast self-join counts (no windows);
+    * everything after retrieval is bounded at 10 rows.
+    */
+  private def evalRetrievalNdcg(s: SparkSession, dir: String): DataFrame = {
+    val top = rrfFused(s, dir)
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(10)
+    val pos = top
+      .join(broadcast(top.select(
+          col("rrf_micro").as("s2"), col("doc_id").as("d2"))),
+        col("s2") > col("rrf_micro") ||
+          (col("s2") === col("rrf_micro") && col("d2") <= col("doc_id")))
+      .groupBy(col("doc_id"), col("dense_rank"))
+      .agg(count(lit(1)).as("pos"))
+    val wSql = (r: String) =>
+      s"1000000000000 div CAST(floor(ln(CAST($r + 1 AS DOUBLE)) * 1e6) AS BIGINT)"
+    val dcg = pos
+      .select(
+        (when(col("dense_rank").between(1, 10), lit(11L) - col("dense_rank"))
+          .otherwise(lit(0L)) * expr(wSql("pos"))).as("g"),
+        when(col("dense_rank").between(1, 10), lit(1L)).otherwise(lit(0L))
+          .as("hit"))
+      .agg(sum(col("g")).as("dcg"), sum(col("hit")).as("n_relevant"))
+    val idcg = s.range(1, 11)
+      .select(((lit(11L) - col("id")) * expr(wSql("id"))).as("g"))
+      .agg(sum(col("g")).as("idcg"))
+    dcg.crossJoin(idcg)
+      .select(col("dcg"), col("idcg"), col("n_relevant"),
+        expr("(dcg * 1000000) div idcg").as("ndcg_ppm"))
+  }
+
+  private val evalRetrievalNdcgSql =
+    s"""WITH $rrfFusedCtes,
+       |top AS (
+       |  SELECT doc_id, dense_rank, rrf_micro FROM fused
+       |  ORDER BY rrf_micro DESC, doc_id LIMIT 10),
+       |positioned AS (
+       |  SELECT a.doc_id, a.dense_rank, count(*) AS pos
+       |  FROM top a JOIN top b
+       |    ON b.rrf_micro > a.rrf_micro
+       |    OR (b.rrf_micro = a.rrf_micro AND b.doc_id <= a.doc_id)
+       |  GROUP BY a.doc_id, a.dense_rank),
+       |dcg AS (
+       |  SELECT
+       |    CAST(sum((CASE WHEN dense_rank BETWEEN 1 AND 10
+       |        THEN 11 - dense_rank ELSE 0 END) *
+       |      (1000000000000 // CAST(floor(ln(CAST(pos + 1 AS DOUBLE))
+       |        * 1e6) AS BIGINT))) AS BIGINT) AS dcg,
+       |    CAST(sum(CASE WHEN dense_rank BETWEEN 1 AND 10
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant
+       |  FROM positioned),
+       |idcg AS (
+       |  SELECT CAST(sum((11 - i) *
+       |    (1000000000000 // CAST(floor(ln(CAST(i + 1 AS DOUBLE)) * 1e6)
+       |      AS BIGINT))) AS BIGINT) AS idcg
+       |  FROM (SELECT unnest(range(1, 11)) AS i) t)
+       |SELECT dcg, idcg, n_relevant,
+       |  CAST((dcg * 1000000) // idcg AS BIGINT) AS ndcg_ppm
+       |FROM dcg CROSS JOIN idcg""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "index_postings" -> Q(indexPostings _, indexPostingsSql),
     "index_postings_delta" -> Q(indexPostingsDelta _, indexPostingsDeltaSql),
     "text_bm25_topk" -> Q(textBm25Topk _, textBm25TopkSql),
     "text_snippet_extract" -> Q(textSnippetExtract _, textSnippetExtractSql),
     "text_query_expansion" -> Q(textQueryExpansion _, textQueryExpansionSql),
+    "eval_retrieval_ndcg" -> Q(evalRetrievalNdcg _, evalRetrievalNdcgSql),
     "retrieval_rrf_fusion" -> Q(retrievalRrfFusion _, retrievalRrfFusionSql)
   )
 }
