@@ -2262,6 +2262,43 @@ object LlmOps {
       |    ELSE 'test' END AS split
       |FROM s""".stripMargin
 
+  /** Label-balanced downsampling — every class reduced to the minority
+    * class's size with the deterministic Lehmer pick (the
+    * `sample_hash_rows` convention, stratified): the class-balancing
+    * step an embedding-model trainer runs before contrastive batching
+    * so no label dominates the loss. One label-partitioned rank + a
+    * 1-row broadcast minimum; fully oracled (the pick is pure integer
+    * arithmetic, ties impossible — vec_id is unique).
+    */
+  private def sampleBalancedLabels(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val minN = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_n"))
+    emb
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(pmod(col("vec_id") * lit(48271L), lit(2147483647L)),
+            col("vec_id"))))
+      .crossJoin(broadcast(minN))
+      .filter(col("rk") <= col("min_n"))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        col("rk").cast(LongType).as("rk"))
+  }
+
+  private val sampleBalancedLabelsSql =
+    """WITH n AS (
+      |  SELECT min(cnt) AS min_n FROM (
+      |    SELECT label, count(*) AS cnt FROM embeddings GROUP BY label) t)
+      |SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM (
+      |  SELECT vec_id, label,
+      |    row_number() OVER (PARTITION BY label
+      |      ORDER BY (vec_id * 48271) % 2147483647, vec_id) AS rk
+      |  FROM embeddings) r, n
+      |WHERE rk <= min_n""".stripMargin
+
   /** The audit that certifies the leakage-safe split's defining
     * property: ZERO near-dup pairs may cross a split boundary (both
     * endpoints of every pair share a component, hence a keeper, hence
@@ -3069,6 +3106,8 @@ object LlmOps {
     "cluster_kmeans_step" -> Q(clusterKmeansStep _, clusterKmeansStepSql),
     "split_leakage_safe" -> Q(splitLeakageSafe _, splitLeakageSafeSql),
     "split_leakage_audit" -> Q(splitLeakageAudit _, splitLeakageAuditSql),
+    "sample_balanced_labels" ->
+      Q(sampleBalancedLabels _, sampleBalancedLabelsSql),
     "dedup_component_stats" -> Q(dedupComponentStats _, dedupComponentStatsSql),
     "dedup_source_matrix" -> Q(dedupSourceMatrix _, dedupSourceMatrixSql),
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
