@@ -273,6 +273,40 @@ object Relational {
       |     n_name FROM nation) n
       |ON cn IS NOT DISTINCT FROM nn""".stripMargin
 
+  /** merge(indicator=True) — the pandas/cuDF provenance column
+    * (python/cudf merge's `_merge`: both / left_only / right_only) as a
+    * full-outer join + CASE, summarized to per-indicator counts.
+    * a customer key band vs the events user domain populates all three
+    * (users below the band are right_only, band customers above the
+    * user range are left_only). One distinct collapse + one full join
+    * on the key.
+    */
+  private def joinMergeIndicator(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_custkey").between(50, 200))
+      .select(col("c_custkey"))
+    val u = Tables.events(s, dir).select(col("user_id")).distinct()
+    c.join(u, col("c_custkey") === col("user_id"), "full")
+      .select(
+        when(col("c_custkey").isNotNull && col("user_id").isNotNull, "both")
+          .when(col("c_custkey").isNotNull, "left_only")
+          .otherwise("right_only").as("merge_ind"))
+      .groupBy(col("merge_ind"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val joinMergeIndicatorSql =
+    """SELECT merge_ind, count(*) AS n FROM (
+      |  SELECT CASE
+      |    WHEN c_custkey IS NOT NULL AND user_id IS NOT NULL THEN 'both'
+      |    WHEN c_custkey IS NOT NULL THEN 'left_only'
+      |    ELSE 'right_only' END AS merge_ind
+      |  FROM (SELECT c_custkey FROM customer
+      |        WHERE c_custkey BETWEEN 50 AND 200) c
+      |  FULL JOIN (SELECT DISTINCT user_id FROM events) u
+      |    ON c_custkey = user_id) t
+      |GROUP BY merge_ind""".stripMargin
+
   /** lineitem ⋈ orders routed through the PERSISTENT bucketed layout
     * ([[graft.sources.Bucketed]], ref partitioning.hpp applied at the
     * storage layer): both sides written bucket-sorted on orderkey once
@@ -1051,6 +1085,7 @@ object Relational {
     "join_theta" -> Q(joinTheta _, joinThetaSql),
     "join_mixed" -> Q(joinMixed _, joinMixedSql),
     "join_null_safe" -> Q(joinNullSafe _, joinNullSafeSql),
+    "join_merge_indicator" -> Q(joinMergeIndicator _, joinMergeIndicatorSql),
     "join_bucketed" -> Q(joinBucketed _, joinBucketedSql),
     "merge_upsert" -> Q(mergeUpsert _, mergeUpsertSql),
     "join_skew_salted" -> Q(joinSkewSalted _, joinSkewSaltedSql),
