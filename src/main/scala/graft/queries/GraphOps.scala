@@ -299,7 +299,16 @@ object GraphOps {
     * like PageRank's ranks. Fixed iteration count, no convergence
     * collect.
     */
-  private def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+  private def graphLabelProp(s: SparkSession, dir: String): DataFrame =
+    labelAssignments(s, dir)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+
+  /** The converged (node, lbl) assignment of the 3-round synchronous
+    * label propagation — shared by the community-size report and the
+    * modularity audit.
+    */
+  private def labelAssignments(s: SparkSession, dir: String): DataFrame = {
     val e0 = s.read.parquet(coPurchaseEdgesDir(s, dir))
     val edges = e0.unionByName(
       e0.select(col("b").as("a"), col("a").as("b")))
@@ -319,11 +328,13 @@ object GraphOps {
         .select(col("node"), col("lbl"))
         .localCheckpoint(false)
     }
-    labels.groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_members"))
+    labels
   }
 
-  private val graphLabelPropSql = {
+  /** The label-prop oracle pipeline as a CTE fragment ending in
+    * `l3(node, lbl)` — shared by the community report and modularity.
+    */
+  private val labelPropCtes = {
     val step = (i: Int) =>
       s"""c$i AS (
          |  SELECT e.a AS node, l.lbl, count(*) AS c
@@ -336,7 +347,7 @@ object GraphOps {
          |        ORDER BY c DESC, lbl ASC) AS rn
          |    FROM c$i) r
          |  WHERE rn = 1)""".stripMargin
-    s"""WITH e0 AS (
+    s"""e0 AS (
        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
        |  FROM lineitem l1
        |  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
@@ -347,10 +358,82 @@ object GraphOps {
        |edges AS (
        |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
        |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
-       |${(1 to 3).map(step).mkString(",\n")}
+       |${(1 to 3).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  private val graphLabelPropSql =
+    s"""WITH $labelPropCtes
        |SELECT lbl AS community, count(*) AS n_members
        |FROM l3 GROUP BY lbl""".stripMargin
+
+  /** Newman modularity of the label-prop communities — the standard
+    * partition-quality metric (Q = intra/m − Σ(D_c/2m)²): did
+    * propagation find real structure or noise. Exact integer micro:
+    * Q_micro = (4·m·intra − ΣD_c²)·10⁶ div (4·m²), products on
+    * DECIMAL(38,0)/HUGEINT, with symmetric truncation spelled out for
+    * a (theoretically) negative numerator — Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, so the negative branch
+    * divides the magnitude. One assignment join over the edge
+    * artifact + one degree aggregate.
+    */
+  private def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e0 = s.read.parquet(coPurchaseEdgesDir(s, dir))
+    val asg = labelAssignments(s, dir)
+    val base = e0
+      .join(asg.select(col("node").as("a"), col("lbl").as("la")), "a")
+      .join(asg.select(col("node").as("b"), col("lbl").as("lb")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra"))
+    val deg = e0.select(col("a").as("v"))
+      .unionByName(e0.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val sumD2 = deg
+      .join(asg.select(col("node").as("v"), col("lbl")), "v")
+      .groupBy(col("lbl")).agg(sum(col("d")).as("dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum((col("dc").cast(d38) * col("dc")).cast(d38)).as("sum_d2"))
+    base.crossJoin(sumD2)
+      .select(col("m"), col("intra"), col("n_communities"),
+        ((lit(4L).cast(d38) * col("m") * col("intra") - col("sum_d2")) *
+          lit(1000000L)).as("num"),
+        (lit(4L).cast(d38) * col("m") * col("m")).as("den"))
+      .select(col("m").as("n_edges"), col("intra").as("intra_edges"),
+        col("n_communities"),
+        when(col("num") >= 0, expr("num div den"))
+          .otherwise(-expr("(-num) div den"))
+          .cast(org.apache.spark.sql.types.LongType).as("modularity_micro"))
   }
+
+  private val graphModularitySql =
+    s"""WITH $labelPropCtes,
+       |base AS (
+       |  SELECT count(*) AS m,
+       |    CAST(sum(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS intra
+       |  FROM e0
+       |    JOIN l3 la ON la.node = e0.a
+       |    JOIN l3 lb ON lb.node = e0.b),
+       |deg AS (
+       |  SELECT v, count(*) AS d
+       |  FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) t
+       |  GROUP BY v),
+       |d2 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |    sum(CAST(dc AS HUGEINT) * dc) AS sum_d2
+       |  FROM (
+       |    SELECT l3.lbl, CAST(sum(d) AS BIGINT) AS dc
+       |    FROM deg JOIN l3 ON l3.node = deg.v
+       |    GROUP BY l3.lbl) c),
+       |fin AS (
+       |  SELECT m, intra, n_communities,
+       |    (4 * CAST(m AS HUGEINT) * intra - sum_d2) * 1000000 AS num,
+       |    4 * CAST(m AS HUGEINT) * m AS den
+       |  FROM base CROSS JOIN d2)
+       |SELECT m AS n_edges, intra AS intra_edges, n_communities,
+       |  CAST(CASE WHEN num >= 0 THEN num // den
+       |    ELSE -((-num) // den) END AS BIGINT) AS modularity_micro
+       |FROM fin""".stripMargin
 
   private val graphTrianglesSql =
     """WITH e0 AS (
@@ -544,6 +627,7 @@ object GraphOps {
     "graph_pagerank" -> Q(graphPagerank _, graphPagerankSql),
     "graph_triangles" -> Q(graphTriangles _, graphTrianglesSql),
     "graph_label_prop" -> Q(graphLabelProp _, graphLabelPropSql),
+    "graph_modularity" -> Q(graphModularity _, graphModularitySql),
     "graph_link_predict" -> Q(graphLinkPredict _, graphLinkPredictSql)
   )
 }
