@@ -70,4 +70,105 @@ object GlobalOrder {
       .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     df.sparkSession.createDataFrame(numbered, outSchema)
   }
+
+  /** Appends `out` = 1-based row number (LongType) WITHIN each `group`
+    * under `order` — the scalable replacement for
+    * `row_number() OVER (PARTITION BY boundedKey ORDER BY …)` when the
+    * partition key's cardinality does NOT grow with the data (returnflag,
+    * market segment, class label, …): a plain Window then funnels an
+    * SF-scaled frame through a handful of tasks, one per key value.
+    *
+    * Shape: one [[rowNumber]] range-partitioned global numbering over
+    * (group ++ order), then a per-group min-offset — ONE row per group,
+    * broadcast back — subtracted out. No task ever holds more than a
+    * range slice. Contract: `group` is bounded-cardinality (the offsets
+    * frame is broadcast); for partition keys that scale with the data a
+    * plain Window is already the right tool. `group ++ order` must be a
+    * total order (append a unique tiebreaker).
+    */
+  def groupedRowNumber(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[Column],
+      out: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, min}
+    val tmp = s"__${out}_glob"
+    val off = s"__${out}_off"
+    val numbered = rowNumber(df, group.map(col) ++ order, tmp)
+    val offs = numbered.groupBy(group.map(col): _*).agg(min(col(tmp)).as(off))
+    numbered
+      .join(broadcast(offs), group)
+      .withColumn(out, col(tmp) - col(off) + lit(1L))
+      .drop(tmp, off)
+  }
+
+  /** Appends `out` = running sum (LongType) of `value` WITHIN each
+    * `group` under `order` — the scalable replacement for
+    * `sum(v) OVER (PARTITION BY boundedKey ORDER BY … ROWS UNBOUNDED
+    * PRECEDING)` on bounded-cardinality keys. The classic distributed
+    * prefix scan:
+    *
+    *   1. range repartition on (group ++ order) + per-partition sort —
+    *      partitions hold disjoint contiguous key ranges;
+    *   2. a lightweight pass collects per-(partition, group) subtotals —
+    *      ranges are contiguous, so the collected size is bounded by
+    *      #partitions + #groups, never by the data;
+    *   3. the driver derives each (partition, group)'s starting offset
+    *      (sum of the same group's subtotals in earlier partitions) and
+    *      broadcasts the map; a second pass streams each partition once,
+    *      accumulating locally on top of the offset.
+    *
+    * Determinism: both jobs run over the SAME RDD instance, so the range
+    * boundaries are sampled once and the second job reuses the first's
+    * shuffle files (the [[rowNumber]] argument). Contract: `value` is
+    * non-null integral (cast to Long), `group ++ order` a total order,
+    * `group` bounded-cardinality.
+    */
+  def groupedCumSum(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val vTmp = s"__${out}_v"
+    val keyed = df.withColumn(vTmp, value.cast(LongType))
+    val sorted = keyed
+      .repartitionByRange((group.map(col) ++ order): _*)
+      .sortWithinPartitions((group.map(col) ++ order): _*)
+    val gIdx = group.map(sorted.schema.fieldIndex)
+    val vIdx = sorted.schema.fieldIndex(vTmp)
+    val rdd = sorted.rdd
+    val partials: Array[(Int, Seq[Any], Long)] = rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        val sums = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+        it.foreach { r =>
+          val k = gIdx.map(r.get)
+          sums.update(k, sums.getOrElse(k, 0L) + r.getLong(vIdx))
+        }
+        sums.iterator.map { case (k, s) => (pi, k, s) }
+      }
+      .collect()
+    val byGroup = partials.groupBy(_._2)
+    val offsets: Map[(Int, Seq[Any]), Long] = partials.map { case (pi, k, _) =>
+      ((pi, k), byGroup(k).iterator.filter(_._1 < pi).map(_._3).sum)
+    }.toMap
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val outSchema = StructType(
+      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val scanned = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var curK: Seq[Any] = null
+      var run = 0L
+      it.map { r =>
+        val k = gIdx.map(r.get)
+        if (k != curK) {
+          curK = k
+          run = bc.value.getOrElse((pi, k), 0L)
+        }
+        run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    df.sparkSession.createDataFrame(scanned, outSchema).drop(vTmp)
+  }
 }
