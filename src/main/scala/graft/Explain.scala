@@ -47,9 +47,35 @@ object Explain {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.partitionSpec.isEmpty => w
       }.nonEmpty
+      // Bounded-cardinality-key window over an SF-scaled frame: a Window
+      // whose partition keys are ALL drawn from the known dataset-bounded
+      // dictionary columns (3 returnflags, 5 segments/priorities, 20
+      // sources, 10 labels, 5 langs, 2 linestatuses) funnels the whole
+      // input through that many tasks — the r12/r13 rule is that such
+      // scans go through operators.GlobalOrder.groupedRowNumber /
+      // groupedCumSum instead. A Window ABOVE an Aggregate is exempt:
+      // the aggregate has already collapsed the SF-scaled input to a
+      // bounded frame, so the window's input no longer scales.
+      val boundedKeys = Set("l_returnflag", "l_linestatus", "c_mktsegment",
+        "o_orderpriority", "label", "source", "lang", "grp")
+      def hasAggregate(
+          p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+        p.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty
+      val boundedKeyWindow = df.queryExecution.analyzed.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.forall {
+                case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+                  boundedKeys.contains(a.name)
+                case _ => false
+              } && !hasAggregate(w.child) => w
+      }.nonEmpty
       val smells = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
         "single-partition-Window" -> globalWindow,
+        "bounded-key-Window" -> boundedKeyWindow,
         // FormattedMode marks whole-stage spans as "[codegen id : N]"
         "no-WholeStageCodegen" ->
           (!plan.contains("codegen id") && !intended.contains(name))

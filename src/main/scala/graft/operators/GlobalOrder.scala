@@ -71,84 +71,67 @@ object GlobalOrder {
     df.sparkSession.createDataFrame(numbered, outSchema)
   }
 
-  /** Appends `out` = 1-based row number (LongType) WITHIN each `group`
-    * under `order` — the scalable replacement for
-    * `row_number() OVER (PARTITION BY boundedKey ORDER BY …)` when the
-    * partition key's cardinality does NOT grow with the data (returnflag,
-    * market segment, class label, …): a plain Window then funnels an
-    * SF-scaled frame through a handful of tasks, one per key value.
-    *
-    * Shape: one [[rowNumber]] range-partitioned global numbering over
-    * (group ++ order), then a per-group min-offset — ONE row per group,
-    * broadcast back — subtracted out. No task ever holds more than a
-    * range slice. Contract: `group` is bounded-cardinality (the offsets
-    * frame is broadcast); for partition keys that scale with the data a
-    * plain Window is already the right tool. `group ++ order` must be a
-    * total order (append a unique tiebreaker).
+  /** Guard on the grouped-scan contract: the offsets map collected to
+    * the driver is #partitions × #groups entries, so `group` must be
+    * bounded-cardinality (returnflag, market segment, class label, …).
+    * Exceeding this cap fails fast with a pointer to the right tool —
+    * for partition keys that SCALE with the data a plain Window is
+    * already correct (its per-key frames stay small).
     */
-  def groupedRowNumber(
-      df: DataFrame,
-      group: Seq[String],
-      order: Seq[Column],
-      out: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, min}
-    val tmp = s"__${out}_glob"
-    val off = s"__${out}_off"
-    val numbered = rowNumber(df, group.map(col) ++ order, tmp)
-    val offs = numbered.groupBy(group.map(col): _*).agg(min(col(tmp)).as(off))
-    numbered
-      .join(broadcast(offs), group)
-      .withColumn(out, col(tmp) - col(off) + lit(1L))
-      .drop(tmp, off)
-  }
+  val defaultMaxGroups: Int = 4096
 
-  /** Appends `out` = running sum (LongType) of `value` WITHIN each
-    * `group` under `order` — the scalable replacement for
-    * `sum(v) OVER (PARTITION BY boundedKey ORDER BY … ROWS UNBOUNDED
-    * PRECEDING)` on bounded-cardinality keys. The classic distributed
-    * prefix scan:
-    *
-    *   1. range repartition on (group ++ order) + per-partition sort —
-    *      partitions hold disjoint contiguous key ranges;
-    *   2. a lightweight pass collects per-(partition, group) subtotals —
-    *      ranges are contiguous, so the collected size is bounded by
-    *      #partitions + #groups, never by the data;
-    *   3. the driver derives each (partition, group)'s starting offset
-    *      (sum of the same group's subtotals in earlier partitions) and
-    *      broadcasts the map; a second pass streams each partition once,
-    *      accumulating locally on top of the offset.
-    *
-    * Determinism: both jobs run over the SAME RDD instance, so the range
-    * boundaries are sampled once and the second job reuses the first's
-    * shuffle files (the [[rowNumber]] argument). Contract: `value` is
-    * non-null integral (cast to Long), `group ++ order` a total order,
-    * `group` bounded-cardinality.
+  /** First name in `base`, `base_1`, `base_2`, … absent from `df` —
+    * temp columns must never silently replace a like-named input column
+    * (withColumn overwrites; the original data would be lost).
     */
-  def groupedCumSum(
+  private def fresh(df: DataFrame, base: String): String =
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"${base}_$i")
+      .find(n => !df.columns.contains(n))
+      .get
+
+  /** Shared distributed grouped prefix scan. Both jobs (the subtotal
+    * collect and the data pass) run over the SAME RDD instance, so the
+    * range boundaries — sampled once when that RDD's shuffle
+    * materializes — are fixed by construction and the second job reads
+    * the first's shuffle files rather than re-sampling.
+    *
+    * Null group keys are ordinary values here (they range-sort together
+    * and form their own `Seq(null, …)` map key), matching
+    * `PARTITION BY k`'s treatment of null as a valid partition — no
+    * join is involved, so there is no null-dropping hazard.
+    */
+  private def scanCore(
       df: DataFrame,
       group: Seq[String],
       order: Seq[Column],
-      value: Column,
-      out: String): DataFrame = {
+      out: String,
+      maxGroups: Int)(mkValue: StructType => Row => Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val vTmp = s"__${out}_v"
-    val keyed = df.withColumn(vTmp, value.cast(LongType))
-    val sorted = keyed
+    require(!df.columns.contains(out),
+      s"groupedScan: output column '$out' already exists in the input")
+    val sorted = df
       .repartitionByRange((group.map(col) ++ order): _*)
       .sortWithinPartitions((group.map(col) ++ order): _*)
     val gIdx = group.map(sorted.schema.fieldIndex)
-    val vIdx = sorted.schema.fieldIndex(vTmp)
+    val valueAt = mkValue(sorted.schema)
     val rdd = sorted.rdd
     val partials: Array[(Int, Seq[Any], Long)] = rdd
       .mapPartitionsWithIndex { (pi, it) =>
         val sums = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
         it.foreach { r =>
           val k = gIdx.map(r.get)
-          sums.update(k, sums.getOrElse(k, 0L) + r.getLong(vIdx))
+          sums.update(k, sums.getOrElse(k, 0L) + valueAt(r))
         }
         sums.iterator.map { case (k, s) => (pi, k, s) }
       }
       .collect()
+    val nGroups = partials.iterator.map(_._2).toSet.size
+    require(nGroups <= maxGroups,
+      s"groupedScan: ${group.mkString("(", ",", ")")} has $nGroups distinct " +
+        s"values (> maxGroups=$maxGroups); this operator is for " +
+        "bounded-cardinality keys — for keys that scale with the data use " +
+        "a plain PARTITION BY Window, whose per-key frames stay small")
     val byGroup = partials.groupBy(_._2)
     val offsets: Map[(Int, Seq[Any]), Long] = partials.map { case (pi, k, _) =>
       ((pi, k), byGroup(k).iterator.filter(_._1 < pi).map(_._3).sum)
@@ -158,17 +141,82 @@ object GlobalOrder {
       sorted.schema.fields :+ StructField(out, LongType, nullable = false))
     val scanned = rdd.mapPartitionsWithIndex { (pi, it) =>
       var curK: Seq[Any] = null
+      var seen = false
       var run = 0L
       it.map { r =>
         val k = gIdx.map(r.get)
-        if (k != curK) {
+        if (!seen || k != curK) {
+          seen = true
           curK = k
           run = bc.value.getOrElse((pi, k), 0L)
         }
-        run += r.getLong(vIdx)
+        run += valueAt(r)
         Row.fromSeq(r.toSeq :+ run)
       }
     }
-    df.sparkSession.createDataFrame(scanned, outSchema).drop(vTmp)
+    df.sparkSession.createDataFrame(scanned, outSchema)
+  }
+
+  /** Appends `out` = 1-based row number (LongType) WITHIN each `group`
+    * under `order` — the scalable replacement for
+    * `row_number() OVER (PARTITION BY boundedKey ORDER BY …)` when the
+    * partition key's cardinality does NOT grow with the data (returnflag,
+    * market segment, class label, …): a plain Window there funnels an
+    * SF-scaled frame through a handful of tasks, one per key value.
+    *
+    * Implemented as the grouped prefix scan of the constant 1 — a range
+    * repartition on (group ++ order) so no task ever holds more than a
+    * range slice, one lightweight per-(partition, group) count collect
+    * (bounded by #partitions × #groups — enforced via `maxGroups`), and
+    * one streaming pass attaching offsets. Null group keys are kept and
+    * numbered as their own partition, exactly like `PARTITION BY`.
+    * Contract: `group ++ order` must be a total order (append a unique
+    * tiebreaker) for the numbering of tied rows to be deterministic.
+    */
+  def groupedRowNumber(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[Column],
+      out: String,
+      maxGroups: Int = defaultMaxGroups): DataFrame =
+    scanCore(df, group, order, out, maxGroups)(_ => _ => 1L)
+
+  /** Appends `out` = running sum (LongType) of `value` WITHIN each
+    * `group` under `order` — the scalable replacement for
+    * `sum(v) OVER (PARTITION BY boundedKey ORDER BY … ROWS UNBOUNDED
+    * PRECEDING)` on bounded-cardinality keys (see [[groupedRowNumber]]
+    * for the shape and the null-group-key semantics).
+    *
+    * Fail-fast contract enforcement (the doc-comment-only contract was
+    * a silent-wrong-answer hazard): `value` must resolve to an integral
+    * type — a fractional input would be silently truncated by the Long
+    * cast — and must be non-null on every row (a window `sum` skips
+    * nulls; a prefix scan that treated null as 0 would silently diverge
+    * from it in the all-null-prefix edge, so nulls are rejected instead;
+    * pre-coalesce explicitly if that is the intent).
+    */
+  def groupedCumSum(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[Column],
+      value: Column,
+      out: String,
+      maxGroups: Int = defaultMaxGroups): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val vType = df.select(value).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vType),
+      s"groupedCumSum: value must be integral (got $vType); cast explicitly " +
+        "to a fixed-point long if fractional input is intended")
+    val vTmp = fresh(df, s"__${out}_v")
+    val keyed = df.withColumn(vTmp, value.cast(LongType))
+    scanCore(keyed, group, order, out, maxGroups) { schema =>
+      val vIdx = schema.fieldIndex(vTmp)
+      r =>
+        if (r.isNullAt(vIdx))
+          throw new IllegalArgumentException(
+            "groupedCumSum: null value encountered — the contract requires " +
+              "non-null integral values (coalesce first if null means 0)")
+        else r.getLong(vIdx)
+    }.drop(vTmp)
   }
 }

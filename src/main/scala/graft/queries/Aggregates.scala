@@ -586,27 +586,32 @@ object Aggregates {
     * `agg_median_quantile`, and the shape a mixing pipeline uses for
     * "median token count weighted by sampling probability".
     *
-    * Scale: one group-partitioned sort serves both running sum and the
-    * pick rank; the group total rides the same partition as an
-    * unordered window — no second shuffle.
+    * Scale: `l_returnflag` is a 3-value key, so a plain
+    * `PARTITION BY l_returnflag` window would funnel the whole fact
+    * table through 3 tasks — at 100× that is ~2 B rows in 3 straggler
+    * partitions. The cumulative weight therefore goes through
+    * [[graft.operators.GlobalOrder.groupedCumSum]]'s range-partitioned
+    * distributed prefix scan (no task holds more than a range slice);
+    * the 3-row group totals ride a broadcast join, and the crossing row
+    * is `min_by(price, cum)` — cum is strictly increasing within a
+    * group (weights ≥ 1), so the minimal surviving cum IS the first
+    * row at or past the half-weight point.
     */
   private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
       col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-    val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    Tables.lineitem(s, dir)
+    val base = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity").cast(LongType).as("wt"))
-      .withColumn("cum", sum(col("wt")).over(wOrd))
-      .withColumn("tot", sum(col("wt")).over(wAll))
+    val tots = base.groupBy(col("l_returnflag")).agg(sum(col("wt")).as("tot"))
+    graft.operators.GlobalOrder
+      .groupedCumSum(base, Seq("l_returnflag"), ord, col("wt"), "cum")
+      .join(broadcast(tots), Seq("l_returnflag"))
       .filter(col("cum") * 2 >= col("tot"))
-      .withColumn("rn", row_number().over(wOrd))
-      .filter(col("rn") === 1)
-      .select(col("l_returnflag"), col("tot").as("total_weight"),
-        col("l_extendedprice").as("wmedian_price"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("tot")).as("total_weight"),
+        min_by(col("l_extendedprice"), col("cum")).as("wmedian_price"))
   }
 
   private val weightedMedianSql =

@@ -344,19 +344,28 @@ object Extras {
     * by construction at any SF. The winsorized mean is the exact long
     * sum of clipped cents in micro-units.
     *
-    * Scale shape: one rank window per group (the same sort a
-    * percentile needs anyway), bounds collapse to 3 rows and ride a
-    * broadcast join back onto the scan; everything after is map-side.
+    * Scale shape: `grp` (o_orderpriority) is a 5-value key, so the
+    * rank goes through GlobalOrder.groupedRowNumber's range-partitioned
+    * numbering rather than a bounded-key Window (which would funnel the
+    * SF-scaled orders table through 5 tasks); per-group counts are a
+    * 5-row broadcast, bounds collapse to 5 rows and ride a broadcast
+    * join back onto the scan; everything after is map-side. Ties on xc
+    * rank nondeterministically between equal VALUES, which cannot
+    * change the selected bound (the value at the target rank is
+    * tie-invariant), but a unique o_orderkey tiebreaker still completes
+    * the total order the operator's determinism contract asks for.
     */
   private def cleanWinsorize(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val li = Tables.orders(s, dir)
+    val li0 = Tables.orders(s, dir)
       .select(col("o_orderpriority").as("grp"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("xc"))
-    val w = Window.partitionBy(col("grp")).orderBy(col("xc"))
-    val ranked = li
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("xc"),
+        col("o_orderkey"))
+    val li = li0.drop("o_orderkey")
+    val counts = li.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.GlobalOrder
+      .groupedRowNumber(li0, Seq("grp"), Seq(col("xc"), col("o_orderkey")),
+        "rn")
+      .join(broadcast(counts), Seq("grp"))
     val bounds = ranked
       .groupBy(col("grp"))
       .agg(

@@ -798,13 +798,14 @@ object LlmOps {
       .filter(col("tot") > budget)
       .select(col("source"))
     val pass = toks.join(broadcast(over), Seq("source"), "left_anti")
-    val capped = toks
-      .join(broadcast(over), Seq("source"))
-      .withColumn("cum",
-        sum(col("n_tok")).over(
-          Window.partitionBy(col("source"))
-            .orderBy(col("pri"), col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // `source` is a bounded key (tens of corpora, never SF-scaled), so
+    // the running total goes through GlobalOrder.groupedCumSum's
+    // range-partitioned prefix scan — a plain PARTITION BY source window
+    // would funnel every over-budget corpus through one task each.
+    val capped = graft.operators.GlobalOrder
+      .groupedCumSum(
+        toks.join(broadcast(over), Seq("source")),
+        Seq("source"), Seq(col("pri"), col("doc_id")), col("n_tok"), "cum")
       .filter(col("cum") <= budget)
     pass
       .select(col("doc_id"), col("source"), col("n_tok"))
@@ -2271,15 +2272,16 @@ object LlmOps {
     * arithmetic, ties impossible — vec_id is unique).
     */
   private def sampleBalancedLabels(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    // `label` is a bounded class-label key (10 values), so the
+    // per-label rank goes through GlobalOrder.groupedRowNumber's
+    // range-partitioned numbering — a plain PARTITION BY label window
+    // would funnel the SF-scaled embeddings table through 10 tasks.
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      pmod(col("vec_id") * lit(48271L), lit(2147483647L)).as("pri"))
     val minN = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("min_n"))
-    emb
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("label"))
-          .orderBy(pmod(col("vec_id") * lit(48271L), lit(2147483647L)),
-            col("vec_id"))))
+    graft.operators.GlobalOrder
+      .groupedRowNumber(emb, Seq("label"), Seq(col("pri"), col("vec_id")), "rk")
       .crossJoin(broadcast(minN))
       .filter(col("rk") <= col("min_n"))
       .select(col("vec_id"), col("label").cast(LongType).as("label"),

@@ -816,24 +816,29 @@ object Relational {
     * order. Rank-based rather than value-boundary-based because ntile
     * is integer-exact in both engines, while comparing rows against
     * interpolated quantile boundaries can flip a boundary row on a
-    * last-ulp difference. Partitioned by priority class so the sort is
-    * per-group (the window-family scale shape), never a single global
-    * partition.
+    * last-ulp difference. `o_orderpriority` is a 5-value key, so the
+    * ranking goes through GlobalOrder.groupedRowNumber's
+    * range-partitioned numbering (a plain bounded-key Window would
+    * funnel the SF-scaled orders table through 5 tasks) and the tile is
+    * recomputed from (row number, group count) with the exact SQL ntile
+    * formula; the 5-row group counts ride a broadcast join.
     */
   private def qcutBins(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables
+    import graft.operators.GlobalOrder
+    val base = Tables
       .orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val counts =
+      base.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    GlobalOrder
+      .groupedRowNumber(base, Seq("o_orderpriority"),
+        Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+      .join(broadcast(counts), Seq("o_orderpriority"))
       .select(
         col("o_orderkey"),
         col("o_orderpriority"),
         col("o_totalprice"),
-        ntile(4)
-          .over(Window
-            .partitionBy(col("o_orderpriority"))
-            .orderBy(col("o_totalprice"), col("o_orderkey")))
-          .cast("long")
-          .as("bin"))
+        GlobalOrder.ntileFromRowNumber(col("rn"), col("n"), 4).as("bin"))
   }
 
   private val qcutBinsSql =

@@ -238,23 +238,54 @@ object Windows {
       |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)""".stripMargin
 
   /** RANK family (sorting.hpp:203 rank_method; aggregation.hpp RANK):
-    * rank/dense_rank/percent_rank/row_number/ntile in one pass.
+    * rank/dense_rank/percent_rank/row_number/ntile over each market
+    * segment — a 5-value partition key, so the whole family is rebuilt
+    * from [[graft.operators.GlobalOrder.groupedRowNumber]]'s
+    * range-partitioned numbering instead of a plain bounded-key Window
+    * (which would funnel the SF-scaled customer table through 5 tasks):
+    *
+    *   - `row_num` IS the grouped numbering under the tie-broken total
+    *     order (acctbal, custkey);
+    *   - `rnk` = min row_num over the TIE GROUP (segment, acctbal) — a
+    *     fine-grained window whose key cardinality scales with the data
+    *     and whose frames are bounded by the tie count, so it is
+    *     hotspot-free by construction;
+    *   - `dense_rnk` numbers the DISTINCT (segment, acctbal) frame with
+    *     the same operator and equi-joins back on the fine-grained key;
+    *   - `pct_rnk` = (rnk − 1)/(n − 1) from the 5-row broadcast segment
+    *     counts (Spark/DuckDB's exact percent_rank formula, same IEEE
+    *     operation order);
+    *   - `quartile` = [[graft.operators.GlobalOrder.ntileFromRowNumber]]
+    *     on (row_num, n).
     */
   private def rankFamily(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
-    val wTie = Window
-      .partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables
+    import graft.operators.GlobalOrder
+    val base = Tables
       .customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+    val numbered = GlobalOrder.groupedRowNumber(
+      base, Seq("c_mktsegment"), Seq(col("c_acctbal"), col("c_custkey")),
+      "row_num64")
+    val nSeg = base.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_seg"))
+    val dense = GlobalOrder.groupedRowNumber(
+      base.select(col("c_mktsegment"), col("c_acctbal")).distinct(),
+      Seq("c_mktsegment"), Seq(col("c_acctbal")), "dense_rnk64")
+    val wTies = Window.partitionBy(col("c_mktsegment"), col("c_acctbal"))
+    numbered
+      .withColumn("rnk64", min(col("row_num64")).over(wTies))
+      .join(dense, Seq("c_mktsegment", "c_acctbal"))
+      .join(broadcast(nSeg), Seq("c_mktsegment"))
       .select(
         col("c_mktsegment"),
         col("c_custkey"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("dense_rnk"),
-        percent_rank().over(w).as("pct_rnk"),
-        row_number().over(wTie).as("row_num"),
-        ntile(4).over(wTie).as("quartile"))
+        col("rnk64").cast(IntegerType).as("rnk"),
+        col("dense_rnk64").cast(IntegerType).as("dense_rnk"),
+        when(col("n_seg") === 1, lit(0d))
+          .otherwise((col("rnk64") - lit(1d)) / (col("n_seg") - lit(1d)))
+          .as("pct_rnk"),
+        col("row_num64").cast(IntegerType).as("row_num"),
+        GlobalOrder.ntileFromRowNumber(col("row_num64"), col("n_seg"), 4)
+          .cast(IntegerType).as("quartile"))
   }
 
   private val rankFamilySql =

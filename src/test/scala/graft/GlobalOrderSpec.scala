@@ -45,6 +45,74 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("rn")) == (1L to n.toLong).toSet)
   }
 
+  // Grouped-scan fixtures: a small bounded key with NULLs (null is a
+  // valid window partition and must be kept, not join-dropped) spread
+  // over many input partitions so every group straddles range
+  // boundaries.
+  private def grouped = Tables
+    .customer(spark, sf)
+    .select(
+      col("c_custkey"),
+      when(col("c_custkey") % 7 === 0, null)
+        .otherwise(col("c_mktsegment")).as("seg"),
+      (col("c_custkey") % 97).cast(LongType).as("v"))
+    .repartition(13)
+
+  test("groupedRowNumber matches partitioned row_number incl. null keys") {
+    val got = GlobalOrder.groupedRowNumber(
+      grouped, Seq("seg"), Seq(col("c_custkey")), "rn")
+    assert(got.schema("rn").dataType == LongType)
+    val want = grouped.withColumn(
+      "rn",
+      row_number()
+        .over(Window.partitionBy(col("seg")).orderBy(col("c_custkey")))
+        .cast(LongType))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the null group was numbered, not dropped
+    assert(got.filter(col("seg").isNull).count() ===
+      grouped.filter(col("seg").isNull).count())
+  }
+
+  test("groupedCumSum matches partitioned running sum incl. null keys") {
+    val got = GlobalOrder.groupedCumSum(
+      grouped, Seq("seg"), Seq(col("c_custkey")), col("v"), "cum")
+    assert(got.schema("cum").dataType == LongType)
+    val want = grouped.withColumn(
+      "cum",
+      sum(col("v")).over(
+        Window.partitionBy(col("seg")).orderBy(col("c_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("grouped scans enforce their fail-fast contracts") {
+    // output-name collision
+    intercept[IllegalArgumentException] {
+      GlobalOrder.groupedRowNumber(
+        grouped, Seq("seg"), Seq(col("c_custkey")), "v")
+    }
+    // non-integral value type
+    intercept[IllegalArgumentException] {
+      GlobalOrder.groupedCumSum(
+        grouped, Seq("seg"), Seq(col("c_custkey")),
+        col("v").cast("double"), "cum")
+    }
+    // null values in the summed column
+    val ex = intercept[org.apache.spark.SparkException] {
+      GlobalOrder.groupedCumSum(
+        grouped, Seq("seg"), Seq(col("c_custkey")),
+        when(col("c_custkey") % 11 === 0, null).otherwise(col("v")),
+        "cum").count()
+    }
+    assert(ex.getMessage.contains("null value") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null value")))
+    // cardinality guard: c_custkey is an SF-scaled key
+    intercept[IllegalArgumentException] {
+      GlobalOrder.groupedRowNumber(
+        grouped, Seq("c_custkey"), Seq(col("v")), "rn", maxGroups = 16)
+    }
+  }
+
   test("ntileFromRowNumber equals SQL ntile for every frame size and k") {
     // The formula (first n mod k tiles take n/k + 1 rows) must agree
     // with the engine's ntile on EVERY (n, k), including the n < k edge
