@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up evidence harness: runs a selected query set at 1× and at an
+  * N×-amplified copy of the same scale factor, reporting per-query wall
+  * seconds and the scaling ratio (reference benches SF ∈ {0.01, 0.1, 1},
+  * `cpp/benchmarks/ndsh/q01.cpp:182`; /root/testdata is read-only with
+  * no sf1 directory, so the 10× set is built here from sf0.1 — the
+  * honest equivalent).
+  *
+  * Amplification is FK-CONSISTENT key-shifted replication (the
+  * ScaleProbe pattern promoted to whole-dataset scope): copy `i` of
+  * every SF-scaled table shifts each key that references another
+  * SF-scaled table by `i × (max(key) + 1)` — so copy i's orders join
+  * copy i's customers and nobody else's, and per-copy join/group
+  * cardinalities match a real larger SF. Bounded dimensions (nation,
+  * region) are NOT replicated, exactly as TPC-H holds them constant
+  * across SF. Document texts are salted per replica (realistic-growth
+  * axis: shingles differ across replicas, so LSH bucket occupancy grows
+  * the way a real corpus grows — the identical-replica worst case is
+  * ScaleProbe's separate axis). Embedding vectors are kept identical
+  * (payload, not key) — ANN timing depends on corpus size, not vector
+  * novelty.
+  *
+  * Expected law: wall(N×) ≤ ~N × wall(1×) for every query (shuffles and
+  * scans are linear; broadcast sides are the UNREPLICATED dims or
+  * bounded artifacts). A query scaling ≫N× is a scale bug — that is
+  * the regression this harness exists to catch before a real cluster
+  * does.
+  *
+  * Usage: runMain graft.AmplifiedBench [sfDir] [factor] [reps]
+  * Output: one JSON line per (query, factor) + a final ratio summary.
+  */
+object AmplifiedBench {
+
+  /** NDS-H 22 + the six r13 grouped-scan rewires + the five most
+    * expensive driver-bench entries.
+    */
+  val selection: Seq[String] =
+    (1 to 22).map(i => s"ndsh_q$i") ++ Seq(
+      "agg_weighted_median", "win_rank_family", "sample_balanced_labels",
+      "mix_token_budget", "qcut_bins", "clean_winsorize",
+      "graph_pagerank", "join_skew_salted", "dedup_substring_spans",
+      "retrieval_rrf_fusion", "dedup_ngram_jaccard")
+
+  /** Writes the factor-amplified dataset as `{table}.parquet` under a
+    * temp dir honoring the same directory contract as /root/testdata,
+    * so every registered query runs on it unchanged.
+    */
+  def buildAmplified(spark: SparkSession, sfDir: String, f: Int): String = {
+    val out = System.getProperty("java.io.tmpdir") + s"/graft_amp_${f}x"
+    def shiftOf(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1L
+
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir)
+    val prt = Tables.part(spark, sfDir)
+    val cShift = shiftOf(cust, "c_custkey")
+    val oShift = shiftOf(ord, "o_orderkey")
+    val sShift = shiftOf(sup, "s_suppkey")
+    val pShift = shiftOf(prt, "p_partkey")
+
+    /** Replicate with each (column → per-copy shift step) applied. */
+    def amp(df: DataFrame, shifts: Map[String, Long],
+            saltText: Boolean = false): DataFrame =
+      (0 until f).map { i =>
+        val shifted = df.columns.foldLeft(df) { (d, c) =>
+          shifts.get(c) match {
+            case Some(step) =>
+              d.withColumn(c, col(c) + lit(i.toLong * step))
+            case None if saltText && c == "text" && i > 0 =>
+              d.withColumn(c, expr(
+                s"concat_ws(' ', transform(split(text, ' '), t -> concat(t, '_r$i')))"))
+            case None => d
+          }
+        }
+        shifted
+      }.reduce(_ unionByName _)
+
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // bounded dims: constant across SF, exactly like TPC-H
+    write("nation", Tables.nation(spark, sfDir))
+    write("region", Tables.region(spark, sfDir))
+    write("customer", amp(cust, Map("c_custkey" -> cShift)))
+    write("supplier", amp(sup, Map("s_suppkey" -> sShift)))
+    write("part", amp(prt, Map("p_partkey" -> pShift)))
+    write("orders",
+      amp(ord, Map("o_orderkey" -> oShift, "o_custkey" -> cShift)))
+    write("lineitem", amp(Tables.lineitem(spark, sfDir), Map(
+      "l_orderkey" -> oShift, "l_partkey" -> pShift, "l_suppkey" -> sShift)))
+    val ev = Tables.events(spark, sfDir)
+    write("events", amp(ev, Map(
+      "event_id" -> shiftOf(ev, "event_id"),
+      "user_id" -> cShift))) // user_id joins c_custkey — same step
+    val docs = Tables.documents(spark, sfDir)
+    write("documents",
+      amp(docs, Map("doc_id" -> shiftOf(docs, "doc_id")), saltText = true))
+    val emb = Tables.embeddings(spark, sfDir)
+    write("embeddings", amp(emb, Map("vec_id" -> shiftOf(emb, "vec_id"))))
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val t0 = System.nanoTime()
+    val ampDir = buildAmplified(spark, sfDir, factor)
+    System.err.println(
+      f"[amp] built ${factor}x dataset at $ampDir in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+
+    def run(name: String, dir: String): Double = {
+      val s0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[amp] $name failed on $dir: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - s0) / 1e9
+    }
+
+    // Bench.scala's group harness shape: per-(query, dir) warmup then
+    // timed reps with a cache-clear + GC between groups, so broadcasts
+    // from the 10x group never sit on the heap during the 1x group.
+    def cleanup(): Unit = {
+      spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
+    }
+    def timed(name: String, dir: String): Double = {
+      run(name, dir)
+      val ts = Seq.fill(reps)(run(name, dir))
+      val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
+      cleanup()
+      med
+    }
+
+    val rows = selection.map { n =>
+      val base = timed(n, sfDir)
+      val amp = timed(n, ampDir)
+      val ratio = if (base > 0 && amp > 0) amp / base else -1.0
+      println(f"""{"query":"$n","base_secs":$base%.3f,"amp_secs":$amp%.3f,"factor":$factor,"ratio":$ratio%.2f}""")
+      (n, base, amp, ratio)
+    }
+    val worst = rows.filter(_._4 > 0).sortBy(-_._4).take(5)
+    System.err.println("[amp] worst ratios: " + worst.map { case (n, _, _, r) =>
+      f"$n=$r%.1f" }.mkString(", "))
+    spark.stop()
+  }
+}

@@ -119,7 +119,13 @@ object Bench {
     // byte walk). sim_mmr_rerank is deliberately NOT here: its bounded
     // greedy result is DimCache'd (the whole answer, not an index), so
     // reps would time a LocalRelation scan — a meaningless number.
-    "retrieval_rrf_fusion", "multimodal_headers")
+    "retrieval_rrf_fusion", "multimodal_headers",
+    // round-14: the six queries rewired onto the GlobalOrder grouped
+    // prefix scan in r13 (range-partitioned scan + broadcast offsets
+    // replacing bounded-key Windows) — benched so the new shape's
+    // runtime is tracked round-over-round
+    "agg_weighted_median", "win_rank_family", "sample_balanced_labels",
+    "mix_token_budget", "qcut_bins", "clean_winsorize")
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime

@@ -36,8 +36,13 @@ object Explain {
       // mapPartitions scan (O(1) state, no codegen by construction);
       // sim_mmr_rerank's plan is the bounded greedy's LocalRelation (the
       // distributed top-50 retrieval ran eagerly at build time).
+      // stream_* gate queries RUN an AvailableNow replay inside the
+      // query function and return the memory sink — the returned plan
+      // is the sink scan (no codegen by construction); the streaming
+      // plans themselves are audited in StreamingSpec.
       val intended =
-        Set("reshape_transpose", "pack_sequences", "sim_mmr_rerank")
+        Set("reshape_transpose", "pack_sequences", "sim_mmr_rerank") ++
+          (if (name.startsWith("stream_")) Set(name) else Set.empty)
       // Single-partition window: an unpartitioned Window moves the whole
       // frame through one task — the r11 de-globalization rule is that
       // every Window carries a PARTITION BY (global ranks go through

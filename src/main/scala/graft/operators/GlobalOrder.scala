@@ -116,19 +116,40 @@ object GlobalOrder {
     val gIdx = group.map(sorted.schema.fieldIndex)
     val valueAt = mkValue(sorted.schema)
     val rdd = sorted.rdd
+    val groupDesc = group.mkString("(", ",", ")")
+    // The cap is enforced INSIDE the task, before anything reaches the
+    // driver: a partition that sees > maxGroups distinct keys throws in
+    // the executor, so a mistakenly SF-scaled group key fails the job
+    // with this message instead of first materializing an SF-scaled
+    // `.collect()` on the driver (the hazard the cap exists to prevent).
+    // This bounds the collect below to ≤ #partitions × maxGroups tuples.
+    // Range partitioning puts each group in a contiguous run, so a key
+    // whose cardinality scales with the data necessarily overflows
+    // individual partitions, not just the global count.
     val partials: Array[(Int, Seq[Any], Long)] = rdd
       .mapPartitionsWithIndex { (pi, it) =>
         val sums = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
         it.foreach { r =>
           val k = gIdx.map(r.get)
+          if (!sums.contains(k) && sums.size >= maxGroups)
+            throw new IllegalArgumentException(
+              s"groupedScan: $groupDesc exceeds maxGroups=$maxGroups " +
+                s"distinct values within one range partition; this operator " +
+                "is for bounded-cardinality keys — for keys that scale with " +
+                "the data use a plain PARTITION BY Window, whose per-key " +
+                "frames stay small")
           sums.update(k, sums.getOrElse(k, 0L) + valueAt(r))
         }
         sums.iterator.map { case (k, s) => (pi, k, s) }
       }
       .collect()
+    // Exact global check — the executor-side cap only bounds what any one
+    // partition may contribute; a key just over the cap but spread thinly
+    // across partitions is caught here, after a collect that the task-side
+    // cap has already bounded to a harmless size.
     val nGroups = partials.iterator.map(_._2).toSet.size
     require(nGroups <= maxGroups,
-      s"groupedScan: ${group.mkString("(", ",", ")")} has $nGroups distinct " +
+      s"groupedScan: $groupDesc has $nGroups distinct " +
         s"values (> maxGroups=$maxGroups); this operator is for " +
         "bounded-cardinality keys — for keys that scale with the data use " +
         "a plain PARTITION BY Window, whose per-key frames stay small")

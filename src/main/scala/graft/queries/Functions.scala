@@ -359,7 +359,70 @@ object Functions {
         xxhash64(col("text")).as("xxh64"),
         crc32(col("text").cast(BinaryType)).as("crc"))
 
+  /** MapType surface (SURVEY §1.2's MapType-superset claim; reference
+    * has no first-class map — cudf dictionaries are encodings, so this
+    * is engine-substrate capability the library exposes): build a REAL
+    * MapType column per order — `map_from_entries` over the k-sorted
+    * per-line entries ((l_orderkey, l_linenumber) is NOT unique in this
+    * testdata, so quantities pre-aggregate per line to keep map keys
+    * unique; Spark's default map-key dedup policy is EXCEPTION) — then
+    * exercise map_keys / map_values / element_at / map_concat /
+    * map_filter / transform_values, projecting scalars so the driver's
+    * canonical compare applies. DuckDB 1.0 mirrors the construction
+    * with its own MAP functions (map_from_entries / map_keys /
+    * map_values / cardinality / element_at / map_concat); the lambda
+    * ops, which DuckDB lacks on MAP, are oracled via list_filter over
+    * the key list and direct arithmetic — same values.
+    *
+    * Scale shape: one map-side-combined per-line aggregate, then one
+    * per-order aggregate — the same two-exchange shape as any grouped
+    * collect; every map is bounded by the 7-line order width, so row
+    * width never scales with SF.
+    */
+  private def mapOps(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(floor(col("l_quantity") * 100).cast(LongType)).as("v"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(
+        struct(col("l_linenumber").as("k"), col("v")))).as("es"))
+      .select(col("l_orderkey"), map_from_entries(col("es")).as("m"))
+      .select(
+        col("l_orderkey"),
+        size(col("m")).as("n_lines"),
+        graft.ArrCanon.joined(map_keys(col("m"))).as("keys_str"),
+        graft.ArrCanon.joined(map_values(col("m"))).as("vals_str"),
+        element_at(col("m"), lit(1)).as("qty1_cents"),
+        size(map_concat(col("m"),
+          map_from_arrays(array(lit(0)), array(lit(-1L))))).as("n_concat"),
+        size(map_filter(col("m"), (k, _) => k % 2 === 0)).as("n_even"),
+        element_at(transform_values(col("m"), (_, v) => v * 2), lit(1))
+          .as("qty1_dbl"))
+
+  private val mapOpsSql =
+    s"""WITH per_line AS (
+       |  SELECT l_orderkey, l_linenumber AS k,
+       |    CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS v
+       |  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+       |es AS (
+       |  SELECT l_orderkey, list({'k': k, 'v': v} ORDER BY k) AS es
+       |  FROM per_line GROUP BY l_orderkey),
+       |mm AS (SELECT l_orderkey, map_from_entries(es) AS m FROM es)
+       |SELECT l_orderkey,
+       |  CAST(cardinality(m) AS INTEGER) AS n_lines,
+       |  ${graft.ArrCanon.joinedSql("map_keys(m)")} AS keys_str,
+       |  ${graft.ArrCanon.joinedSql("map_values(m)")} AS vals_str,
+       |  map_extract(m, 1)[1] AS qty1_cents,
+       |  CAST(cardinality(map_concat(m, MAP([0], [CAST(-1 AS BIGINT)])))
+       |    AS INTEGER) AS n_concat,
+       |  CAST(len(list_filter(map_keys(m), k -> k % 2 = 0)) AS INTEGER)
+       |    AS n_even,
+       |  map_extract(m, 1)[1] * 2 AS qty1_dbl
+       |FROM mm""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "map_ops" -> Q(mapOps _, mapOpsSql),
     "str_basic" -> Q(strBasic _, strBasicSql),
     "str_regex" -> Q(strRegex _, strRegexSql),
     "str_datetime_conv" -> Q(strDatetimeConv _, strDatetimeConvSql),

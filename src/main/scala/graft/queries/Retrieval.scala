@@ -79,7 +79,7 @@ object Retrieval {
         (col("df") > 20).as("capped"), col("postings"))
   }
 
-  private val indexPostingsSql =
+  private[queries] val indexPostingsSql =
     s"""WITH pairs AS (
        |  SELECT DISTINCT doc_id, tok FROM (
        |    $tokensSqlFrom) t

@@ -271,9 +271,19 @@ object Windows {
       base.select(col("c_mktsegment"), col("c_acctbal")).distinct(),
       Seq("c_mktsegment"), Seq(col("c_acctbal")), "dense_rnk64")
     val wTies = Window.partitionBy(col("c_mktsegment"), col("c_acctbal"))
+    // Null-safe (<=>) join keys: customer.c_acctbal happens to be
+    // non-null, but dense_rank window semantics rank a null key like any
+    // other value — an equi-join here would silently drop such rows
+    // (null != null), diverging from the window it replaces.
+    val denseR = dense
+      .withColumnRenamed("c_mktsegment", "seg_d")
+      .withColumnRenamed("c_acctbal", "bal_d")
     numbered
       .withColumn("rnk64", min(col("row_num64")).over(wTies))
-      .join(dense, Seq("c_mktsegment", "c_acctbal"))
+      .join(denseR,
+        col("c_mktsegment") <=> col("seg_d") &&
+          col("c_acctbal") <=> col("bal_d"))
+      .drop("seg_d", "bal_d")
       .join(broadcast(nSeg), Seq("c_mktsegment"))
       .select(
         col("c_mktsegment"),

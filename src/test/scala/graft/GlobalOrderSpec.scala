@@ -106,11 +106,48 @@ class GlobalOrderSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("null value") ||
       Option(ex.getCause).exists(_.getMessage.contains("null value")))
-    // cardinality guard: c_custkey is an SF-scaled key
-    intercept[IllegalArgumentException] {
+    // cardinality guard: c_custkey is an SF-scaled key. The cap throws
+    // INSIDE the executor task (before the subtotal collect reaches the
+    // driver — the hazard it guards is a driver-side OOM, so a check
+    // that ran after the collect would arrive after the hazard), which
+    // Spark surfaces wrapped in a SparkException.
+    val exCard = intercept[Throwable] {
       GlobalOrder.groupedRowNumber(
         grouped, Seq("c_custkey"), Seq(col("v")), "rn", maxGroups = 16)
     }
+    def messages(t: Throwable): Iterator[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse(""))
+    assert(messages(exCard).exists(_.contains("maxGroups=16")),
+      s"expected the maxGroups contract message, got: $exCard")
+
+    // The exact global check still fires for a key just over the cap but
+    // spread thinly (each range partition under the cap): 25 distinct
+    // keys, maxGroups = 24, with AQE partition-coalescing OFF so the 4
+    // range partitions stay separate (~6 groups each stays under the
+    // task-side cap) — only the post-collect driver check can reject it.
+    // (With coalescing on — the tiny-data default — all groups land in
+    // one task and the task-side cap fires instead, as exCard pinned.)
+    val thin = grouped.withColumn("k25", col("c_custkey") % 25)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val exThin = intercept[IllegalArgumentException] {
+        GlobalOrder.groupedRowNumber(
+          thin, Seq("k25"), Seq(col("c_custkey")), "rn", maxGroups = 24)
+      }
+      assert(exThin.getMessage.contains("25 distinct"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None    => spark.conf.unset(coalesceKey)
+      }
+    }
+    // and the same shape passes once the cap admits it
+    assert(GlobalOrder.groupedRowNumber(
+      thin, Seq("k25"), Seq(col("c_custkey")), "rn", maxGroups = 25)
+      .count() === grouped.count())
   }
 
   test("ntileFromRowNumber equals SQL ntile for every frame size and k") {
