@@ -40,47 +40,23 @@ object Explain {
       // query function and return the memory sink — the returned plan
       // is the sink scan (no codegen by construction); the streaming
       // plans themselves are audited in StreamingSpec.
+      // text_bpe_trainer_steps is the driver-side trainer replay — its
+      // result is a LocalRelation by construction (sim_mmr_rerank's
+      // pattern); the distributed word aggregate it consumes is the
+      // oracled text_bpe_pair_stats plan.
       val intended =
-        Set("reshape_transpose", "pack_sequences", "sim_mmr_rerank") ++
+        Set("reshape_transpose", "pack_sequences", "sim_mmr_rerank",
+          "text_bpe_trainer_steps") ++
           (if (name.startsWith("stream_")) Set(name) else Set.empty)
-      // Single-partition window: an unpartitioned Window moves the whole
-      // frame through one task — the r11 de-globalization rule is that
-      // every Window carries a PARTITION BY (global ranks go through
-      // operators.GlobalOrder instead). Detected structurally on the
-      // analyzed plan: a WindowExpression whose spec has no partition keys.
-      val globalWindow = df.queryExecution.analyzed.collectFirst {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => w
-      }.nonEmpty
-      // Bounded-cardinality-key window over an SF-scaled frame: a Window
-      // whose partition keys are ALL drawn from the known dataset-bounded
-      // dictionary columns (3 returnflags, 5 segments/priorities, 20
-      // sources, 10 labels, 5 langs, 2 linestatuses) funnels the whole
-      // input through that many tasks — the r12/r13 rule is that such
-      // scans go through operators.GlobalOrder.groupedRowNumber /
-      // groupedCumSum instead. A Window ABOVE an Aggregate is exempt:
-      // the aggregate has already collapsed the SF-scaled input to a
-      // bounded frame, so the window's input no longer scales.
-      val boundedKeys = Set("l_returnflag", "l_linestatus", "c_mktsegment",
-        "o_orderpriority", "label", "source", "lang", "grp")
-      def hasAggregate(
-          p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-        p.collectFirst {
-          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-        }.nonEmpty
-      val boundedKeyWindow = df.queryExecution.analyzed.collectFirst {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.nonEmpty &&
-              w.partitionSpec.forall {
-                case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
-                  boundedKeys.contains(a.name)
-                case _ => false
-              } && !hasAggregate(w.child) => w
-      }.nonEmpty
+      // Window smells (detectors shared with SmellFuzzSpec — see
+      // PlanSmells for the rules: unpartitioned window; bounded-key
+      // window seen through alias chains, exempt only when an Aggregate
+      // DOMINATES the window's input).
+      val analyzed = df.queryExecution.analyzed
       val smells = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "single-partition-Window" -> globalWindow,
-        "bounded-key-Window" -> boundedKeyWindow,
+        "single-partition-Window" -> PlanSmells.globalWindow(analyzed),
+        "bounded-key-Window" -> PlanSmells.boundedKeyWindow(analyzed),
         // FormattedMode marks whole-stage spans as "[codegen id : N]"
         "no-WholeStageCodegen" ->
           (!plan.contains("codegen id") && !intended.contains(name))

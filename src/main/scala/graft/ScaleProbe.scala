@@ -355,6 +355,45 @@ object ScaleProbe {
         f"""{"probe":"funnel_invariance","factor":$f,"final_docs":${rows("5_decontaminated")._1},"max_dev":$devs,"secs":$secs%.2f}""")
     }
 
+    // grouped-scan skew axis (r14, the weighted-median done-criterion
+    // from r11): every replica beyond the first is forced into ONE hot
+    // returnflag group — the bounded-key frame a plain
+    // `PARTITION BY l_returnflag` window would funnel through a single
+    // task, growing that task ×f. The grouped prefix scan
+    // (GlobalOrder.groupedCumSum) range-partitions on (group ++ order),
+    // so the hot group spreads across range partitions: wall time must
+    // stay near-linear in TOTAL rows. Correctness invariant printed
+    // alongside: the COLD groups' (total_weight, wmedian_price) rows
+    // must be bit-identical to the 1× run at every factor — their rows
+    // exist only in replica 0, so any deviation is a scan bug, not
+    // skew.
+    lazy val liOrderShift = Tables.lineitem(spark, sfDir)
+      .agg(max(col("l_orderkey"))).head().getLong(0) + 1L
+    var wmBase: Map[String, (Long, Double)] = Map.empty
+    def probeWeightedMedianSkew(f: Int): Unit = {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+      val big = (0 until f).map { i =>
+        if (i == 0) li
+        else li.select(lit("N").as("l_returnflag"), col("l_extendedprice"),
+          (col("l_orderkey") + lit(i * liOrderShift)).as("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val rows = queries.Aggregates.weightedMedianOver(big).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (f == factors.min) wmBase = rows
+      val coldDev = rows.iterator
+        .filter { case (k, _) => k != "N" }
+        .count { case (k, v) => !wmBase.get(k).contains(v) }
+      println(
+        f"""{"probe":"weighted_median_skew","factor":$f,"hot_weight":${rows("N")._1},"cold_dev":$coldDev,"secs":$secs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
@@ -362,6 +401,7 @@ object ScaleProbe {
         .reduce(_ union _)
       probe("lsh_dedup", f, replicated)
       probeFunnel(f)
+      probeWeightedMedianSkew(f)
 
       probePack(f)
       probeTfidf(f)

@@ -65,7 +65,19 @@ object Bpe {
     * collect exemption as the wordpiece vocab build. Ties break on
     * (count desc, pair lexicographic) so the table is deterministic.
     */
-  def learnMerges(docs: DataFrame, nMerges: Int, minFreq: Long): Seq[(String, String)] = {
+  def learnMerges(docs: DataFrame, nMerges: Int, minFreq: Long): Seq[(String, String)] =
+    learnMergesWeighted(docs, nMerges, minFreq).map(_._1)
+
+  /** [[learnMerges]] with each chosen pair's frequency-weighted adjacency
+    * count AT THE MOMENT it was picked — the trainer-LOOP oracle surface:
+    * `text_bpe_trainer_steps` replays steps 1..k as chained SQL CTEs
+    * (pair-stats argmax → left-to-right non-overlapping merge →
+    * re-stats) and must reproduce these exact (pair, weight) rows.
+    */
+  def learnMergesWeighted(
+      docs: DataFrame,
+      nMerges: Int,
+      minFreq: Long): Seq[((String, String), Long)] = {
     val counted = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -82,7 +94,8 @@ object Bpe {
     var words: Array[(Vector[String], Long)] = counted
       .take(maxWords)
       .map(r => cpSplit(r.getString(0)) -> r.getLong(1))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
     var step = 0
     while (step < nMerges) {
       val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -93,7 +106,7 @@ object Bpe {
       if (pairCounts.isEmpty) step = nMerges
       else {
         val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
-        merges += best
+        merges += best -> pairCounts(best)
         words = words.map { case (syms, c) => mergeOnce(syms, best) -> c }
         step += 1
       }

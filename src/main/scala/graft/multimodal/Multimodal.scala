@@ -218,6 +218,98 @@ object Multimodal extends Serializable {
     MediaHeader("wav", None, None, None, None)
   }
 
+  /** MP4 / ISO-BMFF: a sequence of `[BE32 size]["type"]` boxes; video
+    * dimensions live at moov → trak → tkhd, whose body ends with width
+    * and height as 16.16 fixed-point BE32s (v0 body offsets 76/80, v1
+    * — 64-bit times — 88/92). The first trak with nonzero dims wins
+    * (audio traks carry 0×0). Boxes with size < 8 (0 = to-EOF, 1 =
+    * 64-bit largesize) stop the walk — null fields, never a throw.
+    */
+  private def parseMp4(p: Array[Byte]): MediaHeader = {
+    def findBox(from: Int, to: Int, typ: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = be32(p, i)
+        if (size < 8) return None
+        val end = i.toLong + size
+        if (end > to) return None
+        if (ascii(p, i + 4, typ)) return Some((i + 8, end.toInt))
+        i = end.toInt
+      }
+      None
+    }
+    def tkhdDims(hs: Int, he: Int): Option[(Int, Int)] =
+      if (hs >= he || hs >= p.length) None
+      else {
+        val off = hs + (if ((p(hs) & 0xff) == 1) 88 else 76)
+        if (off + 8 <= he && off + 8 <= p.length) {
+          val w = be32(p, off) >>> 16
+          val h = be32(p, off + 4) >>> 16
+          if (w > 0 && h > 0) Some((w, h)) else None
+        } else None
+      }
+    val dims = findBox(0, p.length, "moov").flatMap { case (ms, me) =>
+      var cur = ms
+      var found: Option[(Int, Int)] = None
+      while (found.isEmpty && cur < me) {
+        findBox(cur, me, "trak") match {
+          case None => cur = me
+          case Some((ts, te)) =>
+            found = findBox(ts, te, "tkhd").flatMap((tkhdDims _).tupled)
+            cur = te
+        }
+      }
+      found
+    }
+    dims match {
+      case Some((w, h)) => MediaHeader("mp4", Some(w), Some(h), None, None)
+      case None         => MediaHeader("mp4", None, None, None, None)
+    }
+  }
+
+  /** WebP: RIFF/WEBP container; the first image chunk carries the
+    * dimensions in one of three encodings — `VP8 ` (lossy: 3-byte frame
+    * tag, 9D 01 2A sync, then 14-bit LE dims), `VP8L` (lossless: 0x2F
+    * signature, then width−1 / height−1 as 14-bit fields of a LE32),
+    * `VP8X` (extended: canvas width−1 / height−1 as LE24s at payload
+    * offsets 4/7).
+    */
+  private def parseWebp(p: Array[Byte]): MediaHeader = {
+    def le24(i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) | ((p(i + 2) & 0xff) << 16)
+    val none = MediaHeader("webp", None, None, None, None)
+    var i = 12
+    while (i + 8 <= p.length) {
+      val size = le32(p, i + 4)
+      if (size < 0) return none
+      val body = i + 8
+      if (ascii(p, i, "VP8 ")) {
+        return if (body + 10 <= p.length &&
+          (p(body + 3) & 0xff) == 0x9d && (p(body + 4) & 0xff) == 0x01 &&
+          (p(body + 5) & 0xff) == 0x2a) {
+          val w = le16(p, body + 6) & 0x3fff
+          val h = le16(p, body + 8) & 0x3fff
+          if (w > 0 && h > 0) MediaHeader("webp", Some(w), Some(h), None, None)
+          else none
+        } else none
+      } else if (ascii(p, i, "VP8L")) {
+        return if (body + 5 <= p.length && (p(body) & 0xff) == 0x2f) {
+          val bits = le32(p, body + 1)
+          val w = (bits & 0x3fff) + 1
+          val h = ((bits >>> 14) & 0x3fff) + 1
+          MediaHeader("webp", Some(w), Some(h), None, None)
+        } else none
+      } else if (ascii(p, i, "VP8X")) {
+        return if (body + 10 <= p.length) {
+          MediaHeader("webp",
+            Some(le24(body + 4) + 1), Some(le24(body + 7) + 1), None, None)
+        } else none
+      }
+      i = body + size + (size & 1)
+    }
+    none
+  }
+
   /** GIF: 6-byte version signature, then the logical screen descriptor's
     * little-endian width/height shorts at offsets 6/8.
     */
@@ -229,8 +321,8 @@ object Multimodal extends Serializable {
     } else MediaHeader("gif", None, None, None, None)
 
   /** Sniff the container by magic bytes (each magic needs only its own
-    * length: 8 for PNG, 2 for JPEG, 6 for GIF, 12 for RIFF/WAVE) and
-    * parse its header.
+    * length: 8 for PNG, 2 for JPEG, 6 for GIF, 12 for RIFF/WAVE and
+    * RIFF/WEBP, 8+ for ISO-BMFF's `ftyp`) and parse its header.
     */
   def parseHeader(p: Array[Byte]): MediaHeader =
     if (p == null || p.length < 2) MediaHeader("unknown", None, None, None, None)
@@ -240,6 +332,9 @@ object Multimodal extends Serializable {
     else if (ascii(p, 0, "GIF87a") || ascii(p, 0, "GIF89a")) parseGif(p)
     else if (p.length >= 12 && ascii(p, 0, "RIFF") && ascii(p, 8, "WAVE"))
       parseWav(p)
+    else if (p.length >= 12 && ascii(p, 0, "RIFF") && ascii(p, 8, "WEBP"))
+      parseWebp(p)
+    else if (p.length >= 8 && ascii(p, 4, "ftyp")) parseMp4(p)
     else MediaHeader("unknown", None, None, None, None)
 
   /** Header-parse stage over media records: one bounds-checked byte walk
@@ -326,6 +421,75 @@ object Multimodal extends Serializable {
     b.putInt(sampleRate).putInt(sampleRate * blockAlign)
     b.putShort(blockAlign.toShort).putShort(16.toShort)
     b.put("data".getBytes("US-ASCII")).putInt(0)
+    b.array()
+  }
+
+  /** Minimal VALID MP4 (ISO-BMFF): `ftyp` box + `moov`/`trak`/`tkhd`
+    * with a version-0 track header carrying the 16.16 fixed-point
+    * dimensions (unity matrix, zeroed times — header-complete, no
+    * media data, like every builder here).
+    */
+  def buildMp4(width: Int, height: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(16 + 8 + 8 + 92)
+    b.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    b.putInt(8 + 8 + 92).put("moov".getBytes("US-ASCII"))
+    b.putInt(8 + 92).put("trak".getBytes("US-ASCII"))
+    b.putInt(92).put("tkhd".getBytes("US-ASCII"))
+    b.putInt(0) // version 0 + flags
+    b.putInt(0).putInt(0) // creation_time, modification_time
+    b.putInt(1) // track_ID
+    b.putInt(0) // reserved
+    b.putInt(0) // duration
+    b.putLong(0L) // reserved[2]
+    b.putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol/res
+    b.putInt(0x00010000).putInt(0).putInt(0) // unity matrix
+    b.putInt(0).putInt(0x00010000).putInt(0)
+    b.putInt(0).putInt(0).putInt(0x40000000)
+    b.putInt(width << 16).putInt(height << 16)
+    b.array()
+  }
+
+  /** Minimal VALID WebP, one builder per dimension encoding the parser
+    * supports: lossy `VP8 ` (sync code + 14-bit LE dims), lossless
+    * `VP8L` (0x2F + packed 14-bit fields), extended `VP8X` (LE24
+    * canvas−1 fields). Dims must fit 14 bits for the first two.
+    */
+  def buildWebpLossy(width: Int, height: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer
+      .allocate(12 + 8 + 10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 10)
+      .put("WEBP".getBytes("US-ASCII"))
+    b.put("VP8 ".getBytes("US-ASCII")).putInt(10)
+    b.put(0.toByte).put(0.toByte).put(0.toByte) // frame tag
+    b.put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte) // sync code
+    b.putShort((width & 0x3fff).toShort).putShort((height & 0x3fff).toShort)
+    b.array()
+  }
+
+  def buildWebpLossless(width: Int, height: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer
+      .allocate(12 + 8 + 5).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 5)
+      .put("WEBP".getBytes("US-ASCII"))
+    b.put("VP8L".getBytes("US-ASCII")).putInt(5)
+    b.put(0x2f.toByte)
+    b.putInt(((width - 1) & 0x3fff) | (((height - 1) & 0x3fff) << 14))
+    b.array()
+  }
+
+  def buildWebpX(width: Int, height: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer
+      .allocate(12 + 8 + 10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 10)
+      .put("WEBP".getBytes("US-ASCII"))
+    b.put("VP8X".getBytes("US-ASCII")).putInt(10)
+    b.putInt(0) // flags + reserved
+    val w1 = width - 1; val h1 = height - 1
+    b.put((w1 & 0xff).toByte).put(((w1 >> 8) & 0xff).toByte)
+      .put(((w1 >> 16) & 0xff).toByte)
+    b.put((h1 & 0xff).toByte).put(((h1 >> 8) & 0xff).toByte)
+      .put(((h1 >> 16) & 0xff).toByte)
     b.array()
   }
 

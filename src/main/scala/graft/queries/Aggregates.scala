@@ -597,10 +597,18 @@ object Aggregates {
     * group (weights ≥ 1), so the minimal surviving cum IS the first
     * row at or past the half-weight point.
     */
-  private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+  private def weightedMedian(s: SparkSession, dir: String): DataFrame =
+    weightedMedianOver(Tables.lineitem(s, dir))
+
+  /** The weighted-median build over any lineitem-shaped frame — public
+    * so ScaleProbe's grouped-scan skew axis can replicate the input
+    * into one hot group and pin near-linear wall + cold-group
+    * invariance.
+    */
+  def weightedMedianOver(lineitem: DataFrame): DataFrame = {
     val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
       col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-    val base = Tables.lineitem(s, dir)
+    val base = lineitem
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity").cast(LongType).as("wt"))

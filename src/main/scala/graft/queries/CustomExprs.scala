@@ -339,6 +339,76 @@ object CustomExprs {
       |FROM p GROUP BY a, b
       |ORDER BY pair_weight DESC, a, b LIMIT 20""".stripMargin
 
+  /** The BPE trainer LOOP, oracled (closing the gap left by
+    * [[bpePairStats]], which pins only step 1's statistics): the first
+    * THREE trainer steps — pair-stats argmax → left-to-right
+    * non-overlapping merge across the word table → re-stats — replayed
+    * in DuckDB as chained CTEs, each step reproducing
+    * [[graft.functions.Bpe.learnMergesWeighted]]'s exact (pair, weight)
+    * choice (reference trainer op:
+    * cpp/include/nvtext/byte_pair_encoding.hpp:129).
+    *
+    * The SQL encodes each word's symbol sequence as `|s1||s2||…|` and
+    * merges pair (a,b) with `replace(enc, '|a||b|', '|ab|')`: SQL
+    * replace scans left-to-right over non-overlapping occurrences and
+    * resumes AFTER each replacement — exactly mergeOnce's i += 2 skip —
+    * and the per-symbol `|…|` wrapping anchors both symbol boundaries
+    * while leaving each shared boundary's second `|` for the next
+    * match ("a b a b" merges to "ab ab", "a a a" to "aa a"). Valid
+    * because document tokens never contain '|' (they are
+    * space-delimited words; ArrCanon escapes '|' for the same reason).
+    *
+    * The Spark side is the REAL trainer (one distributed word-count
+    * aggregate; the loop is driver-side over the bounded frequent-word
+    * table — the same collect exemption as the wordpiece vocab build),
+    * so the result is a LocalRelation like sim_mmr_rerank's. The
+    * trainer's maxWords cap is not replicated in the SQL; it never
+    * binds at gate scale (vocab with count ≥ 50 ≪ 2^17).
+    */
+  private def bpeTrainerSteps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Bpe
+      .learnMergesWeighted(Tables.documents(s, dir), nMerges = 3, minFreq = 50)
+      .zipWithIndex
+      .map { case (((a, b), wt), i) => (i + 1, a, b, wt) }
+      .toDF("step", "a", "b", "pair_weight")
+  }
+
+  private def trainerStepSql(k: Int): String = {
+    val prev = s"e${k - 1}"
+    s"""p$k AS (
+       |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(c) AS BIGINT) AS wt
+       |  FROM (SELECT string_split(trim(enc, '|'), '||') AS syms, c
+       |        FROM $prev) t,
+       |       unnest(range(1, len(syms))) AS u(i)
+       |  GROUP BY 1, 2),
+       |b$k AS (SELECT a, b, wt FROM p$k ORDER BY wt DESC, a, b LIMIT 1),
+       |e$k AS (
+       |  SELECT replace(enc,
+       |    '|' || (SELECT a FROM b$k) || '||' || (SELECT b FROM b$k) || '|',
+       |    '|' || (SELECT a FROM b$k) || (SELECT b FROM b$k) || '|') AS enc,
+       |    c
+       |  FROM $prev)""".stripMargin
+  }
+
+  private val bpeTrainerStepsSql = {
+    val steps = (1 to 3).map(trainerStepSql).mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+       |    FROM documents) t
+       |  WHERE length(w) > 0 GROUP BY w HAVING count(*) >= 50),
+       |e0 AS (
+       |  SELECT list_aggregate(list_transform(range(1, length(w) + 1),
+       |      i -> '|' || substr(w, i, 1) || '|'), 'string_agg', '') AS enc,
+       |    c
+       |  FROM w),
+       |$steps
+       |SELECT CAST(1 AS INTEGER) AS step, a, b, wt AS pair_weight FROM b1
+       |UNION ALL SELECT 2, a, b, wt FROM b2
+       |UNION ALL SELECT 3, a, b, wt FROM b3""".stripMargin
+  }
+
   /** percentile_approx — the engine's t-digest stand-in (TDIGEST Kind,
     * aggregation.hpp:121; Spark's GK sketch, tolerance documented).
     */
@@ -361,6 +431,7 @@ object CustomExprs {
     "text_bpe" -> Q(bpeTokens _, None),
     "text_bpe_portable" -> Q(bpePortable _, bpePortableSql),
     "text_bpe_pair_stats" -> Q(bpePairStats _, bpePairStatsSql),
+    "text_bpe_trainer_steps" -> Q(bpeTrainerSteps _, bpeTrainerStepsSql),
     "agg_percentile_approx" -> Q(percentileApprox _, None)
   )
 }

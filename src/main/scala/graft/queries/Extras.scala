@@ -459,7 +459,7 @@ object Extras {
         expr("(n * 1000000) div from_total").as("p_ppm"))
   }
 
-  private val pathTransitionsSql =
+  private[queries] val pathTransitionsSql =
     """WITH seq AS (
       |  SELECT user_id, event_type AS src,
       |    lead(event_type) OVER (PARTITION BY user_id
@@ -875,7 +875,7 @@ object Extras {
       .select(col("s.stage"), col("s.n_users"), col("s.conv_ppm"))
   }
 
-  private val funnelConversionSql =
+  private[queries] val funnelConversionSql =
     """WITH v AS (
       |  SELECT user_id, min(ts) AS v_ts FROM events
       |  WHERE event_type = 'view' GROUP BY user_id),

@@ -3002,13 +3002,23 @@ object LlmOps {
     */
   private def multimodalHeaders(s: SparkSession, dir: String): DataFrame = {
     val mm = graft.multimodal.Multimodal
-    val synth = udf((docId: Long, nChars: Long) => (docId % 4) match {
+    val synth = udf((docId: Long, nChars: Long) => (docId % 6) match {
       case 0L => mm.buildPng((1 + nChars % 1024).toInt, (1 + docId % 64).toInt)
       case 1L => mm.buildJpeg((1 + nChars % 512).toInt, (1 + docId % 128).toInt)
       case 2L =>
-        mm.buildWav((8000L * (1 + (docId / 4) % 4)).toInt,
-          (1 + (docId / 4) % 2).toInt)
-      case _ => mm.buildGif((1 + nChars % 1024).toInt, (1 + docId % 256).toInt)
+        mm.buildWav((8000L * (1 + (docId / 6) % 4)).toInt,
+          (1 + (docId / 6) % 2).toInt)
+      case 3L => mm.buildGif((1 + nChars % 1024).toInt, (1 + docId % 256).toInt)
+      case 4L => mm.buildMp4((1 + nChars % 2048).toInt, (1 + docId % 512).toInt)
+      case _ =>
+        // rotate the three WebP dimension encodings so all parse paths
+        // face the oracle
+        val w = (1 + nChars % 1024).toInt; val h = (1 + docId % 256).toInt
+        ((docId / 6) % 3) match {
+          case 0L => mm.buildWebpLossy(w, h)
+          case 1L => mm.buildWebpLossless(w, h)
+          case _  => mm.buildWebpX(w, h)
+        }
     })
     val media = Tables
       .documents(s, dir)
@@ -3024,17 +3034,22 @@ object LlmOps {
 
   private val multimodalHeadersSql =
     """SELECT doc_id,
-      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-      |    WHEN 2 THEN 'wav' ELSE 'gif' END AS format,
-      |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 + n_chars % 1024
+      |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |    WHEN 2 THEN 'wav' WHEN 3 THEN 'gif' WHEN 4 THEN 'mp4'
+      |    ELSE 'webp' END AS format,
+      |  CAST(CASE doc_id % 6 WHEN 0 THEN 1 + n_chars % 1024
       |    WHEN 1 THEN 1 + n_chars % 512
-      |    WHEN 3 THEN 1 + n_chars % 1024 END AS BIGINT) AS width,
-      |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 64
+      |    WHEN 3 THEN 1 + n_chars % 1024
+      |    WHEN 4 THEN 1 + n_chars % 2048
+      |    WHEN 5 THEN 1 + n_chars % 1024 END AS BIGINT) AS width,
+      |  CAST(CASE doc_id % 6 WHEN 0 THEN 1 + doc_id % 64
       |    WHEN 1 THEN 1 + doc_id % 128
-      |    WHEN 3 THEN 1 + doc_id % 256 END AS BIGINT) AS height,
-      |  CAST(CASE doc_id % 4 WHEN 2 THEN 8000 * (1 + (doc_id // 4) % 4)
+      |    WHEN 3 THEN 1 + doc_id % 256
+      |    WHEN 4 THEN 1 + doc_id % 512
+      |    WHEN 5 THEN 1 + doc_id % 256 END AS BIGINT) AS height,
+      |  CAST(CASE doc_id % 6 WHEN 2 THEN 8000 * (1 + (doc_id // 6) % 4)
       |    END AS BIGINT) AS sample_rate,
-      |  CAST(CASE doc_id % 4 WHEN 2 THEN 1 + (doc_id // 4) % 2
+      |  CAST(CASE doc_id % 6 WHEN 2 THEN 1 + (doc_id // 6) % 2
       |    END AS BIGINT) AS channels
       |FROM documents""".stripMargin
 

@@ -69,6 +69,21 @@ object StreamingGate {
     d
   }
 
+  /** Stage the events table as ONE (ts, event_id)-sorted file — the
+    * ordered-replay precondition of the per-key state machines
+    * (transitions, funnel): a single AvailableNow micro-batch preserves
+    * per-user arrival order, so the stream equals the batch total order
+    * (a Kafka deployment gets this from per-key partition ordering).
+    */
+  private def stageEventsSorted(s: SparkSession, dir: String): String = {
+    val d = tempDir("graft-gate-events-sorted")
+    Tables.events(s, dir)
+      .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+      .orderBy(col("ts"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    d
+  }
+
   // ------------------------------------------------------------- stream_cms
 
   /** Streaming count-min sketch counters over replayed events; the
@@ -204,10 +219,57 @@ object StreamingGate {
       .select(col("tok"), col("df"), col("capped"), col("postings"))
   }
 
+  // ------------------------------------------------------ stream_transitions
+
+  /** Streaming Markov transition emitter replayed ordered, then the
+    * sink's (src → dst) steps aggregated into the batch
+    * `path_transitions` report — same (n, p_ppm) rows, oracled with
+    * the batch twin's SQL. The p_ppm window runs over the AGGREGATED
+    * ≤|event_type|² frame (aggregate-collapsed, not the fact stream).
+    */
+  private def streamTransitions(s: SparkSession, dir: String): DataFrame = {
+    val steps = Streams.runToCompletion(
+      s,
+      Streams.transitionSteps(s,
+        Streams.readEventStream(s, stageEventsSorted(s, dir))),
+      sink("gate_trans"), mode = "append")
+    steps
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("n"),
+        expr("(n * 1000000) div from_total").as("p_ppm"))
+  }
+
+  // ----------------------------------------------------------- stream_funnel
+
+  /** Streaming funnel state machine replayed ordered; the sink's
+    * (user, stage) completions aggregate into the batch
+    * `funnel_conversion` report (per-stage users + ppm conversion vs
+    * stage 1). The 1-row view-count rides a broadcast nested-loop, not
+    * a cartesian.
+    */
+  private def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    val stages = Streams.runToCompletion(
+      s,
+      Streams.funnelStages(s,
+        Streams.readEventStream(s, stageEventsSorted(s, dir))),
+      sink("gate_funnel"), mode = "append")
+    val counts = stages.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    val nv = counts.filter(col("stage") === "1_view")
+      .select(col("n_users").as("nv"))
+    counts.crossJoin(broadcast(nv))
+      .select(col("stage"), col("n_users"),
+        when(col("stage") === "1_view", lit(1000000L))
+          .otherwise(expr("(n_users * 1000000) div nv")).as("conv_ppm"))
+  }
+
   def queries: Map[String, Q] = Map(
     "stream_cms" -> Q(streamCms _, streamCmsSql),
     "stream_kmv_window" -> Q(streamKmvWindow _, streamKmvWindowSql),
     "stream_scd2" -> Q(streamScd2 _, streamScd2Sql),
-    "stream_postings" -> Q(streamPostings _, Retrieval.indexPostingsSql)
+    "stream_postings" -> Q(streamPostings _, Retrieval.indexPostingsSql),
+    "stream_transitions" -> Q(streamTransitions _, Extras.pathTransitionsSql),
+    "stream_funnel" -> Q(streamFunnel _, Extras.funnelConversionSql)
   )
 }

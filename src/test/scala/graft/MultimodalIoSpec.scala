@@ -151,12 +151,33 @@ class MultimodalIoSpec extends AnyFunSuite {
       val g = parseHeader(buildGif(w, h))
       assert(g == MediaHeader("gif", Some(w), Some(h), None, None), s"gif $w x $h")
     }
+    // MP4 16.16 fixed-point dims fit 16 bits; WebP VP8/VP8L 14 bits,
+    // VP8X LE24
+    for (w <- Seq(1, 1920, 65535); h <- Seq(1, 1080, 65535)) {
+      val m = parseHeader(buildMp4(w, h))
+      assert(m == MediaHeader("mp4", Some(w), Some(h), None, None), s"mp4 $w x $h")
+    }
+    for (w <- Seq(1, 640, 16383); h <- Seq(1, 480, 16383)) {
+      val wl = parseHeader(buildWebpLossy(w, h))
+      assert(wl == MediaHeader("webp", Some(w), Some(h), None, None),
+        s"webp-lossy $w x $h")
+      val wll = parseHeader(buildWebpLossless(w, h))
+      assert(wll == MediaHeader("webp", Some(w), Some(h), None, None),
+        s"webp-lossless $w x $h")
+    }
+    for (w <- Seq(1, 4096, 1 << 24); h <- Seq(1, 2160, 1 << 24)) {
+      val wx = parseHeader(buildWebpX(w, h))
+      assert(wx == MediaHeader("webp", Some(w), Some(h), None, None),
+        s"webp-x $w x $h")
+    }
   }
 
   test("header parser is null-safe on garbage: truncations, corrupt magics") {
     import Multimodal._
     val wholes = Seq(buildPng(640, 480), buildJpeg(320, 240),
-      buildWav(44100, 2), buildGif(320, 200))
+      buildWav(44100, 2), buildGif(320, 200), buildMp4(1920, 1080),
+      buildWebpLossy(640, 480), buildWebpLossless(640, 480),
+      buildWebpX(640, 480))
     // every truncation prefix parses without throwing, and never invents
     // dimensions the bytes don't contain
     wholes.foreach { whole =>
