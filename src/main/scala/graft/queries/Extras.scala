@@ -1454,7 +1454,7 @@ object Extras {
         expr("(n_anomalies * 1000000) div n_eval").as("anomaly_ppm"))
   }
 
-  private val tsAnomalyZscoreSql =
+  private[queries] val tsAnomalyZscoreSql =
     """WITH cents AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
@@ -1558,7 +1558,7 @@ object Extras {
         countDistinct(col("user_id")).as("n_users"))
   }
 
-  private val attributionLastTouchSql =
+  private[queries] val attributionLastTouchSql =
     """WITH touched AS (
       |  SELECT user_id, event_type,
       |    last_value(CASE WHEN event_type IN ('view', 'click', 'signup')

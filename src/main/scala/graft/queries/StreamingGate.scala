@@ -264,12 +264,333 @@ object StreamingGate {
           .otherwise(expr("(n_users * 1000000) div nv")).as("conv_ppm"))
   }
 
+  // ------------------------------------------------------ stream_running_agg
+
+  /** The canonical continuously-updated grouped aggregate (the reference
+    * streaming suite's first differential test,
+    * test_dataframes.py:279): running count + exact fixed-point value
+    * sum per event_type in complete mode. Order-independent by
+    * construction ([[graft.Agg.dsum]] sums integer cents), so ANY
+    * replay batching equals the batch aggregate bit-for-bit.
+    */
+  private def streamRunningAgg(s: SparkSession, dir: String): DataFrame = {
+    val stream = Streams.readEventStream(s, stageEvents(s, dir, 4))
+    Streams.runToCompletion(
+      s, Streams.runningAggByType(stream), sink("gate_run"), mode = "complete")
+  }
+
+  private val streamRunningAggSql =
+    s"""SELECT event_type, count(*) AS n,
+      |  ${graft.Agg.dsumSql("value")} AS total_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // --------------------------------------------------------- stream_tumbling
+
+  /** Tumbling 5-minute event-time windows per event_type (count + exact
+    * mean). Window starts are epoch-aligned on both engines, so the
+    * oracle recomputes them as integer µs floor-division; the mean is
+    * [[graft.Agg.davg]] (exact sum / exact count — replay-order
+    * independent).
+    */
+  private def streamTumbling(s: SparkSession, dir: String): DataFrame = {
+    val stream = Streams.readEventStream(s, stageEvents(s, dir, 4))
+    Streams.runToCompletion(
+      s, Streams.tumblingCounts(stream), sink("gate_tumble"),
+      mode = "complete")
+      // µs-integer window starts: identical scalar encoding on both
+      // engines (the stream_kmv DATE-cast rule, sub-day granularity)
+      .select(expr("unix_micros(win_start)").as("win_us"),
+        col("event_type"), col("n"), col("avg_value"))
+  }
+
+  private val streamTumblingSql =
+    s"""SELECT (epoch_us(ts) // 300000000) * 300000000 AS win_us,
+      |  event_type, count(*) AS n,
+      |  ${graft.Agg.davgSql("value")} AS avg_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------- stream_sliding
+  /** Sliding windows (10-minute length, 5-minute slide): each event
+    * lands in exactly two epoch-aligned windows, which is precisely the
+    * oracle's cross join with offsets {0, 1} slide units.
+    */
+  private def streamSliding(s: SparkSession, dir: String): DataFrame = {
+    val stream = Streams.readEventStream(s, stageEvents(s, dir, 4))
+    Streams.runToCompletion(
+      s, Streams.slidingCounts(stream), sink("gate_slide"),
+      mode = "complete")
+      .select(expr("unix_micros(win_start)").as("win_us"), col("n"))
+  }
+
+  private val streamSlidingSql =
+    """SELECT win_us, count(*) AS n FROM (
+      |  SELECT (epoch_us(ts) // 300000000 - t.k) * 300000000 AS win_us
+      |  FROM events CROSS JOIN (VALUES (0), (1)) AS t(k))
+      |GROUP BY win_us""".stripMargin
+
+  // ---------------------------------------------------------- stream_session
+  /** Per-user session windows (5-minute gap). Spark merges two events
+    * into one session iff the later starts strictly before the earlier
+    * session's end (half-open [ts, ts+gap) intervals), i.e. a gap
+    * ≥ 5 min breaks — exactly the oracle's gaps-and-islands break
+    * condition. Complete mode: the final merged sessions.
+    */
+  private def streamSession(s: SparkSession, dir: String): DataFrame = {
+    val stream = Streams.readEventStream(s, stageEvents(s, dir, 4))
+    Streams.runToCompletion(
+      s, Streams.sessionCounts(stream), sink("gate_sess"),
+      mode = "complete")
+      .select(expr("unix_micros(sess_start)").as("sess_us"),
+        col("user_id"), col("n_events"))
+  }
+
+  private val streamSessionSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |brk AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN us - lag(us) OVER w >= 300000000
+      |           OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS b
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |grp AS (
+      |  SELECT user_id, us,
+      |    CAST(sum(b) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM brk)
+      |SELECT min(us) AS sess_us, user_id, count(*) AS n_events
+      |FROM grp GROUP BY user_id, sid""".stripMargin
+
+  // ------------------------------------------------------ stream_dedup_exact
+  /** Streaming exact dedup: the staged replay doubles every third event
+    * (same rows, byte-identical), and the watermark-bounded
+    * dropDuplicates must collapse them back to exactly the original
+    * table — the sink is content-compared row-for-row against the
+    * untouched events table (value doubles pass through unaltered, so
+    * the hash is bit-exact).
+    */
+  private def streamDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = tempDir("graft-gate-dupes")
+    val ev = Tables.events(s, dir)
+      .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+    ev.union(ev.filter(col("event_id") % 3 === 0))
+      .repartition(4).write.mode("overwrite").parquet(d)
+    Streams.runToCompletion(
+      s, Streams.dedupStream(Streams.readEventStream(s, d)),
+      sink("gate_dedup"), mode = "append")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+  }
+
+  private val streamDedupExactSql =
+    "SELECT event_id, user_id, event_type, value FROM events"
+
+  // ------------------------------------------------------------- stream_join
+  /** Watermarked stream-stream inner join (click × view within a 6-hour
+    * event-time gap) — state on BOTH sides bounded by watermark +
+    * range predicate. Inner-join emissions are a pure set: any replay
+    * batching yields the batch join rows exactly.
+    */
+  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val stream = Streams.readEventStream(s, stageEvents(s, dir, 4))
+    Streams.runToCompletion(
+      s, Streams.clickViewJoin(stream, "click", "view"),
+      sink("gate_ssjoin"), mode = "append")
+      .select(col("a_event"), col("a_user"),
+        expr("unix_micros(a_ts)").as("a_us"),
+        col("b_event"), expr("unix_micros(b_ts)").as("b_us"))
+  }
+
+  private val streamJoinSql =
+    """SELECT a.event_id AS a_event, a.user_id AS a_user,
+      |  epoch_us(a.ts) AS a_us,
+      |  b.event_id AS b_event, epoch_us(b.ts) AS b_us
+      |FROM events a JOIN events b
+      |  ON b.user_id = a.user_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+      |WHERE a.event_type = 'click' AND b.event_type = 'view'""".stripMargin
+
+  // ------------------------------------------------------ stream_asof_enrich
+  /** Streaming as-of enrichment (two chained stateful operators: a
+    * time-range stream-stream join feeding a per-probe max), certified
+    * against a pure-SQL as-of: for every click, the latest purchase
+    * value within the 6-hour lookback, ties on ref time resolving to
+    * the greatest value (the batch operator's tiebreak).
+    *
+    * Append-mode flush: the final watermark is max-event-time − 12 h,
+    * which would strand probes in the stream's last 12 hours inside
+    * state forever. The replay therefore appends two FAR-FUTURE
+    * sentinel events on a user id outside the domain (a purchase at
+    * max+30 d and a click at max+31 d — 24 h apart, so the 6-hour
+    * lookback joins them to nothing, and the sentinel probe's empty
+    * inner join emits no row): they advance BOTH branches' watermarks
+    * past every real probe, the streaming analogue of closing a topic
+    * with an end-of-stream marker.
+    */
+  private def streamAsofEnrich(s: SparkSession, dir: String): DataFrame = {
+    val d = tempDir("graft-gate-asof")
+    val ev = Tables.events(s, dir)
+      .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+    val sentinels = ev
+      .agg(max(col("ts")).as("mx"))
+      .select(explode(array(
+        struct(lit(-1L).as("event_id"),
+          (col("mx") + expr("INTERVAL 30 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props")),
+        struct(lit(-2L).as("event_id"),
+          (col("mx") + expr("INTERVAL 31 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))))
+        .as("e"))
+      .select(col("e.*"))
+    ev.union(sentinels).repartition(4).write.mode("overwrite").parquet(d)
+    val stream = Streams.readEventStream(s, d)
+    Streams.runToCompletion(
+      s, Streams.asOfEnrich(stream, "click", "purchase"),
+      sink("gate_asof"), mode = "append")
+      .select(col("p_event"), col("p_user"),
+        expr("unix_micros(p_ts)").as("p_us"),
+        col("asof_value"), expr("unix_micros(asof_ts)").as("asof_us"))
+  }
+
+  private val streamAsofEnrichSql =
+    """WITH j AS (
+      |  SELECT p.event_id AS pe, p.user_id AS pu, epoch_us(p.ts) AS pus,
+      |    r.value AS rv, epoch_us(r.ts) AS rus
+      |  FROM events p JOIN events r
+      |    ON r.user_id = p.user_id
+      |   AND r.ts <= p.ts AND r.ts >= p.ts - INTERVAL 6 HOUR
+      |  WHERE p.event_type = 'click' AND r.event_type = 'purchase'),
+      |m AS (SELECT pe, max(rus) AS asof_us FROM j GROUP BY pe)
+      |SELECT j.pe AS p_event, j.pu AS p_user, j.pus AS p_us,
+      |  max(j.rv) AS asof_value, m.asof_us
+      |FROM j JOIN m ON j.pe = m.pe AND j.rus = m.asof_us
+      |GROUP BY j.pe, j.pu, j.pus, m.asof_us""".stripMargin
+
+  // ------------------------------------------------------- stream_enrich_dim
+  /** Stream-static enrichment: the event stream joined to the customer
+    * dimension per micro-batch — stateless (no store at any stream
+    * length), the standard shape for attaching reference data to a
+    * high-volume stream. Content-compared against the batch join.
+    */
+  private def streamEnrichDim(s: SparkSession, dir: String): DataFrame = {
+    val stream = Streams.readEventStream(s, stageEvents(s, dir, 4))
+    Streams.runToCompletion(
+      s, Streams.enrichWithDim(stream, Tables.customer(s, dir)),
+      sink("gate_enrich"), mode = "append")
+  }
+
+  private val streamEnrichDimSql =
+    """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
+
+  // ----------------------------------------------------------- stream_zscore
+  /** Streaming rolling z-score monitor (7-value ring per user, BigInt
+    * sqrt-free flag) replayed ordered, its flag stream aggregated to
+    * the batch `ts_anomaly_zscore` report — same SQL oracle as the
+    * batch twin.
+    */
+  private def streamZscore(s: SparkSession, dir: String): DataFrame = {
+    val flags = Streams.runToCompletion(
+      s,
+      Streams.zscoreFlags(s,
+        Streams.readEventStream(s, stageEventsSorted(s, dir))),
+      sink("gate_zscore"), mode = "append")
+    flags
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("flag")).as("n_anomalies"))
+      .select(col("event_type"), col("n_eval"), col("n_anomalies"),
+        expr("(n_anomalies * 1000000) div n_eval").as("anomaly_ppm"))
+  }
+
+  // ------------------------------------------------------ stream_attribution
+  /** Streaming last-touch attribution (one channel string of state per
+    * user, credit emitted the moment a purchase arrives) replayed
+    * ordered, aggregated to the batch `attribution_last_touch` report —
+    * same SQL oracle as the batch twin.
+    */
+  private def streamAttribution(s: SparkSession, dir: String): DataFrame = {
+    val credits = Streams.runToCompletion(
+      s,
+      Streams.attributionSteps(s,
+        Streams.readEventStream(s, stageEventsSorted(s, dir))),
+      sink("gate_attr"), mode = "append")
+    credits
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  // ------------------------------------------------------------ stream_drift
+  /** Streaming drift monitor: per 6-hour tumbling window, micro-unit
+    * event_type proportions + total-variation distance against a
+    * STATIC first-half-month baseline (the online data-quality gate a
+    * recurring ingest runs while loading). Pure integer arithmetic —
+    * the oracle recomputes baseline, proportions, and TVD in SQL.
+    */
+  private def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = Streams.driftBaseline(
+      Tables.events(s, dir)
+        .filter(col("ts") < lit("2024-01-16").cast("timestamp")))
+    val stream = Streams.readEventStream(s, stageEvents(s, dir, 4))
+    Streams.runToCompletion(
+      s, Streams.driftMonitor(stream, base), sink("gate_drift"),
+      mode = "update")
+      .select(expr("unix_micros(win_start)").as("win_us"), col("bucket"),
+        col("p_base_micro"), col("p_cur_micro"), col("drift_micro"),
+        col("tvd_micro"))
+  }
+
+  private val streamDriftSql =
+    """WITH base AS (
+      |  SELECT event_type AS bucket,
+      |    count(*) * 1000000 // (SELECT count(*) FROM events
+      |      WHERE ts < TIMESTAMP '2024-01-16') AS p_base
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+      |wins AS (
+      |  SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS win_us,
+      |    event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |wn AS (SELECT win_us, CAST(sum(c) AS BIGINT) AS n
+      |       FROM wins GROUP BY 1),
+      |cur AS (
+      |  SELECT w.win_us, b.bucket, b.p_base,
+      |    coalesce(x.c, 0) * 1000000 // w.n AS p_cur
+      |  FROM wn w CROSS JOIN base b
+      |  LEFT JOIN wins x ON x.win_us = w.win_us AND x.event_type = b.bucket
+      |  UNION ALL
+      |  SELECT w.win_us, 'OTHER', CAST(0 AS BIGINT),
+      |    coalesce((SELECT CAST(sum(x.c) AS BIGINT) FROM wins x
+      |      WHERE x.win_us = w.win_us
+      |        AND x.event_type NOT IN (SELECT bucket FROM base)), 0)
+      |      * 1000000 // w.n
+      |  FROM wn w),
+      |tvd AS (SELECT win_us,
+      |          CAST(sum(abs(p_base - p_cur)) AS BIGINT) // 2 AS tvd_micro
+      |        FROM cur GROUP BY 1)
+      |SELECT c.win_us, c.bucket,
+      |  CAST(c.p_base AS BIGINT) AS p_base_micro,
+      |  CAST(c.p_cur AS BIGINT) AS p_cur_micro,
+      |  CAST(abs(c.p_base - c.p_cur) AS BIGINT) AS drift_micro,
+      |  t.tvd_micro
+      |FROM cur c JOIN tvd t ON c.win_us = t.win_us""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "stream_cms" -> Q(streamCms _, streamCmsSql),
     "stream_kmv_window" -> Q(streamKmvWindow _, streamKmvWindowSql),
     "stream_scd2" -> Q(streamScd2 _, streamScd2Sql),
     "stream_postings" -> Q(streamPostings _, Retrieval.indexPostingsSql),
     "stream_transitions" -> Q(streamTransitions _, Extras.pathTransitionsSql),
-    "stream_funnel" -> Q(streamFunnel _, Extras.funnelConversionSql)
+    "stream_funnel" -> Q(streamFunnel _, Extras.funnelConversionSql),
+    "stream_running_agg" -> Q(streamRunningAgg _, streamRunningAggSql),
+    "stream_tumbling" -> Q(streamTumbling _, streamTumblingSql),
+    "stream_sliding" -> Q(streamSliding _, streamSlidingSql),
+    "stream_session" -> Q(streamSession _, streamSessionSql),
+    "stream_dedup_exact" -> Q(streamDedupExact _, streamDedupExactSql),
+    "stream_join" -> Q(streamJoin _, streamJoinSql),
+    "stream_asof_enrich" -> Q(streamAsofEnrich _, streamAsofEnrichSql),
+    "stream_enrich_dim" -> Q(streamEnrichDim _, streamEnrichDimSql),
+    "stream_zscore" -> Q(streamZscore _, Extras.tsAnomalyZscoreSql),
+    "stream_attribution" -> Q(streamAttribution _, Extras.attributionLastTouchSql),
+    "stream_drift" -> Q(streamDrift _, streamDriftSql)
   )
 }

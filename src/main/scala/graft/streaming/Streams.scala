@@ -37,22 +37,27 @@ object Streams {
     spark.readStream.schema(eventSchema).parquet(dir)
 
   /** Continuously-updated grouped aggregate (test_dataframes.py:279):
-    * running count/sum per event_type with a watermark.
+    * running count/sum per event_type with a watermark. The value sum
+    * rides [[graft.Agg.dsum]] — the repo's exact fixed-point sum policy —
+    * so the accumulated total is order-independent: two stream shards
+    * (or a replay in any batching) produce the identical double.
     */
   def runningAggByType(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), graft.Agg.dsum(col("value")).as("total_value"))
 
   /** Tumbling event-time window (test_dataframes.py:554 value-range
     * window, upgraded to event time): 5-minute windows per event_type.
+    * The mean rides [[graft.Agg.davg]] (exact sum / exact count) so the
+    * per-window average is replay-order-independent.
     */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .agg(count(lit(1)).as("n"), graft.Agg.davg(col("value")).as("avg_value"))
       .select(
         col("window.start").as("win_start"),
         col("event_type"),
