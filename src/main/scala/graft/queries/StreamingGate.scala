@@ -574,7 +574,128 @@ object StreamingGate {
       |  t.tvd_micro
       |FROM cur c JOIN tvd t ON c.win_us = t.win_us""".stripMargin
 
+  // ------------------------------------------------------ stream_near_dedup
+  /** Streaming MinHash near-dedup through the watermark-bounded state
+    * store, oracled end-to-end: the replay doubles the corpus (same
+    * texts under shifted doc_ids, ≤100 s apart — inside the 10-minute
+    * horizon), the stream drops signature collisions, and the sink's
+    * surviving signature set must equal the distinct portable-minhash
+    * signatures of the doubled corpus recomputed in pure SQL (short and
+    * null docs keyed by their own doc_id — not near-dedup candidates,
+    * the batch rule). Output is (sig, n_rows) with n_rows = 1 required
+    * everywhere: a missed dedup would surface as n_rows = 2, a dropped
+    * non-duplicate as a missing sig row. Signature-set comparison makes
+    * the gate independent of WHICH collider survives (arrival order).
+    * The NUL byte in the short-doc key is re-encoded ':' for the
+    * oracle (DuckDB varchars cannot carry NUL).
+    */
+  private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = tempDir("graft-gate-neardup")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val doubled = docs
+      .union(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("text")))
+      .withColumn("ts", expr(
+        "timestamp'2026-01-01 00:00:00' + INTERVAL 1 SECOND * (doc_id % 300)"))
+    doubled.repartition(4).write.mode("overwrite").parquet(d)
+    val stream = s.readStream.schema(
+      org.apache.spark.sql.types.StructType(Streams.docSchema.fields :+
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))).parquet(d)
+    Streams.runToCompletion(
+      s, Streams.nearDedupStream(stream, "ts", portable = true),
+      sink("gate_neardup"), mode = "append")
+      .groupBy(replace(col("sig"), lit("\u0000"), lit(":")).as("sig"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  private val streamNearDedupSql =
+    s"""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |      i -> concat(string_split(text, ' ')[i], '_',
+      |                  string_split(text, ' ')[i + 1], '_',
+      |                  string_split(text, ' ')[i + 2]))) AS tk
+      |  FROM all_docs),
+      |prehashed AS (
+      |  SELECT doc_id,
+      |    list_transform(tk, g ->
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(g) + 1),
+      |                         i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
+      |        (h, c) -> (h * 31 + c) % 1000000007)) AS pp,
+      |    list_transform(tk, g ->
+      |      list_reduce(
+      |        list_prepend(CAST(1 AS BIGINT), range(1, length(g) + 1)),
+      |        (w, i) -> (w * 31) % 1000000007)) AS ww
+      |  FROM grams),
+      |sigs AS (
+      |  SELECT CASE WHEN coalesce(len(pp), 0) = 0
+      |    THEN 'doc:' || CAST(doc_id AS VARCHAR)
+      |    ELSE ${graft.ArrCanon.joinedSql(
+        """list_transform(range(0, 16), p ->
+          |    list_min(list_transform(range(1, len(pp) + 1),
+          |      i -> (CAST(p AS BIGINT) * ww[i] + pp[i]) % 1000000007)))"""
+          .stripMargin)} END AS sig
+      |  FROM prehashed)
+      |SELECT sig, CAST(1 AS BIGINT) AS n_rows
+      |FROM (SELECT DISTINCT sig FROM sigs)""".stripMargin
+
+  // ---------------------------------------------------- stream_last_n_mean
+  /** The streamz row-count window (`window(n=4)`,
+    * test_dataframes.py:554): per-user mean over the last 4 rows by
+    * explicit flatMapGroupsWithState ring state, replayed ordered so
+    * the sink's one final emission per user equals the batch last-4
+    * mean — the oracle reproduces the op's LEFT-FOLD sum over the
+    * identically-ordered value list (list_reduce), so the double is
+    * bit-exact, not an envelope.
+    */
+  private def streamLastNMean(s: SparkSession, dir: String): DataFrame = {
+    Streams.runToCompletion(
+      s,
+      Streams.lastNMean(s,
+        Streams.readEventStream(s, stageEventsSorted(s, dir)), 4),
+      sink("gate_lastn"), mode = "update")
+  }
+
+  private val streamLastNMeanSql =
+    """WITH ranked AS (
+      |  SELECT user_id, value, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id,
+      |  list_reduce(list(value ORDER BY ts, event_id), (a, b) -> a + b)
+      |    / count(*) AS last_n_mean,
+      |  CAST(count(*) AS INTEGER) AS n_in_window
+      |FROM ranked WHERE rn <= 4 GROUP BY user_id""".stripMargin
+
+  // ------------------------------------------------- stream_tdigest_window
+  /** Per-window p50/p99 via the mergeable t-digest — rows-only BY
+    * DESIGN: centroid formation is merge-order-dependent, so
+    * stream-vs-batch equality is an accuracy envelope (pinned by
+    * StreamingSpec's rank-error bound), not a hash. In-family
+    * hash-green twins: `stream_kmv_window` (same windowed-sketch
+    * shape) and `agg_tdigest_vs_exact` (the digest's accuracy oracle).
+    */
+  private def streamTdigestWindow(s: SparkSession, dir: String): DataFrame = {
+    val stream = Streams.readEventStream(s, stageEvents(s, dir, 4))
+    Streams.runToCompletion(
+      s, Streams.tdigestWindowQuantiles(stream), sink("gate_td"),
+      mode = "complete")
+      .select(expr("unix_micros(win_start)").as("win_us"),
+        col("n_events"), col("p50_est"), col("p99_est"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "stream_near_dedup" -> Q(streamNearDedup _, streamNearDedupSql),
+    "stream_last_n_mean" -> Q(streamLastNMean _, streamLastNMeanSql),
+    "stream_tdigest_window" -> Q(streamTdigestWindow _, None),
     "stream_cms" -> Q(streamCms _, streamCmsSql),
     "stream_kmv_window" -> Q(streamKmvWindow _, streamKmvWindowSql),
     "stream_scd2" -> Q(streamScd2 _, streamScd2Sql),

@@ -82,18 +82,26 @@ object Streams {
 
   /** streamz row-count window `window(n=4)` (test_dataframes.py:554):
     * per-user mean over the last 4 rows, maintained with explicit state.
+    * Within a micro-batch rows are ordered by (ts, event_id) — the same
+    * total order every state machine here walks — so under ordered
+    * replay the final mean is the batch last-4 mean exactly (the sum is
+    * a left fold over the ordered ring, reproducible in SQL as a
+    * list_reduce over the identically-ordered list).
     */
   def lastNMean(spark: SparkSession, events: DataFrame, n: Int): DataFrame = {
     import spark.implicits._
-    case class Ev(user_id: Long, value: Double)
-    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    val typed = events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
     typed
       .groupByKey(_._1)
       .flatMapGroupsWithState[Seq[Double], (Long, Double, Int)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[Seq[Double]]) =>
           val prev = state.getOption.getOrElse(Vector.empty)
-          val all = (prev ++ rows.map(_._2).toSeq).takeRight(n)
+          val ordered = rows.toSeq.sortBy(r => (r._2, r._3)).map(_._4)
+          val all = (prev ++ ordered).takeRight(n)
           state.update(all)
           Iterator((uid, all.sum / all.size, all.size))
       }
@@ -341,21 +349,38 @@ object Streams {
     * they pass through untouched, keyed by their own `doc_id` so no two
     * distinct short documents can ever collide in the state store.
     */
-  def nearDedupStream(docs: DataFrame, tsCol: String): DataFrame = {
+  /** @param portable signature family: `false` (default) = the native
+    *   XXH64 MinHash64 expression (the throughput path); `true` = the
+    *   seeded polynomial char-hash permutations of
+    *   `dedup_minhash_portable` -- bit-reproducible in ANSI SQL, which is
+    *   what lets the streaming gate oracle this op in DuckDB.
+    */
+  def nearDedupStream(docs: DataFrame, tsCol: String,
+      portable: Boolean = false): DataFrame = {
     val toks = split(col("text"), " ")
     val shingles = when(size(toks) < 3, array().cast("array<string>"))
       .otherwise(array_distinct(
         transform(sequence(lit(1), size(toks) - 2),
           i => concat_ws("_", element_at(toks, i), element_at(toks, i + 1),
             element_at(toks, i + 2)))))
-    docs
-      .withColumn("tk", shingles)
+    val sigOfTk: DataFrame => DataFrame =
+      if (portable)
+        _.withColumn("ph", graft.functions.PolyHash31.polyhash31(col("tk")))
+          .withColumn("sigv", expr(
+            """transform(sequence(0, 15), p ->
+              |  array_min(zip_with(ph.pp, ph.ww,
+              |    (h, w) -> (CAST(p AS BIGINT) * w + h) % 1000000007)))"""
+              .stripMargin))
+          .drop("ph")
+      else
+        _.withColumn("sigv",
+          graft.functions.MinHash64.minhash64(col("tk"), 16))
+    sigOfTk(docs.withColumn("tk", shingles))
       .withColumn("sig",
         when(col("tk").isNull || size(col("tk")) === 0,
           concat(lit("doc\u0000"), col("doc_id").cast("string")))
-          .otherwise(graft.ArrCanon.joined(
-            graft.functions.MinHash64.minhash64(col("tk"), 16))))
-      .drop("tk")
+          .otherwise(graft.ArrCanon.joined(col("sigv"))))
+      .drop("tk", "sigv")
       .withWatermark(tsCol, "10 minutes")
       .dropDuplicatesWithinWatermark("sig")
   }
