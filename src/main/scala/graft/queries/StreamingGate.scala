@@ -692,7 +692,52 @@ object StreamingGate {
         col("n_events"), col("p50_est"), col("p99_est"))
   }
 
+  // ------------------------------------------------ stream_checkpoint_resume
+  /** Checkpointed kill-resume through the production sink shape
+    * (readStream → transform → writeStream.parquet): the first query
+    * runs the 6-file replay one file per micro-batch and is STOPPED as
+    * soon as a batch has committed (input still pending); a second
+    * query resumes from the same checkpoint with AvailableNow and
+    * drains. The returned result reads the file sink through its
+    * `_spark_metadata` transaction log, so the hash certifies
+    * exactly-once end-to-end across the kill: a replayed in-flight
+    * batch would surface as duplicate rows, a lost offset as missing
+    * rows. (State-store recovery under kill is pinned separately by
+    * StreamingSpec's near-dedup kill test; this gate row certifies the
+    * offset-log/sink-commit contract every 100 TB ingest leans on.)
+    */
+  private def streamCheckpointResume(s: SparkSession, dir: String): DataFrame = {
+    val in = tempDir("graft-gate-cpr-in")
+    val out = tempDir("graft-gate-cpr-out")
+    val cp = tempDir("graft-gate-cpr-cp")
+    Tables.events(s, dir)
+      .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+      .repartition(6).write.mode("overwrite").parquet(in)
+    def writer() = s.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), upper(col("event_type")).as("event_type_uc"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+    val q1 = writer().start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop(); q1.awaitTermination()
+    val q2 = writer()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  private val streamCheckpointResumeSql =
+    """SELECT event_id, user_id, event_type, value,
+      |  upper(event_type) AS event_type_uc
+      |FROM events""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "stream_checkpoint_resume" ->
+      Q(streamCheckpointResume _, streamCheckpointResumeSql),
     "stream_near_dedup" -> Q(streamNearDedup _, streamNearDedupSql),
     "stream_last_n_mean" -> Q(streamLastNMean _, streamLastNMeanSql),
     "stream_tdigest_window" -> Q(streamTdigestWindow _, None),
