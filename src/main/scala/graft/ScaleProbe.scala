@@ -394,6 +394,59 @@ object ScaleProbe {
         f"""{"probe":"weighted_median_skew","factor":$f,"hot_weight":${rows("N")._1},"cold_dev":$coldDev,"secs":$secs%.2f}""")
     }
 
+    // streaming-state axis (r14): replay an f×-replicated event stream
+    // (fresh event_ids, IDENTICAL users/timestamps) through the two
+    // bounded-state streaming sketches. Laws under test:
+    //   - stream CMS: every one of the fixed 4×1024 cells must be
+    //     EXACTLY f× its base count (count linearity = shard-merge
+    //     property = replay-order independence), state never grows;
+    //   - stream windowed KMV: per-day est_distinct must be INVARIANT
+    //     (replicas add no new users — a distinct sketch that drifted
+    //     under duplication would be wrong at any scale), while
+    //     n_events scales exactly f×.
+    // Wall time should track the replayed volume linearly — the
+    // evidence that the streaming path's state stays sketch-sized while
+    // throughput is input-bound, the contract an unbounded 100 TB/day
+    // broker source depends on.
+    val streamCmsRef = new scala.collection.mutable.HashMap[(Int, Long), Long]()
+    var streamKmvRef: Map[Long, Long] = Map.empty
+    def probeStreamSketch(f: Int): Unit = {
+      import graft.streaming.Streams
+      val ev = Tables.events(spark, sfDir)
+        .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+      val big = (0 until f).map(i => ev.select(
+          (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"),
+          col("props")))
+        .reduce(_ union _)
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft-probe-stream-$f").toString
+      big.repartition(8).write.mode("overwrite").parquet(d)
+      val t0 = System.nanoTime()
+      val cells = Streams.runToCompletion(spark,
+          Streams.cmsCounters(Streams.readEventStream(spark, d)),
+          s"probe_stream_cms_$f", "complete")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val kmv = Streams.runToCompletion(spark,
+          Streams.kmvWindowDistinct(Streams.readEventStream(spark, d)),
+          s"probe_stream_kmv_$f", "complete")
+        .select(expr("unix_micros(win_start)"), col("est_distinct"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (f == factors.min) {
+        streamCmsRef ++= cells.map { case (k, v) => k -> (v / f) }
+        streamKmvRef = kmv
+      }
+      val cmsDev = cells.map { case (k, v) =>
+        math.abs(v - f * streamCmsRef.getOrElse(k, 0L))
+      }.maxOption.getOrElse(-1L)
+      val kmvDev = kmv.count { case (w, e) =>
+        !streamKmvRef.get(w).contains(e)
+      }
+      println(
+        f"""{"probe":"stream_sketch","factor":$f,"events":${big.count()},"cms_cells":${cells.size},"cms_dev":$cmsDev,"kmv_windows":${kmv.size},"kmv_dev":$kmvDev,"secs":$secs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
@@ -402,6 +455,7 @@ object ScaleProbe {
       probe("lsh_dedup", f, replicated)
       probeFunnel(f)
       probeWeightedMedianSkew(f)
+      probeStreamSketch(f)
 
       probePack(f)
       probeTfidf(f)
