@@ -735,7 +735,65 @@ object StreamingGate {
       |  upper(event_type) AS event_type_uc
       |FROM events""".stripMargin
 
+  // -------------------------------------------------------- stream_pq_encode
+  /** Streaming product-quantization encode — the stateless ANN ingest
+    * shape: arriving embeddings gain their 8 nearest-codeword indices
+    * as a pure projection over literal codebooks (no state, no shuffle,
+    * no watermark needed), so a 100 TB/day vector stream compresses to
+    * codes at scan speed. Codebooks are the strided-pick exemplars of
+    * `sim_ivfpq_topk` (deterministic, SQL-replicable); the oracle
+    * recomputes every per-subspace argmin with the identical
+    * ascending-index IEEE fold and first-min tiebreak.
+    */
+  private def streamPqEncode(s: SparkSession, dir: String): DataFrame = {
+    val M = 8; val K = 16; val dsub = 8
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val cb = graft.DimCache.cached(s"pq-codebooks:$dir:$M:$K") {
+      graft.operators.Similarity.pqCodebooks(emb, M, K, dsub)
+    }
+    val d = tempDir("graft-gate-pq")
+    emb.repartition(4).write.mode("overwrite").parquet(d)
+    val stream = s.readStream.schema(emb.schema).parquet(d)
+    Streams.runToCompletion(
+      s, graft.operators.Similarity.encodePq(stream, cb, dsub).drop("e"),
+      sink("gate_pq"), mode = "append")
+  }
+
+  private val streamPqEncodeSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |picked AS (
+      |  SELECT vec_id, e FROM ev
+      |  ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 16),
+      |cw AS (
+      |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS k, e FROM picked),
+      |ms AS (SELECT unnest(range(0, 8)) AS m),
+      |dists AS (
+      |  SELECT v.vec_id, ms.m, c.k,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, 9), j ->
+      |        (v.e[ms.m * 8 + j] - c.e[ms.m * 8 + j])
+      |          * (v.e[ms.m * 8 + j] - c.e[ms.m * 8 + j]))),
+      |      (acc, x) -> acc + x) AS d
+      |  FROM ev v CROSS JOIN cw c CROSS JOIN ms),
+      |codes AS (
+      |  SELECT vec_id, m, k FROM dists
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) = 1)
+      |SELECT vec_id,
+      |  CAST(max(CASE WHEN m = 0 THEN k END) AS INTEGER) AS c0,
+      |  CAST(max(CASE WHEN m = 1 THEN k END) AS INTEGER) AS c1,
+      |  CAST(max(CASE WHEN m = 2 THEN k END) AS INTEGER) AS c2,
+      |  CAST(max(CASE WHEN m = 3 THEN k END) AS INTEGER) AS c3,
+      |  CAST(max(CASE WHEN m = 4 THEN k END) AS INTEGER) AS c4,
+      |  CAST(max(CASE WHEN m = 5 THEN k END) AS INTEGER) AS c5,
+      |  CAST(max(CASE WHEN m = 6 THEN k END) AS INTEGER) AS c6,
+      |  CAST(max(CASE WHEN m = 7 THEN k END) AS INTEGER) AS c7
+      |FROM codes GROUP BY vec_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "stream_pq_encode" -> Q(streamPqEncode _, streamPqEncodeSql),
     "stream_checkpoint_resume" ->
       Q(streamCheckpointResume _, streamCheckpointResumeSql),
     "stream_near_dedup" -> Q(streamNearDedup _, streamNearDedupSql),
