@@ -63,6 +63,59 @@ object Explain {
       ).collect { case (s, true) => s }
       if (smells.nonEmpty) println(s"!! smells: ${smells.mkString(", ")}")
     }
+    // Streaming-state audit (r14): the stream_* gate rows above return
+    // their SINK, so the stateful streaming plans themselves never pass
+    // through the Window/codegen smells. Audit them here directly —
+    // every canonical Streams constructor through
+    // PlanSmells.streamSmells (unbounded-key agg, watermark-less dedup,
+    // range-less stream-stream join); plan-level only, nothing starts.
+    if (args.length > 1 && args(1) == "ALL") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import graft.streaming.Streams
+      val evDir = java.nio.file.Files
+        .createTempDirectory("graft-explain-stream").toString
+      Tables.events(spark, sfDir)
+        .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(evDir)
+      val docDir = java.nio.file.Files
+        .createTempDirectory("graft-explain-docs").toString
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("ts", expr("timestamp'2026-01-01 00:00:00'"))
+        .coalesce(1).write.mode("overwrite").parquet(docDir)
+      def ev = Streams.readEventStream(spark, evDir)
+      val docs = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(
+          Streams.docSchema.fields :+ org.apache.spark.sql.types.StructField(
+            "ts", org.apache.spark.sql.types.TimestampType)))
+        .parquet(docDir)
+      val streamPlans: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "running_agg" -> Streams.runningAggByType(ev),
+        "tumbling" -> Streams.tumblingCounts(ev),
+        "sliding" -> Streams.slidingCounts(ev),
+        "session" -> Streams.sessionCounts(ev),
+        "cms" -> Streams.cmsCounters(ev),
+        "kmv_window" -> Streams.kmvWindowDistinct(ev),
+        "tdigest_window" -> Streams.tdigestWindowQuantiles(ev),
+        "dedup_exact" -> Streams.dedupStream(ev),
+        "near_dedup" -> Streams.nearDedupStream(docs, "ts"),
+        "click_view_join" -> Streams.clickViewJoin(ev, "click", "view"),
+        "asof_enrich" -> Streams.asOfEnrich(ev, "click", "purchase"),
+        "drift_monitor" -> Streams.driftMonitor(ev,
+          Seq(("click", 500000L), ("view", 500000L))),
+        "enrich_dim" -> Streams.enrichWithDim(ev, Tables.customer(spark, sfDir))
+      )
+      var streamSmellCount = 0
+      streamPlans.foreach { case (name, df) =>
+        val ss = PlanSmells.streamSmells(df.queryExecution.analyzed)
+        if (ss.nonEmpty) {
+          streamSmellCount += ss.size
+          println(s"!! stream smells [$name]: ${ss.mkString(", ")}")
+        }
+      }
+      println(s"\n[streaming-state audit] ${streamPlans.size} plans, " +
+        s"$streamSmellCount smells")
+    }
     spark.stop()
   }
 }
