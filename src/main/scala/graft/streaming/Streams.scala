@@ -279,6 +279,62 @@ object Streams {
       .toDF("user_id", "channel")
   }
 
+  /** [[attributionSteps]] with an ATTRIBUTION WINDOW — the production
+    * semantic (a touch only carries credit for `windowDays` days) and
+    * simultaneously the state-eviction lever the unbounded variant
+    * lacks: per-user state times out on EVENT TIME once the watermark
+    * passes last-touch + window, so the store holds only users ACTIVE
+    * within the attribution window, not the lifetime user domain. A
+    * purchase after eviction (or whose stored touch has aged past the
+    * window inside a live group) credits '(none)', exactly as the
+    * windowed batch semantic would. Requires a watermark on `ts`
+    * upstream (event-time timeout contract); StreamEvictionSpec pins
+    * both the credit change and the state-row drop.
+    */
+  def attributionStepsWindowed(spark: SparkSession, events: DataFrame,
+      windowDays: Int): DataFrame = {
+    import spark.implicits._
+    val windowUs = windowDays.toLong * 86400000000L
+    // ts rides along un-projected: the event-time-timeout checker needs
+    // the WATERMARKED attribute in the stateful operator's input (a
+    // projection to unix_micros would strip the watermark metadata)
+    val typed = events
+      .select(col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+    val touches = Set("view", "click", "signup")
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long), (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[(String, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last-touch + window: nothing this state
+            // could ever credit again — drop the row
+            state.remove()
+            Iterator.empty
+          } else {
+            var (touch, touchUs) =
+              state.getOption.getOrElse(("(none)", Long.MinValue))
+            val out = Seq.newBuilder[(Long, String)]
+            rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+              if (r._4 == "purchase") {
+                val live = touchUs != Long.MinValue && r._2 - touchUs <= windowUs
+                out += ((uid, if (live) touch else "(none)"))
+              } else if (touches(r._4)) { touch = r._4; touchUs = r._2 }
+            }
+            if (touchUs == Long.MinValue) state.remove()
+            else {
+              state.update((touch, touchUs))
+              state.setTimeoutTimestamp((touchUs + windowUs) / 1000L)
+            }
+            out.result().iterator
+          }
+      }
+      .toDF("user_id", "channel")
+  }
+
   /** Streaming ordered-funnel state machine — the streaming face of the
     * batch `funnel_conversion` query: per user one (stage, stage_ts)
     * state row walks view → click → purchase with the SAME

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.Streams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time state eviction (r14): the windowed attribution machine
+  * must (a) stop crediting touches older than the attribution window,
+  * (b) DROP per-user state once the watermark passes last-touch +
+  * window — so the store holds only users active within the window,
+  * not the lifetime user domain — and (c) degenerate exactly to the
+  * unbounded gate-oracled machine when the window exceeds the data
+  * span.
+  */
+class StreamEvictionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def eventRows(rows: Seq[(Long, String, Long, String)]): DataFrame = {
+    // (event_id, ts-literal, user_id, event_type)
+    import spark.implicits._
+    rows.toDF("event_id", "tss", "user_id", "event_type")
+      .select(col("event_id"), expr("CAST(tss AS TIMESTAMP)").as("ts"),
+        col("user_id"), col("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+  }
+
+  test("attribution window: aged touches lose credit, idle state evicts") {
+    val in = Files.createTempDirectory("graft-evict-in").toString
+    // wave 1: three users touch at T0; u11 purchases inside the window
+    eventRows(Seq(
+      (1L, "2026-01-01 00:00:00", 10L, "click"),
+      (2L, "2026-01-01 00:00:00", 11L, "click"),
+      (3L, "2026-01-01 01:00:00", 11L, "purchase"),
+      (4L, "2026-01-01 00:00:00", 12L, "click")))
+      .coalesce(1).write.mode("append").parquet(in)
+    // wave 2 (a later file => later micro-batch): 30 days on, past the
+    // 7-day window — u10's purchase must credit '(none)' (its stored
+    // click has aged out inside the live group), and the
+    // watermark advance must time out every idle state row
+    eventRows(Seq(
+      (5L, "2026-01-31 00:00:00", 10L, "purchase"),
+      (6L, "2026-01-31 00:00:00", 99L, "purchase")))
+      .coalesce(1).write.mode("append").parquet(in)
+
+    val stream = spark.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .withWatermark("ts", "0 seconds")
+    val q = Streams.attributionStepsWindowed(spark, stream, windowDays = 7)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_evict").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("t_evict").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((11L, "click"), (10L, "(none)"), (99L, "(none)")),
+      s"credits: $got")
+    // every state row evicted: u11/u12 idle past T0+7d (timed out once
+    // the wave-2 watermark passed), u10's touch aged the same way, 99
+    // never stored state (purchase with no touch)
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+    assert(lastState.numRowsTotal == 0,
+      s"state rows not evicted: ${lastState.numRowsTotal}")
+  }
+
+  test("a window wider than the data span equals the unbounded machine") {
+    val d = Files.createTempDirectory("graft-evict-eq").toString
+    Tables.events(spark, sf)
+      .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+      .orderBy(col("ts"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    def agg(df: DataFrame): Map[String, Long] = df
+      .groupBy(col("channel")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unbounded = agg(Streams.runToCompletion(spark,
+      Streams.attributionSteps(spark, Streams.readEventStream(spark, d)),
+      "t_evict_unb", "append"))
+    val windowed = agg(Streams.runToCompletion(spark,
+      Streams.attributionStepsWindowed(spark,
+        Streams.readEventStream(spark, d).withWatermark("ts", "0 seconds"),
+        windowDays = 36500),
+      "t_evict_win", "append"))
+    assert(windowed == unbounded, s"$windowed vs $unbounded")
+  }
+}
