@@ -520,6 +520,51 @@ object StreamingGate {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  // ----------------------------------------------- stream_attribution_window
+  /** The WINDOWED attribution machine (event-time state eviction,
+    * `Streams.attributionStepsWindowed`): a touch carries credit for
+    * ONE day only. Ordered single-batch replay — timeouts never fire
+    * mid-batch, but the in-group aging check applies the identical
+    * window rule, so the sink equals the SQL's bounded-lookback
+    * last-touch credit exactly. At this data density the 1-day window
+    * genuinely diverges from the unbounded `stream_attribution` row
+    * ('(none)' 51 → 552 at sf0.01), so both rows green is direct
+    * evidence the two semantics are implemented distinctly and
+    * correctly; the eviction (state-drop) side is pinned by
+    * StreamEvictionSpec's crafted multi-batch gap.
+    */
+  private def streamAttributionWindow(s: SparkSession, dir: String): DataFrame = {
+    val credits = Streams.runToCompletion(
+      s,
+      Streams.attributionStepsWindowed(s,
+        Streams.readEventStream(s, stageEventsSorted(s, dir))
+          .withWatermark("ts", "0 seconds"),
+        windowDays = 1),
+      sink("gate_attrwin"), mode = "append")
+    credits
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val streamAttributionWindowSql =
+    """WITH touched AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS pus,
+      |    last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+      |      THEN event_type END IGNORE NULLS) OVER w AS touch,
+      |    last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+      |      THEN epoch_us(ts) END IGNORE NULLS) OVER w AS tus
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT
+      |  coalesce(CASE WHEN pus - tus <= 86400000000 THEN touch END,
+      |    '(none)') AS channel,
+      |  count(*) AS n_purchases,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM touched WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ stream_drift
   /** Streaming drift monitor: per 6-hour tumbling window, micro-unit
     * event_type proportions + total-variation distance against a
@@ -815,6 +860,8 @@ object StreamingGate {
     "stream_enrich_dim" -> Q(streamEnrichDim _, streamEnrichDimSql),
     "stream_zscore" -> Q(streamZscore _, Extras.tsAnomalyZscoreSql),
     "stream_attribution" -> Q(streamAttribution _, Extras.attributionLastTouchSql),
+    "stream_attribution_window" ->
+      Q(streamAttributionWindow _, streamAttributionWindowSql),
     "stream_drift" -> Q(streamDrift _, streamDriftSql)
   )
 }
