@@ -113,7 +113,9 @@ object Streams {
     * the (src → dst) step from the previous event, with exactly ONE
     * (sec, event_id, event_type) row of state per user (bounded by the
     * user domain, not the stream length — the same state shape a
-    * sessionizer keeps). Within a micro-batch events are ordered by
+    * sessionizer keeps; on a CHURNING key domain, bound it further
+    * with event-time eviction, the [[attributionStepsWindowed]]
+    * template). Within a micro-batch events are ordered by
     * (sec, event_id), the same total order as the batch window; output
     * is the append-mode step stream, so a downstream batch aggregate
     * over the sink equals the batch transition counts EXACTLY when the
