@@ -384,7 +384,57 @@ object Conversions {
        |GROUP BY l_returnflag""".stripMargin
   }
 
+  /** tz_localize / tz_convert (pandas API surface:
+    * `cudf/core/series.py:4999-5010`, `cudf/core/_internals/timezones.py`):
+    * wall-clock ↔ instant moves between zones.
+    *
+    *   - localize: treat the stored wall time as America/New_York /
+    *     Asia/Tokyo local and return the UTC instant
+    *     (`to_utc_timestamp` ↔ DuckDB `timezone(tz, TIMESTAMP)`);
+    *   - convert: view the UTC instant on a target zone's wall clock
+    *     (`from_utc_timestamp` ↔ `timezone(tz, TIMESTAMPTZ)`).
+    *
+    * Gate conventions: outputs are epoch BIGINT / extracted fields, not
+    * raw timestamps (Spark writes tz-adjusted µs; DuckDB returns naive).
+    * Both engines resolve zone rules from current tzdata/ICU — identical
+    * here except inside DST gap/ambiguous wall hours, where engines may
+    * legally pick different offsets; this data spans January only (no
+    * transition in range) and Tokyo has no DST, so the convention is
+    * exact on the gate. A production caller localizing arbitrary
+    * wall times should treat gap/ambiguous hours as engine-defined.
+    * Pure projection: whole-stage codegen, no shuffle.
+    */
+  private def dtTzOps(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_utc"),
+        unix_timestamp(to_utc_timestamp(col("ts"), "America/New_York"))
+          .as("localize_ny_epoch"),
+        unix_timestamp(to_utc_timestamp(col("ts"), "Asia/Tokyo"))
+          .as("localize_tokyo_epoch"),
+        hour(from_utc_timestamp(col("ts"), "America/New_York"))
+          .cast(LongType)
+          .as("ny_hour"),
+        date_format(from_utc_timestamp(col("ts"), "Asia/Tokyo"),
+          "yyyy-MM-dd").as("tokyo_date"))
+
+  private val dtTzOpsSql =
+    """SELECT event_id,
+      |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_utc,
+      |  CAST(floor(epoch(timezone('America/New_York',
+      |    CAST(ts AS TIMESTAMP)))) AS BIGINT) AS localize_ny_epoch,
+      |  CAST(floor(epoch(timezone('Asia/Tokyo',
+      |    CAST(ts AS TIMESTAMP)))) AS BIGINT) AS localize_tokyo_epoch,
+      |  CAST(hour(timezone('America/New_York',
+      |    timezone('UTC', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS ny_hour,
+      |  strftime(timezone('Asia/Tokyo',
+      |    timezone('UTC', CAST(ts AS TIMESTAMP))), '%Y-%m-%d') AS tokyo_date
+      |FROM events""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "dt_tz_ops" -> Q(dtTzOps _, dtTzOpsSql),
     "dt_business_days" -> Q(dtBusinessDays _, dtBusinessDaysSql),
     "conv_zorder" -> Q(zorderCode _, zorderCodeSql),
     "scan_zorder_pruned" -> Q(scanZorderPruned _, scanZorderPrunedSql),

@@ -1572,7 +1572,49 @@ object Extras {
       |FROM touched WHERE event_type = 'purchase'
       |GROUP BY 1""".stripMargin
 
+  /** searchsorted (pandas API surface: `cudf/core/frame.py:1254`,
+    * libcudf `search.hpp` lower_bound/upper_bound): insertion indices of
+    * probe values into the sorted l_extendedprice column —
+    * lo_idx = #{x < p} (side='left'), hi_idx = #{x ≤ p} (side='right').
+    *
+    * Scale shape: NOT a sort + position lookup — one full scan with a
+    * pair of conditional-count partial aggregates per probe (map-side
+    * combined, no shuffle of the fact table), then a constant-size
+    * stack() unpivot of the single result row. At 100 TB this is one
+    * pass over the column regardless of probe count.
+    */
+  private def searchSorted(s: SparkSession, dir: String): DataFrame = {
+    val probes = Seq(1000d, 5000d, 10000d, 25000d, 50000d, 100000d)
+    val aggs = probes.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        sum(when(col("l_extendedprice") < p, 1L).otherwise(0L))
+          .as(s"lo_$i"),
+        sum(when(col("l_extendedprice") <= p, 1L).otherwise(0L))
+          .as(s"hi_$i"))
+    }
+    val one = Tables
+      .lineitem(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = probes.zipWithIndex
+      .map { case (p, i) => s"CAST($p AS DOUBLE), lo_$i, hi_$i" }
+      .mkString(", ")
+    one.select(
+      expr(s"stack(${probes.size}, $stackArgs) AS (probe, lo_idx, hi_idx)"))
+  }
+
+  private val searchSortedSql =
+    """SELECT p.probe,
+      |  CAST(sum(CASE WHEN l_extendedprice < p.probe THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS lo_idx,
+      |  CAST(sum(CASE WHEN l_extendedprice <= p.probe THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS hi_idx
+      |FROM lineitem CROSS JOIN (
+      |  SELECT unnest(CAST([1000, 5000, 10000, 25000, 50000, 100000]
+      |                     AS DOUBLE[])) AS probe) p
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "sort_searchsorted" -> Q(searchSorted _, searchSortedSql),
     "attribution_last_touch" -> Q(attributionLastTouch _, attributionLastTouchSql),
     "resample_ohlc" -> Q(resampleOhlc _, resampleOhlcSql),
     "ts_anomaly_zscore" -> Q(tsAnomalyZscore _, tsAnomalyZscoreSql),

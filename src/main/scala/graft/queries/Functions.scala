@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -421,7 +421,44 @@ object Functions {
        |  map_extract(m, 1)[1] * 2 AS qty1_dbl
        |FROM mm""".stripMargin
 
+  /** digitize (pandas API surface: `cudf/core/series.py:3399`, numpy
+    * semantics over ascending bin edges): per-row bin index against the
+    * literal edge ladder [10, 20, 30, 40] over l_quantity —
+    * bin_left = #{edge ≤ x} (right=False), bin_right = #{edge < x}
+    * (right=True). A pure comparison-sum projection: whole-stage
+    * codegen, no shuffle, edge count is a compile-time constant — the
+    * shape is embarrassingly parallel at any SF (cut/qcut cover the
+    * data-derived-edge variants).
+    */
+  private def digitize(s: SparkSession, dir: String): DataFrame = {
+    val edges = Seq(10d, 20d, 30d, 40d)
+    val q = col("l_quantity")
+    def countWhere(cmp: Double => Column): Column =
+      edges
+        .map(e => cmp(e).cast(LongType))
+        .reduce(_ + _)
+    Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        q.as("qty"),
+        countWhere(e => (q >= e)).as("bin_left"),
+        countWhere(e => (q > e)).as("bin_right"))
+  }
+
+  private val digitizeSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+      |  CAST(l_quantity >= 10 AS BIGINT) + CAST(l_quantity >= 20 AS BIGINT)
+      |    + CAST(l_quantity >= 30 AS BIGINT) + CAST(l_quantity >= 40 AS BIGINT)
+      |    AS bin_left,
+      |  CAST(l_quantity > 10 AS BIGINT) + CAST(l_quantity > 20 AS BIGINT)
+      |    + CAST(l_quantity > 30 AS BIGINT) + CAST(l_quantity > 40 AS BIGINT)
+      |    AS bin_right
+      |FROM lineitem""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "math_digitize" -> Q(digitize _, digitizeSql),
     "map_ops" -> Q(mapOps _, mapOpsSql),
     "str_basic" -> Q(strBasic _, strBasicSql),
     "str_regex" -> Q(strRegex _, strRegexSql),

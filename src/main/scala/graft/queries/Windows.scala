@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Agg, Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -438,8 +438,167 @@ object Windows {
       |  min(CASE WHEN rn = (99 * n + 99) // 100 THEN vm END) AS p99_e4
       |FROM ranked GROUP BY day""".stripMargin
 
+  /** pct_change (pandas API surface: `cudf/core/dataframe.py:7806`,
+    * `series.py:3719`, periods=1, fill_method=None): fractional change
+    * vs the previous observation per user, event-time order.
+    *
+    * Hash-exact without fixed-point routing: `(x − lag(x)) / lag(x)` is
+    * two correctly-rounded IEEE ops on bit-identical parquet inputs in a
+    * deterministic total order ((ts, event_id) — event_id unique), so
+    * Spark and DuckDB produce the same double bit pattern. `value` > 0
+    * in this table; a zero denominator would diverge (Spark gives ±Inf,
+    * DuckDB NULL-vs-Inf varies by version), so the expression guards
+    * with nullif anyway — the portable convention.
+    */
+  private def pctChange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("value"), 1).over(w)
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        ((col("value") - prev) / nullif(prev, lit(0d))).as("pct_chg"))
+  }
+
+  private val pctChangeSql =
+    """SELECT user_id, event_id,
+      |  (value - lag(value) OVER w) / nullif(lag(value) OVER w, 0)
+      |    AS pct_chg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin
+
+  /** rank() tie methods (pandas `rank(method=…)` surface:
+    * `cudf/core/indexed_frame.py:6345-6370`; libcudf
+    * `sorting.hpp:203` rank_method AVERAGE/MIN/MAX/FIRST/DENSE, plus
+    * pct=True): Spark has no built-in AVERAGE/MAX tie rank, so both are
+    * derived from rank() + the tie-group count —
+    * avg = rnk + (ties−1)/2, max = rnk + ties − 1 — the classical
+    * identities, computed with identical expressions on both sides.
+    * Partition key user_id is SF-scaled (fine-grained), frames bounded
+    * by per-user event counts: no hotspot at 100 TB. Values are binned
+    * (floor(value/10)) to manufacture real ties.
+    */
+  private def rankTies(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("vbin"))
+    val wFirst = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("vbin"), col("event_id"))
+    val wTie = Window.partitionBy(col("user_id"), col("vbin"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val rnk = rank().over(wOrd).cast(LongType)
+    val ties = count(lit(1)).over(wTie)
+    val n = count(lit(1)).over(wAll)
+    val avgRnk = rnk + (ties - lit(1L)) / lit(2.0)
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        floor(col("value") / 10).cast(LongType).as("vbin"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("vbin"),
+        avgRnk.as("avg_rnk"),
+        rnk.as("min_rnk"),
+        (rnk + ties - lit(1L)).as("max_rnk"),
+        row_number().over(wFirst).cast(LongType).as("first_rnk"),
+        dense_rank().over(wOrd).cast(LongType).as("dense_rnk"),
+        (avgRnk / n).as("pct_rnk"))
+  }
+
+  private val rankTiesSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(value / 10) AS BIGINT) AS vbin
+      |  FROM events)
+      |SELECT user_id, event_id, vbin,
+      |  rank() OVER w + (count(*) OVER wt - 1) / 2.0 AS avg_rnk,
+      |  rank() OVER w AS min_rnk,
+      |  rank() OVER w + count(*) OVER wt - 1 AS max_rnk,
+      |  row_number() OVER wf AS first_rnk,
+      |  dense_rank() OVER w AS dense_rnk,
+      |  (rank() OVER w + (count(*) OVER wt - 1) / 2.0)
+      |    / count(*) OVER (PARTITION BY user_id) AS pct_rnk
+      |FROM e
+      |WINDOW w  AS (PARTITION BY user_id ORDER BY vbin),
+      |       wf AS (PARTITION BY user_id ORDER BY vbin, event_id),
+      |       wt AS (PARTITION BY user_id, vbin)""".stripMargin
+
+  /** Cumulative / rolling PRODUCT scan (pandas `cumprod`:
+    * `cudf/core/indexed_frame.py:262`; libcudf PRODUCT Kind
+    * `aggregation.hpp:88` as a groupby scan / rolling aggregation).
+    * Spark has no product window builtin, so the frame is folded
+    * exactly in integer space: collect_list over the frame →
+    * `aggregate(_, 1L, _*_)`.
+    *
+    * Runs on events under the (ts, event_id) order — event_id is
+    * unique, so the running product is deterministic at every row
+    * (lineitem's l_linenumber ties within an order would make
+    * intermediate rows order-dependent). Exactness envelopes vs the
+    * DuckDB `product()::DOUBLE` twin (exact while |product| < 2^53):
+    * the unbounded cumprod multiplies signs {−1, +1}, which never
+    * overflows at ANY group size — per-user event counts grow with SF,
+    * and the running product is computed O(1)-per-row as the PARITY of
+    * a running negative count ((−1)^k decomposition — the distributed
+    * cumprod shape: sign from a running count, magnitude, when needed,
+    * from a running log-sum), NOT an O(frame) re-fold per row. The
+    * 5-row rolling product folds (floor(value) % 7 + 1) ≤ 7^5 exactly
+    * over its constant-size frame.
+    */
+  private def cumProd(s: SparkSession, dir: String): DataFrame = {
+    val wCum = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wRoll = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    def fold(c: Column): Column =
+      aggregate(c, lit(1L), (acc, x) => acc * x)
+    val vInt = floor(col("value")).cast(LongType)
+    val negCnt =
+      sum(when(col("vi") % 2 === 0, 1L).otherwise(0L)).over(wCum)
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts"),
+        vInt.as("vi"),
+        (vInt % 7 + 1).as("v7"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        when(negCnt % 2 === 0, lit(1L)).otherwise(lit(-1L))
+          .as("cumprod_sign"),
+        fold(collect_list(col("v7")).over(wRoll)).as("rollprod_v7"))
+  }
+
+  private val cumProdSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN CAST(floor(value) AS BIGINT) % 2 = 0
+      |         THEN -1 ELSE 1 END AS sgn,
+      |    CAST(floor(value) AS BIGINT) % 7 + 1 AS v7
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  CAST(product(sgn) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cumprod_sign,
+      |  CAST(product(v7) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS rollprod_v7
+      |FROM e""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "win_percentile_bands" -> Q(percentileBands _, percentileBandsSql),
+    "win_pct_change" -> Q(pctChange _, pctChangeSql),
+    "win_rank_ties" -> Q(rankTies _, rankTiesSql),
+    "win_cumprod" -> Q(cumProd _, cumProdSql),
     "win_rolling_rows" -> Q(rollingRows _, rollingRowsSql),
     "win_rolling_var" -> Q(rollingVar _, rollingVarSql),
     "win_rolling_autocorr" -> Q(rollingAutocorr _, rollingAutocorrSql),

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the pandas-API surface queries added in round 14:
+  * pct_change, rank tie-methods, cumprod scan, searchsorted, digitize.
+  * The DuckDB gate checks cross-engine equality; these pin the MATH —
+  * each result is re-derived from an independent identity or a brute
+  * in-memory fold.
+  */
+class PandasApiSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pct_change matches value/prev - 1 and nulls the first row per user") {
+    val rows = queries.Windows
+      .queries("win_pct_change")
+      .fn(spark, sf)
+      .collect()
+    val byUser = Tables
+      .events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(
+        _.sortBy(r => (r.getTimestamp(2).getTime, r.getLong(1))).toSeq)
+      .toMap
+    val expected = byUser.flatMap { case (u, evs) =>
+      evs.zipWithIndex.map { case (r, i) =>
+        val pct =
+          if (i == 0) null
+          else {
+            val prev = evs(i - 1).getDouble(3)
+            java.lang.Double.valueOf((r.getDouble(3) - prev) / prev)
+          }
+        (u, r.getLong(1)) -> pct
+      }
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val exp = expected((r.getLong(0), r.getLong(1)))
+      if (exp == null) assert(r.isNullAt(2))
+      else assert(r.getDouble(2) == exp.doubleValue())
+    }
+  }
+
+  test("rank ties: avg=(min+max)/2, first is a permutation, pct ends at (n+1)/2n..1") {
+    val df = queries.Windows.queries("win_rank_ties").fn(spark, sf)
+    val bad = df
+      .filter(
+        col("avg_rnk") =!= (col("min_rnk") + col("max_rnk")) / 2.0 ||
+          col("min_rnk") > col("first_rnk") ||
+          col("first_rnk") > col("max_rnk") ||
+          col("pct_rnk") <= 0 || col("pct_rnk") > 1)
+      .count()
+    assert(bad == 0)
+    // method='first' assigns each row a distinct 1..n per user
+    val firstOk = df
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("first_rnk")).as("d"),
+        max(col("first_rnk")).as("mx"),
+        min(col("first_rnk")).as("mn"))
+      .filter(
+        col("n") =!= col("d") || col("mx") =!= col("n") || col("mn") =!= 1)
+      .count()
+    assert(firstOk == 0)
+  }
+
+  test("cumprod sign equals brute product of per-event signs") {
+    val rows = queries.Windows
+      .queries("win_cumprod")
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val byUser = Tables
+      .events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value")).cast("long").as("vi"))
+      .collect()
+      .groupBy(_.getLong(0))
+    byUser.foreach { case (u, evs) =>
+      var prod = 1L
+      evs.sortBy(r => (r.getTimestamp(2).getTime, r.getLong(1))).foreach {
+        r =>
+          prod *= (if (r.getLong(3) % 2 == 0) -1L else 1L)
+          assert(rows((u, r.getLong(1))) == prod)
+      }
+    }
+  }
+
+  test("searchsorted indices are monotone and equal an independent count") {
+    val got = queries.Extras
+      .queries("sort_searchsorted")
+      .fn(spark, sf)
+      .collect()
+      .sortBy(_.getDouble(0))
+    val prices =
+      Tables.lineitem(spark, sf).select(col("l_extendedprice")).collect()
+        .map(_.getDouble(0))
+    var prevHi = 0L
+    got.foreach { r =>
+      val p = r.getDouble(0)
+      val lo = prices.count(_ < p).toLong
+      val hi = prices.count(_ <= p).toLong
+      assert(r.getLong(1) == lo && r.getLong(2) == hi)
+      assert(lo <= hi && r.getLong(1) >= 0 && hi >= prevHi)
+      prevHi = hi
+    }
+  }
+
+  test("tz ops: January offsets are exactly EST +5h / JST -9h") {
+    val bad = queries.Conversions
+      .queries("dt_tz_ops")
+      .fn(spark, sf)
+      .filter(
+        col("localize_ny_epoch") - col("epoch_utc") =!= 5L * 3600 ||
+          col("localize_tokyo_epoch") - col("epoch_utc") =!= -9L * 3600 ||
+          col("ny_hour") < 0 || col("ny_hour") > 23)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("digitize: numpy semantics at and between the edges") {
+    val byQty = queries.Functions
+      .queries("math_digitize")
+      .fn(spark, sf)
+      .select(col("qty"), col("bin_left"), col("bin_right"))
+      .distinct()
+      .collect()
+    val edges = Seq(10d, 20d, 30d, 40d)
+    byQty.foreach { case Row(q: Double, bl: Long, br: Long) =>
+      assert(bl == edges.count(_ <= q), s"left at $q")
+      assert(br == edges.count(_ < q), s"right at $q")
+    }
+    // edge value lands IN the lower bin for right=True, upper for right=False
+    val at10 = byQty.find(_.getDouble(0) == 10d)
+    at10.foreach(r => assert(r.getLong(1) == 1 && r.getLong(2) == 0))
+  }
+}
