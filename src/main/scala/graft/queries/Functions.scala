@@ -421,7 +421,8 @@ object Functions {
        |  map_extract(m, 1)[1] * 2 AS qty1_dbl
        |FROM mm""".stripMargin
 
-  /** digitize (pandas API surface: `cudf/core/series.py:3399`, numpy
+  /** digitize (pandas API surface: `cudf/core/series.py:3399`; libcudf
+    * `labeling/label_bins.hpp` inclusive-edge variants, numpy
     * semantics over ascending bin edges): per-row bin index against the
     * literal edge ladder [10, 20, 30, 40] over l_quantity —
     * bin_left = #{edge ≤ x} (right=False), bin_right = #{edge < x}

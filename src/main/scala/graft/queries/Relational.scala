@@ -94,6 +94,104 @@ object Relational {
   private val sliceOffsetLimitSql =
     "SELECT * FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100"
 
+  /** Stride slicing (pandas `df.iloc[start:stop:step]` —
+    * `cudf/core/indexed_frame.py:2995` lowers the stride to a gather
+    * map): every 3rd row of the o_orderkey order inside [10, 5000),
+    * expressed as a predicate on the range-partitioned global row
+    * number (`operators.GlobalOrder.rowNumber`: partition offsets +
+    * local numbering — no single-partition window), so the selection
+    * stays fully distributed at any SF instead of materializing a
+    * gather map on one node.
+    */
+  private def sliceStride(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalOrder
+    GlobalOrder
+      .rowNumber(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_orderkey")),
+        "rn")
+      .filter(
+        col("rn") >= 11 && col("rn") <= 5000 && (col("rn") - 11) % 3 === 0)
+  }
+
+  private val sliceStrideSql =
+    """WITH n AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    row_number() OVER (ORDER BY o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_orderkey, o_totalprice, rn FROM n
+      |WHERE rn >= 11 AND rn <= 5000 AND (rn - 11) % 3 = 0""".stripMargin
+
+  /** GroupBy row-selection family (pandas API surface:
+    * `cudf/core/groupby/groupby.py:674-1352` — cumcount, head(n),
+    * tail(n), nth(n), ngroup): per-user event-time order, keep the
+    * head-3 / tail-2 / 2nd rows with marker columns.
+    *
+    * Scale notes: the per-group windows partition on the SF-scaled
+    * user_id (bounded frames, no hotspot). ngroup — the dense 0-based
+    * number of each group key — is NOT a global dense_rank over the
+    * fact table (single-task window); it numbers the DISTINCT key set
+    * through `GlobalOrder.rowNumber` (range-partitioned) and equi-joins
+    * back on the grouping key, co-partitioned with the window shuffle.
+    */
+  private def groupHeadTail(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalOrder
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wd = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ngroups = GlobalOrder
+      .rowNumber(
+        ev.select(col("user_id")).distinct(),
+        Seq(col("user_id")),
+        "rn_g")
+      .select(col("user_id"), (col("rn_g") - 1L).as("ngroup"))
+    ev
+      .select(
+        col("user_id"),
+        col("event_id"),
+        row_number().over(w).cast(LongType).as("rn"),
+        row_number().over(wd).cast(LongType).as("rnd"))
+      .filter(col("rn") <= 3 || col("rnd") <= 2)
+      .join(ngroups, Seq("user_id"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        (col("rn") - 1L).as("cumcount"),
+        (col("rn") <= 3).as("is_head"),
+        (col("rnd") <= 2).as("is_tail"),
+        (col("rn") === 2).as("is_nth1"),
+        col("ngroup"))
+  }
+
+  private val groupHeadTailSql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    row_number() OVER (ORDER BY user_id) - 1 AS ngroup
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |n AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER w AS rn,
+      |    row_number() OVER wd AS rnd
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY CAST(ts AS TIMESTAMP), event_id),
+      |         wd AS (PARTITION BY user_id
+      |               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC))
+      |SELECT n.user_id, event_id,
+      |  rn - 1 AS cumcount,
+      |  rn <= 3 AS is_head,
+      |  rnd <= 2 AS is_tail,
+      |  rn = 2 AS is_nth1,
+      |  g.ngroup
+      |FROM n JOIN g ON n.user_id = g.user_id
+      |WHERE rn <= 3 OR rnd <= 2""".stripMargin
+
   /** sequence (filling.hpp:180): generated range with derived columns. */
   private def sequenceRange(s: SparkSession, dir: String): DataFrame =
     s.range(1, 1001)
@@ -1078,6 +1176,8 @@ object Relational {
     "drop_nulls" -> Q(dropNulls _, dropNullsSql),
     "copy_if_else" -> Q(copyIfElse _, copyIfElseSql),
     "slice_offset_limit" -> Q(sliceOffsetLimit _, sliceOffsetLimitSql),
+    "slice_stride" -> Q(sliceStride _, sliceStrideSql),
+    "group_head_tail" -> Q(groupHeadTail _, groupHeadTailSql),
     "sequence_range" -> Q(sequenceRange _, sequenceRangeSql),
     "repeat_rows" -> Q(repeatRows _, repeatRowsSql),
     "tile_rows" -> Q(tileRows _, tileRowsSql),

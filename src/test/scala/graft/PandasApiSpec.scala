@@ -125,6 +125,54 @@ class PandasApiSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("slice_stride equals the brute iloc[10:5000:3] gather") {
+    val got = queries.Relational
+      .queries("slice_stride")
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy(_._2)
+    val all = Tables
+      .orders(spark, sf)
+      .select(col("o_orderkey"))
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    val exp = all.zipWithIndex
+      .collect { case (k, i) if i >= 10 && i < 5000 && (i - 10) % 3 == 0 =>
+        (k, i + 1L)
+      }
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("group_head_tail: 5 rows per user unless head and tail overlap") {
+    val df = queries.Relational.queries("group_head_tail").fn(spark, sf)
+    val perUser = df.groupBy(col("user_id")).count().collect()
+    val sizes = Tables
+      .events(spark, sf)
+      .groupBy(col("user_id"))
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    perUser.foreach { r =>
+      val n = sizes(r.getLong(0))
+      assert(r.getLong(1) == math.min(n, 5L))
+    }
+    // ngroup is dense 0..k-1 over the sorted distinct keys
+    val ng = df
+      .select(col("user_id"), col("ngroup"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(ng.map(_._2).toSeq == ng.indices.map(_.toLong))
+    // every group's head row carries cumcount 0
+    assert(
+      df.filter(col("cumcount") === 0).count() == sizes.size &&
+        df.filter(col("is_head") && col("cumcount") > 2).count() == 0)
+  }
+
   test("digitize: numpy semantics at and between the edges") {
     val byQty = queries.Functions
       .queries("math_digitize")
