@@ -103,7 +103,10 @@ object Explain {
         "asof_enrich" -> Streams.asOfEnrich(ev, "click", "purchase"),
         "drift_monitor" -> Streams.driftMonitor(ev,
           Seq(("click", 500000L), ("view", 500000L))),
-        "enrich_dim" -> Streams.enrichWithDim(ev, Tables.customer(spark, sfDir))
+        "enrich_dim" -> Streams.enrichWithDim(ev, Tables.customer(spark, sfDir)),
+        "start_state" -> Streams.runningAggFromInitialState(spark, ev,
+          Tables.events(spark, sfDir).groupBy(col("event_type"))
+            .agg(expr("count(*)").as("n0"), expr("0L").as("cents0")))
       )
       var streamSmellCount = 0
       streamPlans.foreach { case (name, df) =>

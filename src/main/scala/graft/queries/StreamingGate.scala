@@ -7,7 +7,7 @@ import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DateType
+import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
 
 /** Structured-Streaming operators promoted into the driver's DuckDB
   * oracle gate (reference: custreamz's differential contract — a
@@ -263,6 +263,55 @@ object StreamingGate {
         when(col("stage") === "1_view", lit(1000000L))
           .otherwise(expr("(n_users * 1000000) div nv")).as("conv_ppm"))
   }
+
+  // ------------------------------------------------------ stream_start_state
+
+  /** Aggregation with a start state (test_dataframes.py:743): the first
+    * half of January is aggregated as a BATCH job into the initial
+    * state; only the second half is replayed through the stream — the
+    * finals must equal the batch aggregate over the WHOLE table, which
+    * is exactly what the oracle recomputes. Certifies the
+    * `flatMapGroupsWithState(initialState)` backfill→stream handoff
+    * end-to-end, not just the stateful operator.
+    */
+  private def streamStartState(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-16 00:00:00").cast(TimestampType)
+    val ev = Tables.events(s, dir)
+    val hist = ev
+      .filter(col("ts") < cutoff)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(floor(col("value") * 100).cast(LongType)).as("cents0"))
+    val d = tempDir("graft-gate-start-state")
+    ev.filter(col("ts") >= cutoff)
+      .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+      .repartition(4)
+      .write
+      .mode("overwrite")
+      .parquet(d)
+    val sinkDf = Streams.runToCompletion(
+      s,
+      Streams.runningAggFromInitialState(s, Streams.readEventStream(s, d),
+        hist),
+      sink("gate_start_state"))
+    // State-snapshot read side: initial state OVERRIDDEN by sink
+    // updates. Update mode only emits TOUCHED keys — a key with no
+    // post-cutoff rows lives solely in the seeded state — so finals =
+    // init ∪ emissions, max per key (both fields strictly monotone).
+    sinkDf
+      .unionByName(
+        hist.select(col("event_type"), col("n0").as("n_events"),
+          col("cents0").as("cents")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_events")).as("n_events"), max(col("cents")).as("cents"))
+  }
+
+  private val streamStartStateSql =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY event_type""".stripMargin
 
   // ------------------------------------------------------ stream_running_agg
 
@@ -851,6 +900,7 @@ object StreamingGate {
     "stream_transitions" -> Q(streamTransitions _, Extras.pathTransitionsSql),
     "stream_funnel" -> Q(streamFunnel _, Extras.funnelConversionSql),
     "stream_running_agg" -> Q(streamRunningAgg _, streamRunningAggSql),
+    "stream_start_state" -> Q(streamStartState _, streamStartStateSql),
     "stream_tumbling" -> Q(streamTumbling _, streamTumblingSql),
     "stream_sliding" -> Q(streamSliding _, streamSlidingSql),
     "stream_session" -> Q(streamSession _, streamSessionSql),

@@ -699,6 +699,49 @@ object Streams {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("c_mktsegment"))
 
+  /** Grouped aggregate seeded from PRIOR state (custreamz
+    * `test_dataframes.py:743` test_groupby_aggregate_with_start_state,
+    * plus the reductions/window `_with_start_state` variants at
+    * 794-889): the running (count, exact integer-cents sum) per
+    * event_type CONTINUES from a batch-computed initial state instead
+    * of replaying history — Structured Streaming's
+    * `flatMapGroupsWithState(initialState = …)` handoff, the native
+    * backfill→stream transition at scale (the history scan runs once
+    * as a batch job; the stream starts hot).
+    *
+    * Contracts: state is 2 longs per key over the bounded event_type
+    * vocabulary; per-key merge is commutative integer adds, so ANY
+    * replay batching reaches the same finals. Update-mode emissions
+    * are per-batch snapshots; both fields are strictly monotone, so
+    * the final per key = max over emissions.
+    */
+  def runningAggFromInitialState(
+      spark: SparkSession,
+      events: DataFrame,
+      initState: DataFrame): DataFrame = {
+    import spark.implicits._
+    val init = initState
+      .select(col("event_type"), col("n0").cast(LongType),
+        col("cents0").cast(LongType))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+    events
+      .select(col("event_type"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout(), init) {
+        case (key, rows, state: GroupState[(Long, Long)]) =>
+          var (n, c) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => n += 1; c += r._2 }
+          state.update((n, c))
+          Iterator((key, n, c))
+      }
+      .toDF("event_type", "n_events", "cents")
+  }
+
   /** Run a streaming query to completion against a static replay dir and
     * return the in-memory sink table (used by tests and demos;
     * checkpointing exercised via the checkpointLocation option).

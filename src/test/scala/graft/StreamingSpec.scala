@@ -35,6 +35,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("start-state handoff: batch history + stream tail equals whole-table agg at any cutoff") {
+    val ev = Tables.events(spark, sf)
+    val expected = ev
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    Seq("2024-01-05 00:00:00", "2024-01-20 12:00:00").zipWithIndex.foreach {
+      case (cutoff, i) =>
+        val cut = lit(cutoff).cast("timestamp")
+        val hist = ev
+          .filter(col("ts") < cut)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n0"),
+            sum(floor(col("value") * 100).cast("long")).as("cents0"))
+        val d = Files.createTempDirectory(s"graft-startstate-$i").toString
+        ev.filter(col("ts") >= cut)
+          .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+          .repartition(4)
+          .write.mode("overwrite").parquet(d)
+        val got = Streams
+          .runToCompletion(spark,
+            Streams.runningAggFromInitialState(spark,
+              Streams.readEventStream(spark, d), hist),
+            s"t_startstate_$i")
+          .groupBy(col("event_type"))
+          .agg(max(col("n_events")).as("n"), max(col("cents")).as("c"))
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
+        assert(got == expected, s"cutoff=$cutoff")
+    }
+  }
+
   test("tumbling 5-minute windows match batch bucketing") {
     val stream = Streams.readEventStream(spark, replayDir)
     val got = Streams
