@@ -36,14 +36,18 @@ import org.apache.spark.sql.functions._
 object AmplifiedBench {
 
   /** NDS-H 22 + the six r13 grouped-scan rewires + the five most
-    * expensive driver-bench entries.
+    * expensive driver-bench entries + the round-14 pandas-API shapes
+    * (fine-grained-key windows, GlobalOrder stride/ngroup, one-scan
+    * searchsorted).
     */
   val selection: Seq[String] =
     (1 to 22).map(i => s"ndsh_q$i") ++ Seq(
       "agg_weighted_median", "win_rank_family", "sample_balanced_labels",
       "mix_token_budget", "qcut_bins", "clean_winsorize",
       "graph_pagerank", "join_skew_salted", "dedup_substring_spans",
-      "retrieval_rrf_fusion", "dedup_ngram_jaccard")
+      "retrieval_rrf_fusion", "dedup_ngram_jaccard",
+      "win_pct_change", "win_rank_ties", "win_cumprod",
+      "sort_searchsorted", "slice_stride", "group_head_tail")
 
   /** Writes the factor-amplified dataset as `{table}.parquet` under a
     * temp dir honoring the same directory contract as /root/testdata,
@@ -149,7 +153,10 @@ object AmplifiedBench {
       med
     }
 
-    val rows = selection.map { n =>
+    // Local-iteration filter, same contract as Verify's SPARK_GRAFT_ONLY.
+    val only = sys.env.get("SPARK_GRAFT_AMP_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val rows = selection.filter(n => only.forall(_.contains(n))).map { n =>
       val base = timed(n, sfDir)
       val amp = timed(n, ampDir)
       val ratio = if (base > 0 && amp > 0) amp / base else -1.0
