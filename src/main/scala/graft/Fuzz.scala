@@ -107,7 +107,37 @@ object Fuzz {
     }
 
     def query(): String = {
-      val kind = rng.nextInt(17)
+      val kind = rng.nextInt(18)
+      if (kind == 17) {
+        // TIE-RANK + PCT-CHANGE template (r14): the derived rank tie
+        // methods (avg = rnk + (ties−1)/2, max = rnk + ties − 1) and
+        // the lag-ratio pct_change — the two window conventions the
+        // round-14 queries rely on. avg_rnk exercises BIGINT + DOUBLE
+        // promotion on both engines (DuckDB `/` is float division, so
+        // the 2.0 divisor lands DOUBLE, not DECIMAL); pct_chg is two
+        // correctly-rounded IEEE ops on identical inputs under a
+        // unique (ts, event_id) order, so the double is bit-exact
+        // cross-engine; nullif guards the (here impossible) zero lag.
+        // The divisor is spelled 2e0: in SHARED SQL Spark parses a
+        // `2.0` literal as DECIMAL(2,1) (→ DECIMAL(28,6) division,
+        // type-gate fail), while the Scala-DSL twin's lit(2.0) is a
+        // double — the exponent form is DOUBLE in both parsers.
+        val d = 5 + rng.nextInt(16)
+        val k = 1 + rng.nextInt(2)
+        return s"""SELECT user_id, event_id, vbin,
+           |  CAST(rank() OVER w + count(*) OVER wt - 1 AS BIGINT)
+           |    AS max_rnk,
+           |  rank() OVER w + (count(*) OVER wt - 1) / 2e0 AS avg_rnk,
+           |  (v - lag(v, $k) OVER wo) / nullif(lag(v, $k) OVER wo, 0)
+           |    AS pct_chg
+           |FROM (
+           |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tse,
+           |    value AS v, CAST(floor(value / $d) AS BIGINT) AS vbin
+           |  FROM events WHERE ${eventsPred()})
+           |WINDOW w  AS (PARTITION BY user_id ORDER BY vbin),
+           |       wt AS (PARTITION BY user_id, vbin),
+           |       wo AS (PARTITION BY user_id ORDER BY tse, event_id)""".stripMargin
+      }
       if (kind == 16) {
         // STRING-BUILDER parity template (r11): the pad/repeat/position/
         // translate/split_part family over documents, with nullif-
