@@ -142,6 +142,56 @@ object Functions {
       |    AS days_to_end
       |FROM orders""".stripMargin
 
+  /** Calendar names, ISO week calendar, and boundary flags (pandas dt
+    * accessor surface: day_name/month_name/isocalendar/weekday and the
+    * is_leap_year / is_month_start/end / is_quarter_start /
+    * is_year_start predicate family — `cudf/core/series.py` dt
+    * accessor; libcudf `datetime.hpp:202` is_leap_year, `:93`
+    * last_day_of_month). All pure projections in whole-stage codegen.
+    * ISO year comes from extract(YEAROFWEEK) ↔ DuckDB isoyear();
+    * names from date_format EEEE/MMMM ↔ dayname()/monthname() (both
+    * English on this gate — Spark's default locale and DuckDB's only
+    * one); leap year spelled as the Gregorian rule on both sides.
+    */
+  private def dtCalendarFlags(s: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate")
+    val yr = year(d)
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        date_format(d, "EEEE").as("day_nm"),
+        date_format(d, "MMMM").as("month_nm"),
+        weekofyear(d).as("iso_week"),
+        expr("extract(YEAROFWEEK FROM o_orderdate)")
+          .cast(IntegerType)
+          .as("iso_year"),
+        (yr % 4 === 0 && (yr % 100 =!= 0 || yr % 400 === 0))
+          .as("is_leap"),
+        (dayofmonth(d) === 1).as("is_month_start"),
+        (d === last_day(d)).as("is_month_end"),
+        (d === date_trunc("quarter", d).cast(DateType))
+          .as("is_quarter_start"),
+        (dayofmonth(d) === 1 && month(d) === 1).as("is_year_start"))
+  }
+
+  private val dtCalendarFlagsSql =
+    """SELECT o_orderkey,
+      |  dayname(o_orderdate) AS day_nm,
+      |  monthname(o_orderdate) AS month_nm,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+      |  CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+      |  (year(o_orderdate) % 4 = 0 AND (year(o_orderdate) % 100 <> 0
+      |    OR year(o_orderdate) % 400 = 0)) AS is_leap,
+      |  day(o_orderdate) = 1 AS is_month_start,
+      |  CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE))
+      |    AS is_month_end,
+      |  CAST(o_orderdate AS DATE)
+      |    = CAST(date_trunc('quarter', o_orderdate) AS DATE)
+      |    AS is_quarter_start,
+      |  (day(o_orderdate) = 1 AND month(o_orderdate) = 1) AS is_year_start
+      |FROM orders""".stripMargin
+
   /** unary math (unary.hpp:119-142) + round/bround (round.hpp:75) +
     * clamp (replace.hpp:219). Transcendentals rounded to 6 dp.
     */
@@ -465,6 +515,7 @@ object Functions {
     "str_regex" -> Q(strRegex _, strRegexSql),
     "str_datetime_conv" -> Q(strDatetimeConv _, strDatetimeConvSql),
     "dt_extract" -> Q(dtExtract _, dtExtractSql),
+    "dt_calendar_flags" -> Q(dtCalendarFlags _, dtCalendarFlagsSql),
     "math_unary" -> Q(mathUnary _, mathUnarySql),
     "math_binary" -> Q(mathBinary _, mathBinarySql),
     "null_utils" -> Q(nullUtils _, nullUtilsSql),
