@@ -710,7 +710,49 @@ object Aggregates {
        |$rows""".stripMargin
   }
 
+  /** Gram matrix — the `DataFrame.dot` anchor (pandas API,
+    * `cudf/core/dataframe.py` dot; the X^T·X inner-product table that
+    * PCA/regression consume): G[i][j] = Σ_rows x_i·x_j over the first 6
+    * embedding dims, exact in integer milli-units (each float element
+    * is cast to double — exact — then floor(x·10³); products and sums
+    * stay in BIGINT, |Σ| < 2⁶³ until ~10¹² rows at this magnitude).
+    *
+    * Scale shape: ONE full scan producing all 21 upper-triangle sums as
+    * map-side-combined partial aggregates (no shuffle of the fact
+    * table, d²-bounded state), then a constant-size stack() unpivot —
+    * the distributed matmul shape, not a row-pair join.
+    */
+  private def gramMatrix(s: SparkSession, dir: String): DataFrame = {
+    val dims = 6
+    def q(i: Int) =
+      floor(element_at(col("embedding"), i + 1).cast(DoubleType) * 1000)
+        .cast(LongType)
+    val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      sum(q(i) * q(j)).as(s"g_${i}_$j")
+    }
+    val one = Tables.embeddings(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs
+      .map { case (i, j) => s"$i, $j, g_${i}_$j" }
+      .mkString(", ")
+    one.select(
+      expr(s"stack(${pairs.size}, $stackArgs) AS (i, j, gram)"))
+  }
+
+  private val gramMatrixSql =
+    """WITH d AS (SELECT unnest(range(0, 6)) AS i),
+      |pairs AS (
+      |  SELECT d1.i AS i, d2.i AS j FROM d d1, d d2 WHERE d1.i <= d2.i)
+      |SELECT p.i, p.j,
+      |  CAST(sum(
+      |    CAST(floor(CAST(embedding[p.i + 1] AS DOUBLE) * 1000) AS BIGINT)
+      |    * CAST(floor(CAST(embedding[p.j + 1] AS DOUBLE) * 1000) AS BIGINT))
+      |  AS BIGINT) AS gram
+      |FROM embeddings, pairs p
+      |GROUP BY p.i, p.j""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "emb_gram_matrix" -> Q(gramMatrix _, gramMatrixSql),
     "frame_corr_matrix" -> Q(frameCorrMatrix _, frameCorrMatrixSql),
     "agg_weighted_median" -> Q(weightedMedian _, weightedMedianSql),
     "agg_tdigest_quantiles" -> Q(aggTdigestQuantiles _, None),
