@@ -208,6 +208,32 @@ final case class Frame(df: DataFrame) {
   def clip(c: String, lo: Double, hi: Double, out: String): Frame =
     Frame(df.withColumn(out, least(greatest(col(c), lit(lo)), lit(hi))))
 
+  /** Series.replace(dict): swap listed values, keep everything else
+    * (cudf `indexed_frame.replace`, libcudf `replace.hpp`
+    * find_and_replace_all). A literal when-chain — whole-stage codegen,
+    * no broadcast — is the right shape for the small dicts this API
+    * takes; a table-sized mapping should be a broadcast left join +
+    * coalesce instead (see `merge`).
+    */
+  def replaceValues(c: String, mapping: Seq[(Any, Any)]): Frame = {
+    val swapped = mapping.foldLeft(col(c)) { case (acc, (k, v)) =>
+      when(col(c) === lit(k), lit(v)).otherwise(acc)
+    }
+    Frame(df.withColumn(c, swapped))
+  }
+
+  /** Series.map(dict): lookup with NULL for unmatched keys (pandas
+    * semantics — unlike replace, misses do NOT pass through).
+    */
+  def mapDict(c: String, mapping: Seq[(Any, Any)], out: String): Frame = {
+    require(mapping.nonEmpty, "mapDict needs at least one pair")
+    val first = when(col(c) === lit(mapping.head._1), lit(mapping.head._2))
+    val chained = mapping.tail.foldLeft(first) { case (acc, (k, v)) =>
+      acc.when(col(c) === lit(k), lit(v))
+    }
+    Frame(df.withColumn(out, chained))
+  }
+
   /** DataFrame.mask: replace where cond holds (cudf copy_if_else dual). */
   def mask(c: String, cond: Column, value: Column): Frame =
     Frame(df.withColumn(c, when(cond, value).otherwise(col(c))))

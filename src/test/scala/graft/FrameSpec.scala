@@ -142,6 +142,22 @@ class FrameSpec extends AnyFunSuite {
     assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
   }
 
+  test("replace swaps listed values and passes misses; map nulls them") {
+    import spark.implicits._
+    val base = Frame(Seq("en", "de", "fr", "zz").toDF("lang"))
+    val rep = base
+      .replaceValues("lang", Seq("en" -> "english", "de" -> "german"))
+      .df.as[String].collect().sorted.toSeq
+    assert(rep == Seq("english", "fr", "german", "zz"))
+    val mapped = base
+      .mapDict("lang", Seq("en" -> 1, "de" -> 2), "code")
+      .df.select("lang", "code").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(mapped == Map("en" -> Some(1), "de" -> Some(2),
+      "fr" -> None, "zz" -> None))
+  }
+
   test("duplicated marks all rows beyond the first of each key group") {
     val d = li.duplicated(Seq("l_orderkey"),
       Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")), "is_dup").df
