@@ -173,6 +173,54 @@ class PandasApiSpec extends AnyFunSuite {
         df.filter(col("is_head") && col("cumcount") > 2).count() == 0)
   }
 
+  test("gram matrix equals the brute-force fold over collected vectors") {
+    val got = queries.Aggregates
+      .queries("emb_gram_matrix")
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val vecs = Tables
+      .embeddings(spark, sf)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).take(6)
+        .map(f => math.floor(f.toDouble * 1000).toLong).toArray)
+    for { i <- 0 until 6; j <- i until 6 } {
+      val brute = vecs.map(v => v(i) * v(j)).sum
+      assert(got((i, j)) == brute, s"G[$i][$j]")
+    }
+  }
+
+  test("calendar flags agree with java.time on every distinct date") {
+    import java.time.LocalDate
+    val rows = queries.Functions
+      .queries("dt_calendar_flags")
+      .fn(spark, sf)
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"),
+        col("o_orderdate")), Seq("o_orderkey"))
+      .drop("o_orderkey")
+      .distinct()
+      .collect()
+    rows.foreach { r =>
+      val d: LocalDate = r.getAs[Any]("o_orderdate") match {
+        case dt: java.time.LocalDateTime => dt.toLocalDate
+        case sd: java.sql.Date => sd.toLocalDate
+        case ts: java.sql.Timestamp => ts.toLocalDateTime.toLocalDate
+      }
+      assert(r.getAs[String]("day_nm") ==
+        d.getDayOfWeek.getDisplayName(java.time.format.TextStyle.FULL,
+          java.util.Locale.ENGLISH))
+      assert(r.getAs[Boolean]("is_leap") == d.isLeapYear)
+      assert(r.getAs[Boolean]("is_month_end") ==
+        (d.getDayOfMonth == d.lengthOfMonth))
+      assert(r.getAs[Int]("iso_week") ==
+        d.get(java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear()))
+      assert(r.getAs[Int]("iso_year") ==
+        d.get(java.time.temporal.WeekFields.ISO.weekBasedYear()))
+    }
+  }
+
   test("digitize: numpy semantics at and between the edges") {
     val byQty = queries.Functions
       .queries("math_digitize")
