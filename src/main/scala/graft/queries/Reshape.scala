@@ -190,7 +190,52 @@ object Reshape {
       |      lpad(CAST(l_linenumber * 7 AS VARCHAR), 2, '0') AS ds
       |  FROM lineitem WHERE l_orderkey < 20000)""".stripMargin
 
+  /** Horizontal concatenation (cudf `concat(axis=1)` index-aligned
+    * outer join — `python/cudf/cudf/core/reshape.py`; cudf_polars IR
+    * node `HConcat`, `dsl/ir.py`): zip two frames by ROW POSITION.
+    * Spark has no row order, so the position is materialized on each
+    * side with `GlobalOrder.rowNumber` (range partition + offsets, no
+    * single-task window) and the frames meet in a full outer equi-join
+    * on it — unequal lengths leave nulls on the exhausted side,
+    * exactly cudf's index-aligned behavior (polars errors instead;
+    * the cudf semantic is the superset). Both row numberings and the
+    * join shuffle hash-partition on rn, so the zip is one exchange per
+    * side at any SF.
+    */
+  private def hconcat(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalOrder
+    val a = GlobalOrder.rowNumber(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_orderkey")),
+      "rn_a")
+    val b = GlobalOrder.rowNumber(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_custkey")),
+      "rn_b")
+    a.join(b, col("rn_a") === col("rn_b"), "full_outer")
+      .select(
+        coalesce(col("rn_a"), col("rn_b")).as("rn"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        col("c_custkey"),
+        col("c_acctbal"))
+  }
+
+  private val hconcatSql =
+    """WITH a AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    row_number() OVER (ORDER BY o_orderkey) AS rn_a
+      |  FROM orders),
+      |b AS (
+      |  SELECT c_custkey, c_acctbal,
+      |    row_number() OVER (ORDER BY c_custkey) AS rn_b
+      |  FROM customer)
+      |SELECT coalesce(rn_a, rn_b) AS rn,
+      |  o_orderkey, o_totalprice, c_custkey, c_acctbal
+      |FROM a FULL JOIN b ON rn_a = rn_b""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "reshape_hconcat" -> Q(hconcat _, hconcatSql),
     "agg_product" -> Q(aggProduct _, aggProductSql),
     "reshape_transpose" -> Q(reshapeTranspose _, reshapeTransposeSql),
     "reshape_unstack" -> Q(reshapeUnstack _, reshapeUnstackSql),
