@@ -2868,20 +2868,39 @@ object LlmOps {
               |  i -> concat_ws(' ', slice(tk, i + 1, 4)))""".stripMargin))
             .as("g8"))
     val docs = Tables.documents(s, dir)
-    val bloom = graft.DimCache.cached(s"decontamBloom:$dir") {
+    // Native Catalyst bloom (r14): the sketch is built by the same
+    // BloomFilterAggregate Spark's runtime row-filters use (a
+    // distributed partial/final aggregate over xxhash64 of each gram)
+    // and probed with BloomFilterMightContain — which, unlike the
+    // previous per-gram Scala UDF, evaluates INSIDE whole-stage
+    // codegen with no string boxing: the 100 TB probe side is a pure
+    // generated-code scan. Not public SQL surface in Spark 4, so the
+    // expressions are wrapped via graftbridge.ColumnBridge (the
+    // custom-expression path every native kernel here uses).
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomBytes = graft.DimCache.cached(s"decontamBloomV2:$dir") {
       val bench = grams(docs.filter(pmod(col("doc_id"), lit(100)) === 0))
         .select(col("g8")).distinct()
       // per-gram fpp compounds per document (a doc testing k grams is
       // falsely flagged with prob 1-(1-fpp)^k, k ≈ 150 here), so the
       // per-gram rate must sit well below 1/k for a usable doc-level
-      // flag; the sketch is sized by the BOUNDED bench-gram count, so
-      // the extra bits of 1e-5 cost nothing at any corpus scale
-      bench.stat.bloomFilter("g8", math.max(bench.count(), 1L), 1e-5)
+      // flag; bits = n·(−ln fpp)/(ln 2)² ≈ 24·n at 1e-5, sized by the
+      // BOUNDED bench-gram count — costless at any corpus scale
+      val n = math.max(bench.count(), 1L)
+      val bits = math.max(64L, (n * 24L) min (Int.MaxValue.toLong * 8L))
+      val agg = new BloomFilterAggregate(
+        expression(xxhash64(col("g8"))),
+        expression(lit(n)),
+        expression(lit(bits))).toAggregateExpression()
+      bench.select(column(agg).as("bf")).head().getAs[Array[Byte]](0)
     }
-    val bc = s.sparkContext.broadcast(bloom)
-    val might = udf((g: String) => g != null && bc.value.mightContainString(g))
+    val might = column(new BloomFilterMightContain(
+      expression(lit(bloomBytes)),
+      expression(xxhash64(col("g8")))))
     grams(docs.filter(pmod(col("doc_id"), lit(100)) =!= 0))
-      .filter(might(col("g8")))
+      .filter(might)
       .distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_flagged_grams"))
