@@ -47,7 +47,8 @@ object AmplifiedBench {
       "graph_pagerank", "join_skew_salted", "dedup_substring_spans",
       "retrieval_rrf_fusion", "dedup_ngram_jaccard",
       "win_pct_change", "win_rank_ties", "win_cumprod",
-      "sort_searchsorted", "slice_stride", "group_head_tail")
+      "sort_searchsorted", "slice_stride", "group_head_tail",
+      "decontaminate_bloom", "reshape_hconcat", "emb_gram_matrix")
 
   /** Writes the factor-amplified dataset as `{table}.parquet` under a
     * temp dir honoring the same directory contract as /root/testdata,
