@@ -11,8 +11,17 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // ALL is a PLAN-ONLY audit (r15): the stream_* gate rows execute a
+    // full AvailableNow replay (staging writes + 24 streaming jobs)
+    // inside their query functions just to return a memory-sink scan —
+    // zero plan-audit value, growing wall cost every round. Skip the
+    // wrappers; the streaming-state audit at the bottom walks every
+    // canonical Streams constructor's analyzed plan directly (nothing
+    // starts), which is the audit that actually covers the stateful
+    // streaming plans. Naming a stream_* query explicitly still works.
     val names =
-      if (args.length > 1 && args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      if (args.length > 1 && args(1) == "ALL")
+        SparkEntry.queries.keys.toSeq.filterNot(_.startsWith("stream_")).sorted
       else if (args.length > 1) args.drop(1).toSeq
       else Bench.headline
     val spark = SparkSession.builder()

@@ -25,6 +25,69 @@ object CustomExprs {
         porter_measure(element_at(split(col("p_name"), " "), 1)).as("porter_m"),
         graft.ArrCanon.joined(murmur3_128(col("p_name"))).as("murmur128"))
 
+  /** The DuckDB-EXPRESSIBLE subset of [[customStrings]], hash-oracled
+    * (r15, the `text_bpe` → `text_bpe_trainer_steps` pattern): swapcase,
+    * is_title (raw and after initcap), and right-split run through the
+    * SAME native Catalyst expressions as `custom_string_exprs`, and the
+    * oracle recomputes each from first principles in SQL —
+    * character-wise case flip, the two title-case violation regexes
+    * ((^|[^A-Za-z])[a-z] = an alpha-run starting lowercase;
+    * [A-Za-z][A-Z] = a run continuing uppercase), and a last-separator
+    * split — over `part.p_name`, which is ASCII by construction (the
+    * contract that makes Java's isUpper/isLower equal the SQL [A-Z]
+    * classes). The Unicode faces plus xxhash32 / porter / murmur128
+    * stay on the golden-vectored native row.
+    */
+  private def customStringsAscii(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(s, dir)
+      .select(
+        col("p_partkey"),
+        swapcase(col("p_name")).as("swapped"),
+        is_title(initcap(col("p_name"))).as("title_after_initcap"),
+        is_title(col("p_name")).as("title_raw"),
+        graft.ArrCanon.joined(rsplit(col("p_name"), lit(" "), 1)).as("rsplit_1"))
+
+  private val customStringsAsciiSql = {
+    // is_title on ASCII = no alpha-run starts lowercase, no run continues
+    // uppercase, and at least one letter exists (the sawCased flag).
+    def isTitleSql(e: String): String =
+      s"""(NOT regexp_matches($e, '(^|[^A-Za-z])[a-z]')
+         | AND NOT regexp_matches($e, '[A-Za-z][A-Z]')
+         | AND regexp_matches($e, '[A-Za-z]'))""".stripMargin.replace("\n", " ")
+    // Spark initcap = lowercase everything, then uppercase the letter
+    // after each space (p_name is single-space-delimited words).
+    val initcapSql =
+      """array_to_string(list_transform(string_split(lower(p_name), ' '),
+        |  w -> upper(substring(w, 1, 1)) || substring(w, 2)), ' ')"""
+        .stripMargin.replace("\n", " ")
+    // rsplit(s, ' ', 1): everything before the LAST space, then the tail
+    // — rejoining the split-prefix with the same separator is exact even
+    // through repeated separators.
+    val rsplitSql =
+      """CASE WHEN len(string_split(p_name, ' ')) = 1
+        |  THEN [p_name]
+        |  ELSE [array_to_string(
+        |          string_split(p_name, ' ')[1:len(string_split(p_name, ' ')) - 1],
+        |          ' '),
+        |        string_split(p_name, ' ')[len(string_split(p_name, ' '))]]
+        |END""".stripMargin.replace("\n", " ")
+    s"""SELECT p_partkey,
+       |  CASE WHEN p_name IS NULL THEN NULL ELSE
+       |    coalesce(array_to_string(list_transform(range(1, length(p_name) + 1),
+       |      i -> CASE
+       |        WHEN ascii(substring(p_name, i, 1)) BETWEEN 65 AND 90
+       |          THEN lower(substring(p_name, i, 1))
+       |        WHEN ascii(substring(p_name, i, 1)) BETWEEN 97 AND 122
+       |          THEN upper(substring(p_name, i, 1))
+       |        ELSE substring(p_name, i, 1) END), ''), '')
+       |  END AS swapped,
+       |  ${isTitleSql(s"($initcapSql)")} AS title_after_initcap,
+       |  ${isTitleSql("p_name")} AS title_raw,
+       |  ${graft.ArrCanon.joinedSql(rsplitSql)} AS rsplit_1
+       |FROM part""".stripMargin
+  }
+
   private def ewmaPerUser(s: SparkSession, dir: String): DataFrame = {
     val e = graft.agg.Ewma(0.2)
     Tables
@@ -424,6 +487,7 @@ object CustomExprs {
 
   def queries: Map[String, Q] = Map(
     "custom_string_exprs" -> Q(customStrings _, None),
+    "custom_string_ascii" -> Q(customStringsAscii _, customStringsAsciiSql),
     "agg_ewma" -> Q(ewmaPerUser _, ewmaPerUserSql),
     "win_ewma_stream" -> Q(winEwmaStream _, winEwmaStreamSql),
     "text_wordpiece" -> Q(wordpieceTokens _, wordpieceSql),

@@ -2890,12 +2890,29 @@ object LlmOps {
       // BOUNDED bench-gram count — costless at any corpus scale
       val n = math.max(bench.count(), 1L)
       val bits = math.max(64L, (n * 24L) min (Int.MaxValue.toLong * 8L))
+      // BloomFilterAggregate silently CLAMPS numItems/numBits to the
+      // runtime-filter conf ceilings (4M items / 8 MB bits by default)
+      // — past ~2.8M bench grams the 24·n sizing, and the
+      // compounded-fpp reasoning above, would silently stop holding.
+      // Raise the ceilings to this sketch's actual size first (never
+      // below the defaults, so Spark's own injected runtime filters in
+      // the same session keep their tuning).
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        math.max(n, 4000000L).toString)
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        math.max(bits, 67108864L).toString)
       val agg = new BloomFilterAggregate(
         expression(xxhash64(col("g8"))),
         expression(lit(n)),
         expression(lit(bits))).toAggregateExpression()
       bench.select(column(agg).as("bf")).head().getAs[Array[Byte]](0)
     }
+    // Trade-off, documented: the sketch bytes ride the plan as a
+    // lit() literal — fine at the ≤ tens-of-MB scale a bench-gram
+    // sketch reaches (the task binary ships once per executor), but a
+    // multi-GB sketch would want a broadcast variable probed from a
+    // (codegen-exiting) UDF, or Spark's own ScalarSubquery plumbing.
+    // At bench-set scale the codegen'd literal probe wins.
     val might = column(new BloomFilterMightContain(
       expression(lit(bloomBytes)),
       expression(xxhash64(col("g8")))))

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import graft.{Q, Tables}
+import graft.{DimCache, Q, Tables}
 import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -56,33 +56,64 @@ object StreamingGate {
   private def sink(base: String): String =
     s"${base}_${sinkSeq.incrementAndGet()}"
 
-  private def tempDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
-
-  /** Stage the events table (normalized µs timestamps) as a replay dir. */
-  private def stageEvents(s: SparkSession, dir: String, parts: Int): String = {
-    val d = tempDir("graft-gate-events")
-    Tables.events(s, dir)
-      .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
-      .repartition(parts)
-      .write.mode("overwrite").parquet(d)
-    d
+  /** Every gate temp dir is registered here and recursively deleted at
+    * JVM exit — a Verify+Explain pass over the 24 gate queries would
+    * otherwise leak dozens of staged-table copies into java.io.tmpdir
+    * (each invocation stages events + checkpoint + sink dirs).
+    */
+  private val tempDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val s = Files.walk(root)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          finally s.close()
+        } catch { case _: Exception => () } // best-effort cleanup
+      }))
   }
+
+  private def tempDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    tempDirs.add(p)
+    p.toString
+  }
+
+  /** Stage the events table (normalized µs timestamps) as a replay dir.
+    * Cached per (dir, parts): the staged copy is a deterministic
+    * function of the immutable dataset dir, so one copy per JVM serves
+    * every gate query and every Verify/Explain re-invocation.
+    */
+  private def stageEvents(s: SparkSession, dir: String, parts: Int): String =
+    DimCache.cached(s"gate-stage-events:$dir:$parts") {
+      val d = tempDir("graft-gate-events")
+      Tables.events(s, dir)
+        .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+        .repartition(parts)
+        .write.mode("overwrite").parquet(d)
+      d
+    }
 
   /** Stage the events table as ONE (ts, event_id)-sorted file — the
     * ordered-replay precondition of the per-key state machines
     * (transitions, funnel): a single AvailableNow micro-batch preserves
     * per-user arrival order, so the stream equals the batch total order
     * (a Kafka deployment gets this from per-key partition ordering).
+    * Cached per dir like [[stageEvents]].
     */
-  private def stageEventsSorted(s: SparkSession, dir: String): String = {
-    val d = tempDir("graft-gate-events-sorted")
-    Tables.events(s, dir)
-      .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
-      .orderBy(col("ts"), col("event_id"))
-      .coalesce(1).write.mode("overwrite").parquet(d)
-    d
-  }
+  private def stageEventsSorted(s: SparkSession, dir: String): String =
+    DimCache.cached(s"gate-stage-events-sorted:$dir") {
+      val d = tempDir("graft-gate-events-sorted")
+      Tables.events(s, dir)
+        .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+        .orderBy(col("ts"), col("event_id"))
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      d
+    }
 
   // ------------------------------------------------------------- stream_cms
 

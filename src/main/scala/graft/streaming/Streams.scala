@@ -328,8 +328,21 @@ object Streams {
             }
             if (touchUs == Long.MinValue) state.remove()
             else {
-              state.update((touch, touchUs))
-              state.setTimeoutTimestamp((touchUs + windowUs) / 1000L)
+              val expiryMs = (touchUs + windowUs) / 1000L
+              if (expiryMs <= state.getCurrentWatermarkMs()) {
+                // The stored touch has already aged past the window
+                // relative to the watermark: it can never credit again
+                // (any surviving future row has ts >= watermark >=
+                // touch + window, so it would credit '(none)' exactly as
+                // an empty state does), and re-arming the event-time
+                // timeout at expiryMs would throw — Spark requires the
+                // timeout timestamp to be strictly later than the
+                // current watermark.
+                state.remove()
+              } else {
+                state.update((touch, touchUs))
+                state.setTimeoutTimestamp(expiryMs)
+              }
             }
             out.result().iterator
           }

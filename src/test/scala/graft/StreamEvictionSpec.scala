@@ -28,23 +28,48 @@ class StreamEvictionSpec extends AnyFunSuite {
         lit(0.0).as("value"), lit(null).cast("string").as("props"))
   }
 
+  private def listFiles(dir: String): Set[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toSet
+    finally s.close()
+  }
+
+  /** FileStreamSource orders files by modification time; appended waves
+    * written back-to-back can tie on coarse-timestamp filesystems and
+    * process out of order. Force the intended order by stamping each
+    * wave's NEW files with a distinct, strictly-increasing mtime.
+    */
+  private def writeWave(dir: String, wave: Int)(w: => Unit): Unit = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val before = listFiles(dir)
+    w
+    val t = FileTime.fromMillis(1700000000000L + wave * 60000L)
+    (listFiles(dir) -- before).foreach(Files.setLastModifiedTime(_, t))
+  }
+
   test("attribution window: aged touches lose credit, idle state evicts") {
     val in = Files.createTempDirectory("graft-evict-in").toString
     // wave 1: three users touch at T0; u11 purchases inside the window
-    eventRows(Seq(
-      (1L, "2026-01-01 00:00:00", 10L, "click"),
-      (2L, "2026-01-01 00:00:00", 11L, "click"),
-      (3L, "2026-01-01 01:00:00", 11L, "purchase"),
-      (4L, "2026-01-01 00:00:00", 12L, "click")))
-      .coalesce(1).write.mode("append").parquet(in)
+    writeWave(in, 1) {
+      eventRows(Seq(
+        (1L, "2026-01-01 00:00:00", 10L, "click"),
+        (2L, "2026-01-01 00:00:00", 11L, "click"),
+        (3L, "2026-01-01 01:00:00", 11L, "purchase"),
+        (4L, "2026-01-01 00:00:00", 12L, "click")))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
     // wave 2 (a later file => later micro-batch): 30 days on, past the
     // 7-day window — u10's purchase must credit '(none)' (its stored
     // click has aged out inside the live group), and the
     // watermark advance must time out every idle state row
-    eventRows(Seq(
-      (5L, "2026-01-31 00:00:00", 10L, "purchase"),
-      (6L, "2026-01-31 00:00:00", 99L, "purchase")))
-      .coalesce(1).write.mode("append").parquet(in)
+    writeWave(in, 2) {
+      eventRows(Seq(
+        (5L, "2026-01-31 00:00:00", 10L, "purchase"),
+        (6L, "2026-01-31 00:00:00", 99L, "purchase")))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
 
     val stream = spark.readStream.schema(Streams.eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(in)
@@ -65,6 +90,40 @@ class StreamEvictionSpec extends AnyFunSuite {
       .find(_.stateOperators.nonEmpty).get.stateOperators(0)
     assert(lastState.numRowsTotal == 0,
       s"state rows not evicted: ${lastState.numRowsTotal}")
+  }
+
+  test("purchase arriving after the watermark passed touch+window " +
+      "does not crash and credits '(none)'") {
+    // Crash path (fixed r15): u10 touches in wave 1; wave 2 (another
+    // user) advances the watermark PAST u10's touch+window; wave 3
+    // delivers u10 a purchase. The group is invoked WITH data (not via
+    // timeout), so the machine must not re-arm the event-time timeout
+    // at touch+window — that timestamp is now <= the watermark and
+    // setTimeoutTimestamp would throw, killing the query. The correct
+    // move is state.remove(): the touch can never credit again.
+    val in = Files.createTempDirectory("graft-evict-late").toString
+    writeWave(in, 1) {
+      eventRows(Seq((1L, "2026-01-01 00:00:00", 10L, "click")))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    writeWave(in, 2) {
+      eventRows(Seq((2L, "2026-01-31 00:00:00", 50L, "view")))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    writeWave(in, 3) {
+      eventRows(Seq((3L, "2026-02-01 00:00:00", 10L, "purchase")))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val stream = spark.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .withWatermark("ts", "0 seconds")
+    val q = Streams.attributionStepsWindowed(spark, stream, windowDays = 7)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_evict_late").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_evict_late").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((10L, "(none)")), s"credits: $got")
   }
 
   test("a window wider than the data span equals the unbounded machine") {
