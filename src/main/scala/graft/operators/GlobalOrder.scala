@@ -106,10 +106,14 @@ object GlobalOrder {
       group: Seq[String],
       order: Seq[Column],
       out: String,
-      maxGroups: Int)(mkValue: StructType => Row => Long): DataFrame = {
+      maxGroups: Int,
+      totOut: Option[String] = None)(
+      mkValue: StructType => Row => Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(!df.columns.contains(out),
       s"groupedScan: output column '$out' already exists in the input")
+    totOut.foreach(t => require(!df.columns.contains(t) && t != out,
+      s"groupedScan: total column '$t' collides with an existing column"))
     val sorted = df
       .repartitionByRange((group.map(col) ++ order): _*)
       .sortWithinPartitions((group.map(col) ++ order): _*)
@@ -158,21 +162,34 @@ object GlobalOrder {
       ((pi, k), byGroup(k).iterator.filter(_._1 < pi).map(_._3).sum)
     }.toMap
     val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    // Group TOTALS fall out of the same partials for free — when the
+    // caller wants them (weighted median's half-weight threshold), ride
+    // them through the same pass instead of paying a separate
+    // whole-input aggregate + broadcast join downstream.
+    val bcTot = totOut.map { _ =>
+      df.sparkSession.sparkContext.broadcast(
+        byGroup.map { case (k, ps) => (k, ps.iterator.map(_._3).sum) })
+    }
     val outSchema = StructType(
-      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+      sorted.schema.fields ++ (
+        StructField(out, LongType, nullable = false) +:
+          totOut.map(StructField(_, LongType, nullable = false)).toSeq))
     val scanned = rdd.mapPartitionsWithIndex { (pi, it) =>
       var curK: Seq[Any] = null
       var seen = false
       var run = 0L
+      var tot = 0L
       it.map { r =>
         val k = gIdx.map(r.get)
         if (!seen || k != curK) {
           seen = true
           curK = k
           run = bc.value.getOrElse((pi, k), 0L)
+          bcTot.foreach(b => tot = b.value.getOrElse(k, 0L))
         }
         run += valueAt(r)
-        Row.fromSeq(r.toSeq :+ run)
+        Row.fromSeq(r.toSeq ++ (
+          if (bcTot.isDefined) Seq(run, tot) else Seq(run)))
       }
     }
     df.sparkSession.createDataFrame(scanned, outSchema)
@@ -231,6 +248,42 @@ object GlobalOrder {
     val vTmp = fresh(df, s"__${out}_v")
     val keyed = df.withColumn(vTmp, value.cast(LongType))
     scanCore(keyed, group, order, out, maxGroups) { schema =>
+      val vIdx = schema.fieldIndex(vTmp)
+      r =>
+        if (r.isNullAt(vIdx))
+          throw new IllegalArgumentException(
+            "groupedCumSum: null value encountered — the contract requires " +
+              "non-null integral values (coalesce first if null means 0)")
+        else r.getLong(vIdx)
+    }.drop(vTmp)
+  }
+
+  /** [[groupedCumSum]] that ALSO appends `totOut` = the group's total of
+    * `value` — at zero extra passes: the totals are the column sums of
+    * the per-(partition, group) partials the scan already collects, so a
+    * "cumulative share of group total" consumer (weighted median's
+    * half-weight threshold, CDF normalization) skips the separate
+    * whole-input aggregate AND the broadcast join of the scanned frame
+    * it would otherwise pay. Unlike that join formulation, null group
+    * keys keep their rows here (scanCore treats null as an ordinary
+    * partition value, exactly like `PARTITION BY`).
+    */
+  def groupedCumSumWithTotal(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[Column],
+      value: Column,
+      out: String,
+      totOut: String,
+      maxGroups: Int = defaultMaxGroups): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val vType = df.select(value).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vType),
+      s"groupedCumSum: value must be integral (got $vType); cast explicitly " +
+        "to a fixed-point long if fractional input is intended")
+    val vTmp = fresh(df, s"__${out}_v")
+    val keyed = df.withColumn(vTmp, value.cast(LongType))
+    scanCore(keyed, group, order, out, maxGroups, Some(totOut)) { schema =>
       val vIdx = schema.fieldIndex(vTmp)
       r =>
         if (r.isNullAt(vIdx))

@@ -612,10 +612,15 @@ object Aggregates {
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity").cast(LongType).as("wt"))
-    val tots = base.groupBy(col("l_returnflag")).agg(sum(col("wt")).as("tot"))
+    // Group totals ride the scan itself (r15): they are the column sums
+    // of the per-(partition, group) partials the prefix scan already
+    // collects, so the separate whole-input tots aggregate (a second
+    // parquet scan) and the broadcast join of the FULL scanned frame
+    // both disappear — the 10× amplified wall was dominated by exactly
+    // those two extra passes.
     graft.operators.GlobalOrder
-      .groupedCumSum(base, Seq("l_returnflag"), ord, col("wt"), "cum")
-      .join(broadcast(tots), Seq("l_returnflag"))
+      .groupedCumSumWithTotal(
+        base, Seq("l_returnflag"), ord, col("wt"), "cum", "tot")
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(max(col("tot")).as("total_weight"),
