@@ -192,6 +192,46 @@ object Bench {
       Thread.sleep(200) // let the cleaner thread drain its queue
     }
 
+    // Box-speed calibration (r15, after two drift adjudications had to
+    // infer host contention from uniformity arguments): a fixed
+    // pure-CPU workload — single-threaded and all-cores — measured
+    // before any Spark work. The numbers depend only on the host CPU
+    // share this guest actually gets, so a future round-over-round
+    // query drift arrives with direct evidence: calibration moved with
+    // it ⇒ box context; calibration flat ⇒ code/plan regression.
+    def calibrate(): (Double, Double) = {
+      def spin(iters: Long): Long = {
+        var h = 0x9E3779B97F4A7C15L; var i = 0L
+        while (i < iters) {
+          h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= h >>> 29; i += 1
+        }
+        h
+      }
+      spin(20000000L) // JIT warm
+      val t1 = System.nanoTime()
+      val sink1 = spin(200000000L)
+      val single = (System.nanoTime() - t1) / 1e9
+      // All-cores arm: every thread runs the FULL loop, so with an
+      // uncontended host share the wall equals the single-thread time
+      // (perfect scaling) and any excess is cross-core throttling —
+      // the direct signature of host contention.
+      val n = Runtime.getRuntime.availableProcessors()
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t2 = System.nanoTime()
+      val threads = (1 to n).map { i =>
+        val t = new Thread(() => acc.addAndGet(spin(200000000L + i)))
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      val all = (System.nanoTime() - t2) / 1e9
+      if (sink1 + acc.get() == 42L) println("") // keep the loops live
+      (single, all)
+    }
+    val (calSingle, calAll) = calibrate()
+    System.err.println(
+      f"[bench] cpu-calibration single=$calSingle%.3fs allcores=$calAll%.3fs " +
+        f"(fixed 2e8-iter integer-mix loop; compare across rounds)")
+
     // One full pre-pass so global one-time costs — JVM/codegen caches,
     // parquet footer reads, DimCache'd vocab/dims dimensions — land
     // before ANY group is measured, keeping group order irrelevant.
@@ -240,7 +280,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""cal_single_s":$calSingle%.3f,"cal_allcores_s":$calAll%.3f,""" +
+        f""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
