@@ -182,15 +182,18 @@ object StreamingGate {
     * the batch (day, seq) total order.
     */
   private def streamScd2(s: SparkSession, dir: String): DataFrame = {
-    val d = tempDir("graft-gate-scd2")
-    Tables.orders(s, dir)
-      .select(col("o_custkey").as("key"),
-        datediff(col("o_orderdate").cast(DateType),
-          lit("1970-01-01").cast(DateType)).as("day"),
-        col("o_orderkey").as("seq"),
-        col("o_orderpriority").as("attr"))
-      .orderBy(col("key"), col("day"), col("seq"))
-      .coalesce(1).write.mode("overwrite").parquet(d)
+    val d = DimCache.cached(s"gate-stage-scd2:$dir") {
+      val t = tempDir("graft-gate-scd2")
+      Tables.orders(s, dir)
+        .select(col("o_custkey").as("key"),
+          datediff(col("o_orderdate").cast(DateType),
+            lit("1970-01-01").cast(DateType)).as("day"),
+          col("o_orderkey").as("seq"),
+          col("o_orderpriority").as("attr"))
+        .orderBy(col("key"), col("day"), col("seq"))
+        .coalesce(1).write.mode("overwrite").parquet(t)
+      t
+    }
     Streams.runToCompletion(
       s, Streams.scd2Steps(s, Streams.readChangeStream(s, d)),
       sink("gate_scd2"), mode = "append")
@@ -233,9 +236,12 @@ object StreamingGate {
     * converge to the batch index exactly.
     */
   private def streamPostings(s: SparkSession, dir: String): DataFrame = {
-    val d = tempDir("graft-gate-post")
-    Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      .repartition(6).write.mode("overwrite").parquet(d)
+    val d = DimCache.cached(s"gate-stage-post:$dir") {
+      val t = tempDir("graft-gate-post")
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .repartition(6).write.mode("overwrite").parquet(t)
+      t
+    }
     val stream = s.readStream.schema(Streams.docSchema)
       .option("maxFilesPerTrigger", "2").parquet(d)
     val emissions = Streams.runToCompletion(
@@ -314,13 +320,16 @@ object StreamingGate {
       .agg(
         count(lit(1)).as("n0"),
         sum(floor(col("value") * 100).cast(LongType)).as("cents0"))
-    val d = tempDir("graft-gate-start-state")
-    ev.filter(col("ts") >= cutoff)
-      .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
-      .repartition(4)
-      .write
-      .mode("overwrite")
-      .parquet(d)
+    val d = DimCache.cached(s"gate-stage-start-state:$dir") {
+      val t = tempDir("graft-gate-start-state")
+      ev.filter(col("ts") >= cutoff)
+        .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+        .repartition(4)
+        .write
+        .mode("overwrite")
+        .parquet(t)
+      t
+    }
     val sinkDf = Streams.runToCompletion(
       s,
       Streams.runningAggFromInitialState(s, Streams.readEventStream(s, d),
@@ -448,11 +457,14 @@ object StreamingGate {
     * the hash is bit-exact).
     */
   private def streamDedupExact(s: SparkSession, dir: String): DataFrame = {
-    val d = tempDir("graft-gate-dupes")
-    val ev = Tables.events(s, dir)
-      .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
-    ev.union(ev.filter(col("event_id") % 3 === 0))
-      .repartition(4).write.mode("overwrite").parquet(d)
+    val d = DimCache.cached(s"gate-stage-dupes:$dir") {
+      val t = tempDir("graft-gate-dupes")
+      val ev = Tables.events(s, dir)
+        .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+      ev.union(ev.filter(col("event_id") % 3 === 0))
+        .repartition(4).write.mode("overwrite").parquet(t)
+      t
+    }
     Streams.runToCompletion(
       s, Streams.dedupStream(Streams.readEventStream(s, d)),
       sink("gate_dedup"), mode = "append")
@@ -506,7 +518,6 @@ object StreamingGate {
     * with an end-of-stream marker.
     */
   private def streamAsofEnrich(s: SparkSession, dir: String): DataFrame = {
-    val d = tempDir("graft-gate-asof")
     val ev = Tables.events(s, dir)
       .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
     val sentinels = ev
@@ -522,7 +533,11 @@ object StreamingGate {
           lit(0.0).as("value"), lit(null).cast("string").as("props"))))
         .as("e"))
       .select(col("e.*"))
-    ev.union(sentinels).repartition(4).write.mode("overwrite").parquet(d)
+    val d = DimCache.cached(s"gate-stage-asof:$dir") {
+      val t = tempDir("graft-gate-asof")
+      ev.union(sentinels).repartition(4).write.mode("overwrite").parquet(t)
+      t
+    }
     val stream = Streams.readEventStream(s, d)
     Streams.runToCompletion(
       s, Streams.asOfEnrich(stream, "click", "purchase"),
@@ -715,14 +730,17 @@ object StreamingGate {
     * oracle (DuckDB varchars cannot carry NUL).
     */
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = tempDir("graft-gate-neardup")
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val doubled = docs
-      .union(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
-        col("text")))
-      .withColumn("ts", expr(
-        "timestamp'2026-01-01 00:00:00' + INTERVAL 1 SECOND * (doc_id % 300)"))
-    doubled.repartition(4).write.mode("overwrite").parquet(d)
+    val d = DimCache.cached(s"gate-stage-neardup:$dir") {
+      val t = tempDir("graft-gate-neardup")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val doubled = docs
+        .union(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text")))
+        .withColumn("ts", expr(
+          "timestamp'2026-01-01 00:00:00' + INTERVAL 1 SECOND * (doc_id % 300)"))
+      doubled.repartition(4).write.mode("overwrite").parquet(t)
+      t
+    }
     val stream = s.readStream.schema(
       org.apache.spark.sql.types.StructType(Streams.docSchema.fields :+
         org.apache.spark.sql.types.StructField("ts",
@@ -877,8 +895,11 @@ object StreamingGate {
     val cb = graft.DimCache.cached(s"pq-codebooks:$dir:$M:$K") {
       graft.operators.Similarity.pqCodebooks(emb, M, K, dsub)
     }
-    val d = tempDir("graft-gate-pq")
-    emb.repartition(4).write.mode("overwrite").parquet(d)
+    val d = DimCache.cached(s"gate-stage-pq:$dir") {
+      val t = tempDir("graft-gate-pq")
+      emb.repartition(4).write.mode("overwrite").parquet(t)
+      t
+    }
     val stream = s.readStream.schema(emb.schema).parquet(d)
     Streams.runToCompletion(
       s, graft.operators.Similarity.encodePq(stream, cb, dsub).drop("e"),
