@@ -153,6 +153,14 @@ object AmplifiedBench {
     // timed reps with a cache-clear + GC between groups, so broadcasts
     // from the 10x group never sit on the heap during the 1x group.
     def cleanup(): Unit = {
+      // Each stream_* rep registers a fresh memory-sink temp view
+      // (gate_*_N) holding its full replay result on the driver heap;
+      // drop them here so a 10x group's ~(reps+1) sinks are reclaimable
+      // before the next group runs (clearCache alone leaves the views
+      // — and their rows — referenced for the whole session).
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("gate_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
       spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
     }
     def timed(name: String, dir: String): Double = {
@@ -166,11 +174,24 @@ object AmplifiedBench {
     // Local-iteration filter, same contract as Verify's SPARK_GRAFT_ONLY.
     val only = sys.env.get("SPARK_GRAFT_AMP_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Per-row heap/GC telemetry (r16): the 50-query r16 sweep measured
+    // sketch_cms_topk at 13.5x while a fresh JVM measures the same
+    // query at 1.2x in harness order — late-sweep GC pressure, not the
+    // plan. These columns make that adjudication a lookup instead of a
+    // re-run: a high ratio WITH a gc jump is sweep context; without, code.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val rows = selection.filter(n => only.forall(_.contains(n))).map { n =>
+      val gc0 = gcMs()
       val base = timed(n, sfDir)
       val amp = timed(n, ampDir)
       val ratio = if (base > 0 && amp > 0) amp / base else -1.0
-      println(f"""{"query":"$n","base_secs":$base%.3f,"amp_secs":$amp%.3f,"factor":$factor,"ratio":$ratio%.2f}""")
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory - rt.freeMemory) / 1048576
+      println(f"""{"query":"$n","base_secs":$base%.3f,"amp_secs":$amp%.3f,"factor":$factor,"ratio":$ratio%.2f,"gc_ms":${gcMs() - gc0},"heap_mb":$heapMb}""")
       (n, base, amp, ratio)
     }
     val worst = rows.filter(_._4 > 0).sortBy(-_._4).take(5)

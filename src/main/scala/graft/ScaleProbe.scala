@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factors = args.lift(1).getOrElse("1,4,8").split(",").map(_.trim.toInt)
+    // "none" skips the replication-factor sweep (runs only the
+    // factor-independent axes, e.g. grouped_scan_offsets)
+    val factors = args.lift(1).getOrElse("1,4,8") match {
+      case "none" => Array.empty[Int]
+      case s => s.split(",").map(_.trim.toInt)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -481,6 +486,44 @@ object ScaleProbe {
         .reduce(_ union _)
       probe("lsh_dedup_distinct", f, distinct)
     }
+
+    // grouped-scan offsets axis (r16): scanCore collects one
+    // (partition, group, subtotal) tuple per (range partition, group)
+    // pair that actually holds rows. Because the scan range-partitions
+    // on (group, order…), each group occupies a CONTIGUOUS partition
+    // run, so the collected count is ≤ P + G − 1 — O(P + G), NOT the
+    // P × G worst case the in-code cap conservatively bounds. This
+    // axis measures the entry count against both bounds across a
+    // partition ladder at fixed G (l_returnflag, 3 groups): a
+    // 4000-task cluster at the 4096-group cap stays ≤ ~8k tuples on
+    // the driver, and wall should be flat in P at fixed data.
+    def probeGroupedScanOffsets(parts: Int): Unit = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val li = Tables.lineitem(spark, sfDir)
+        val t0 = System.nanoTime()
+        val medians = queries.Aggregates.weightedMedianOver(li).collect()
+        val secs = (System.nanoTime() - t0) / 1e9
+        // exact mirror of scanCore's partials construction: same range
+        // partitioning and per-partition distinct-group walk, counting
+        // entries instead of subtotaling them
+        val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        val sorted = li
+          .select(col("l_returnflag") +: ord: _*)
+          .repartitionByRange(col("l_returnflag") +: ord: _*)
+          .sortWithinPartitions(col("l_returnflag") +: ord: _*)
+        val entries = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+          val ks = scala.collection.mutable.LinkedHashSet.empty[Any]
+          it.foreach(r => ks.add(r.get(0)))
+          ks.iterator.map(k => (pi, k))
+        }.count()
+        val groups = li.select(col("l_returnflag")).distinct().count()
+        println(f"""{"probe":"grouped_scan_offsets","partitions":$parts,"groups":$groups,"offsets_entries":$entries,"bound_p_plus_g":${parts + groups - 1},"bound_p_times_g":${parts * groups},"median_rows":${medians.length},"secs":$secs%.2f}""")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    Seq(32, 128, 512).foreach(probeGroupedScanOffsets)
     spark.stop()
   }
 }

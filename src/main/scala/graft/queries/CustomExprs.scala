@@ -485,6 +485,51 @@ object CustomExprs {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
           .as("approx_p99_price"))
 
+  /** One-sided oracle contract for the GK sketch behind
+    * `agg_percentile_approx` (the `agg_tdigest_vs_exact` pattern):
+    * Spark measures the TRUE rank interval of each percentile_approx
+    * estimate within its group and emits whether it touches the
+    * p ± 1/accuracy band Spark documents for ApproximatePercentile;
+    * DuckDB pins every flag TRUE plus the exact group counts, so an
+    * accuracy violation flips a boolean cell and fails the hash even
+    * though the sketch's chosen element is not itself replayable.
+    * Ties are handled by the INTERVAL: the estimate occupies ranks
+    * (count(p < est), count(p <= est)] — the contract holds iff that
+    * interval intersects the band. The band is 2ε + 2/n, not ε: the
+    * distributed aggregate MERGES per-partition GK summaries and GK
+    * merge error is additive (≈2ε worst case), and the query's
+    * target-rank convention contributes O(1) rows of discretization
+    * (measured: group A at sf0.001 sits 0.04 rows past the raw ε edge).
+    * Still ~7× tighter than the t-digest twin's 0.02 envelope.
+    */
+  private def aggGkVsExact(s: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0 / 1000 // percentile_approx accuracy = 1000
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("rf"),
+        col("l_extendedprice").cast("double").as("p"))
+    val ests = li.groupBy(col("rf"))
+      .agg(percentile_approx(col("p"), lit(0.5), lit(1000)).as("e50"),
+        percentile_approx(col("p"), lit(0.99), lit(1000)).as("e99"))
+    val band = lit(2 * eps) + lit(2.0) / col("n_rows")
+    li.join(broadcast(ests), Seq("rf"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p") < col("e50"), 1L).otherwise(0L)).as("lo50"),
+        sum(when(col("p") <= col("e50"), 1L).otherwise(0L)).as("hi50"),
+        sum(when(col("p") < col("e99"), 1L).otherwise(0L)).as("lo99"),
+        sum(when(col("p") <= col("e99"), 1L).otherwise(0L)).as("hi99"))
+      .select(col("rf").as("l_returnflag"), col("n_rows"),
+        (col("lo50") / col("n_rows") <= lit(0.5) + band &&
+          col("hi50") / col("n_rows") >= lit(0.5) - band).as("p50_ok"),
+        (col("lo99") / col("n_rows") <= lit(0.99) + band &&
+          col("hi99") / col("n_rows") >= lit(0.99) - band).as("p99_ok"))
+  }
+
+  private val aggGkVsExactSql =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  TRUE AS p50_ok, TRUE AS p99_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "custom_string_exprs" -> Q(customStrings _, None),
     "custom_string_ascii" -> Q(customStringsAscii _, customStringsAsciiSql),
@@ -496,6 +541,7 @@ object CustomExprs {
     "text_bpe_portable" -> Q(bpePortable _, bpePortableSql),
     "text_bpe_pair_stats" -> Q(bpePairStats _, bpePairStatsSql),
     "text_bpe_trainer_steps" -> Q(bpeTrainerSteps _, bpeTrainerStepsSql),
-    "agg_percentile_approx" -> Q(percentileApprox _, None)
+    "agg_percentile_approx" -> Q(percentileApprox _, None),
+    "agg_gk_vs_exact" -> Q(aggGkVsExact _, aggGkVsExactSql)
   )
 }

@@ -2894,18 +2894,35 @@ object LlmOps {
       // runtime-filter conf ceilings (4M items / 8 MB bits by default)
       // — past ~2.8M bench grams the 24·n sizing, and the
       // compounded-fpp reasoning above, would silently stop holding.
-      // Raise the ceilings to this sketch's actual size first (never
-      // below the defaults, so Spark's own injected runtime filters in
-      // the same session keep their tuning).
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
-        math.max(n, 4000000L).toString)
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-        math.max(bits, 67108864L).toString)
-      val agg = new BloomFilterAggregate(
-        expression(xxhash64(col("g8"))),
-        expression(lit(n)),
-        expression(lit(bits))).toAggregateExpression()
-      bench.select(column(agg).as("bf")).head().getAs[Array[Byte]](0)
+      // Raise the ceilings to this sketch's actual size for the build
+      // only: max against the CURRENT session values (a user-raised
+      // ceiling must never be lowered) and restore the prior values in
+      // a finally, so Spark's own injected runtime filters — and any
+      // later sketch in the same session — see exactly the tuning they
+      // had before this build.
+      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val prevItems = s.conf.get(itemsKey)
+      val prevBits = s.conf.get(bitsKey)
+      try {
+        s.conf.set(itemsKey, math.max(n, prevItems.toLong).toString)
+        s.conf.set(bitsKey, math.max(bits, prevBits.toLong).toString)
+        // Read back and assert the raise actually landed: a silently
+        // clamped sketch voids the fpp contract, so fail loudly here
+        // rather than flag clean docs downstream.
+        require(s.conf.get(itemsKey).toLong >= n &&
+          s.conf.get(bitsKey).toLong >= bits,
+          s"bloom ceilings did not raise: items=${s.conf.get(itemsKey)} " +
+            s"(need >= $n), bits=${s.conf.get(bitsKey)} (need >= $bits)")
+        val agg = new BloomFilterAggregate(
+          expression(xxhash64(col("g8"))),
+          expression(lit(n)),
+          expression(lit(bits))).toAggregateExpression()
+        bench.select(column(agg).as("bf")).head().getAs[Array[Byte]](0)
+      } finally {
+        s.conf.set(itemsKey, prevItems)
+        s.conf.set(bitsKey, prevBits)
+      }
     }
     // Trade-off, documented: the sketch bytes ride the plan as a
     // lit() literal — fine at the ≤ tens-of-MB scale a bench-gram

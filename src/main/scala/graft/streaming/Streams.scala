@@ -328,16 +328,23 @@ object Streams {
             }
             if (touchUs == Long.MinValue) state.remove()
             else {
-              val expiryMs = (touchUs + windowUs) / 1000L
-              if (expiryMs <= state.getCurrentWatermarkMs()) {
+              // Ceil the µs→ms conversion: flooring could place expiryMs
+              // strictly below a watermark that the µs-precision expiry
+              // has NOT yet passed, evicting a touch the inclusive batch
+              // window (r._2 - touchUs <= windowUs) would still credit.
+              val expiryMs = (touchUs + windowUs + 999L) / 1000L
+              if (expiryMs < state.getCurrentWatermarkMs()) {
                 // The stored touch has already aged past the window
                 // relative to the watermark: it can never credit again
-                // (any surviving future row has ts >= watermark >=
+                // (any surviving future row has ts >= watermark >
                 // touch + window, so it would credit '(none)' exactly as
                 // an empty state does), and re-arming the event-time
-                // timeout at expiryMs would throw — Spark requires the
-                // timeout timestamp to be strictly later than the
-                // current watermark.
+                // timeout at expiryMs would throw — Spark rejects a
+                // timeout timestamp strictly earlier than the current
+                // watermark. At expiryMs == watermark re-arming is legal
+                // and a purchase at exactly touch + window must still
+                // credit the touch (inclusive batch semantic), so only
+                // the strict case removes.
                 state.remove()
               } else {
                 state.update((touch, touchUs))

@@ -40,4 +40,35 @@ class DecontaminateBloomSpec extends AnyFunSuite {
       math.max(exact.values.sum, 1L)
     assert(overshoot <= 0.1, s"gram-count overshoot $overshoot > 10%")
   }
+
+  test("sketch build restores the session bloom ceilings (r16)") {
+    // The build raises spark.sql.optimizer.runtime.bloomFilter ceilings
+    // for its own aggregate only; a later query in the same session must
+    // see EXACTLY the tuning it had before — including a user-raised
+    // ceiling, which must never be lowered to the defaults. Run against
+    // a staged copy of the docs table so the DimCache key is fresh and
+    // the build genuinely executes inside this test.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val origItems = spark.conf.get(itemsKey)
+    val origBits = spark.conf.get(bitsKey)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-bloomconf").toString
+    try {
+      spark.read.parquet(s"$sf/documents.parquet")
+        .write.mode("overwrite").parquet(s"$stage/documents.parquet")
+      // sentinel "user-raised" ceilings above the 4M/8MB defaults
+      spark.conf.set(itemsKey, "5000001")
+      spark.conf.set(bitsKey, "67108865")
+      SparkEntry.queries("decontaminate_bloom")(spark, stage).collect()
+      assert(spark.conf.get(itemsKey) == "5000001",
+        s"maxNumItems not restored: ${spark.conf.get(itemsKey)}")
+      assert(spark.conf.get(bitsKey) == "67108865",
+        s"maxNumBits not restored: ${spark.conf.get(bitsKey)}")
+    } finally {
+      spark.conf.set(itemsKey, origItems)
+      spark.conf.set(bitsKey, origBits)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    }
+  }
 }

@@ -126,6 +126,49 @@ class StreamEvictionSpec extends AnyFunSuite {
     assert(got == Set((10L, "(none)")), s"credits: $got")
   }
 
+  test("boundary: purchase at exactly touch+window credits the touch " +
+      "even when the watermark sits exactly at expiry (r16)") {
+    // The inclusive batch semantic (r._2 - touchUs <= windowUs) must
+    // hold at the exact window edge, and the edge is SUB-MILLISECOND:
+    // the watermark is ms-granularity while touches are µs. u10 clicks
+    // at T0+500µs, so expiry_us = T0+7d+500µs; wave 2 advances the
+    // watermark to EXACTLY floor(expiry) = T0+7d ms. Wave 3 invokes
+    // u10's group with a neutral event while watermarkMs == the r15
+    // FLOORED expiryMs — that guard (floor + <=) wrongly removed state
+    // even though µs-on-time purchases inside (watermark, touch+window]
+    // still exist; with the r16 ceil + strict-<, the state re-arms at
+    // T0+7d+1ms (> watermark, legal). Wave 4's purchase at
+    // T0+7d+400µs (on-time, and 7d−100µs after the touch — inside the
+    // inclusive window) must credit the click.
+    val in = Files.createTempDirectory("graft-evict-edge").toString
+    writeWave(in, 1) {
+      eventRows(Seq((1L, "2026-01-01 00:00:00.0005", 10L, "click")))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    writeWave(in, 2) {
+      eventRows(Seq((2L, "2026-01-08 00:00:00", 50L, "view")))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    writeWave(in, 3) {
+      eventRows(Seq((3L, "2026-01-08 00:00:00.0003", 10L, "scroll")))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    writeWave(in, 4) {
+      eventRows(Seq((4L, "2026-01-08 00:00:00.0004", 10L, "purchase")))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val stream = spark.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .withWatermark("ts", "0 seconds")
+    val q = Streams.attributionStepsWindowed(spark, stream, windowDays = 7)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_evict_edge").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_evict_edge").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((10L, "click")), s"credits: $got")
+  }
+
   test("a window wider than the data span equals the unbounded machine") {
     val d = Files.createTempDirectory("graft-evict-eq").toString
     Tables.events(spark, sf)

@@ -80,4 +80,18 @@ class TDigestSpec extends AnyFunSuite {
     assert(TDigest.quantile(merged, 0.0) >= 1.0)
     assert(TDigest.quantile(merged, 1.0) <= 10000.0)
   }
+
+  test("GK accuracy twin: every percentile_approx flag is true (r16)") {
+    // The agg_gk_vs_exact gate row's local face: the rank interval of
+    // each percentile_approx estimate must touch q ± 1/accuracy.
+    import TestSpark._
+    val rows = SparkEntry.queries("agg_gk_vs_exact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_ok"),
+        s"p50 rank error blown for ${r.getString(0)}")
+      assert(r.getAs[Boolean]("p99_ok"),
+        s"p99 rank error blown for ${r.getString(0)}")
+    }
+  }
 }
