@@ -271,6 +271,35 @@ object Aggregates {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
 
+  /** One-sided oracle contract for the HLL++ sketch behind
+    * `agg_approx_distinct` (the `agg_gk_vs_exact`/`agg_tdigest_vs_exact`
+    * pattern): Spark computes BOTH the exact per-group distinct count
+    * and the HLL estimate at an explicit rsd = 0.02, and emits whether
+    * the relative error stays within 3·rsd (the 3-sigma envelope of the
+    * sketch's declared standard deviation — HLL++ bias correction keeps
+    * the mean centered, so 3σ is a non-flaky yet quantitative band).
+    * DuckDB pins the exact counts and every flag TRUE, so an accuracy
+    * violation fails the hash even though register states are not
+    * replayable. With this row all three approximate-aggregate sketches
+    * (GK, t-digest, HLL) carry oracled accuracy contracts.
+    */
+  private def aggHllVsExact(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .select(col("l_returnflag").as("rf"), col("l_partkey"))
+      .groupBy(col("rf"))
+      .agg(countDistinct(col("l_partkey")).as("n_distinct"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("est"))
+      .select(col("rf").as("l_returnflag"), col("n_distinct"),
+        (abs(col("est").cast("double") / col("n_distinct") - 1.0)
+          <= 0.06).as("hll_ok"))
+
+  private val aggHllVsExactSql =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct,
+      |  TRUE AS hll_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** grouping sets / rollup — capability bonus over the reference
     * (absent in cuDF, SURVEY §2.4).
     */
@@ -780,6 +809,7 @@ object Aggregates {
     "agg_histogram" -> Q(histogram _, histogramSql),
     "agg_reduce_all" -> Q(reduceAll _, reduceAllSql),
     "agg_approx_distinct" -> Q(approxDistinct _, None),
+    "agg_hll_vs_exact" -> Q(aggHllVsExact _, aggHllVsExactSql),
     "agg_rollup" -> Q(rollupAgg _, rollupAggSql)
   )
 }
