@@ -167,6 +167,7 @@ object Explain {
       "stream_running_agg" -> (() => Streams.runningAggByType(ev)),
       "stream_tumbling" -> (() => Streams.tumblingCounts(ev)),
       "stream_sliding" -> (() => Streams.slidingCounts(ev)),
+      "stream_ohlc" -> (() => Streams.ohlcWindows(ev)),
       "stream_session" -> (() => Streams.sessionCounts(ev)),
       "stream_cms" -> (() => Streams.cmsCounters(ev)),
       "stream_kmv_window" -> (() => Streams.kmvWindowDistinct(ev)),

@@ -1513,7 +1513,7 @@ object Extras {
         count(lit(1)).as("n"))
   }
 
-  private val resampleOhlcSql =
+  private[queries] val resampleOhlcSql =
     """WITH cents AS (
       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,

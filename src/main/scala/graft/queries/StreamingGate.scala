@@ -398,6 +398,25 @@ object StreamingGate {
       |  ${graft.Agg.davgSql("value")} AS avg_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ stream_ohlc
+  /** Streaming daily OHLC bars per (user, day) — the streaming face of
+    * the batch `resample_ohlc` query, sharing its oracle verbatim.
+    * Staged UNSORTED in 4 files and replayed 2 files per micro-batch:
+    * min_by/max_by merge commutatively, so the cross-batch state merge
+    * must converge to the batch bars exactly — this row is the gate's
+    * arrival-order-INDEPENDENCE certificate (the per-key state machines
+    * certify the opposite, ordered-replay, contract).
+    */
+  private def streamOhlc(s: SparkSession, dir: String): DataFrame = {
+    val stream = s.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "2").parquet(stageEvents(s, dir, 4))
+    Streams.runToCompletion(
+      s, Streams.ohlcWindows(stream), sink("gate_ohlc"), mode = "complete")
+      .select(expr("unix_micros(win_start) div 86400000000").as("day"),
+        col("user_id"), col("open_cents"), col("high_cents"),
+        col("low_cents"), col("close_cents"), col("n"))
+  }
+
   // ---------------------------------------------------------- stream_sliding
   /** Sliding windows (10-minute length, 5-minute slide): each event
     * lands in exactly two epoch-aligned windows, which is precisely the
@@ -955,6 +974,7 @@ object StreamingGate {
     "stream_start_state" -> Q(streamStartState _, streamStartStateSql),
     "stream_tumbling" -> Q(streamTumbling _, streamTumblingSql),
     "stream_sliding" -> Q(streamSliding _, streamSlidingSql),
+    "stream_ohlc" -> Q(streamOhlc _, Extras.resampleOhlcSql),
     "stream_session" -> Q(streamSession _, streamSessionSql),
     "stream_dedup_exact" -> Q(streamDedupExact _, streamDedupExactSql),
     "stream_join" -> Q(streamJoin _, streamJoinSql),

@@ -64,6 +64,35 @@ object Streams {
         col("n"),
         col("avg_value"))
 
+  /** Streaming daily OHLC bars per user — the streaming face of the
+    * batch `resample_ohlc` query (Extras.scala): open/close are the
+    * cents value at the min/max (ts, event_id) via min_by/max_by over
+    * a struct ordering key, high/low plain min/max. Every aggregate
+    * here merges COMMUTATIVELY, so unlike the per-key state machines
+    * (transitions, funnel, attribution) this pipeline is
+    * arrival-order INDEPENDENT — no sorted staging, any micro-batch
+    * split, any shard interleaving converges to the batch bars
+    * exactly, which is the property a multi-partition out-of-order
+    * broker source actually provides. State per (day, user) window is
+    * five longs + the two ordering keys; watermark-evicted in
+    * production (the gate replays complete mode to read final bars).
+    */
+  def ohlcWindows(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast(LongType).as("x"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(
+        min_by(col("x"), struct(col("ts"), col("event_id"))).as("open_cents"),
+        max(col("x")).as("high_cents"),
+        min(col("x")).as("low_cents"),
+        max_by(col("x"), struct(col("ts"), col("event_id"))).as("close_cents"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("user_id"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n"))
+
   /** Sliding window: 10-minute window sliding every 5. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

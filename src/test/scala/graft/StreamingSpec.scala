@@ -91,6 +91,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("OHLC windows are arrival-order independent and match batch bars") {
+    // min_by/max_by merge commutatively: a reverse-(ts,event_id)-sorted
+    // single-file replay must produce the SAME bars as the unsorted
+    // 4-file replay — and both must equal the batch recompute.
+    def bars(dir: String, name: String): Map[(Long, Long), (Long, Long, Long, Long, Long)] =
+      Streams.runToCompletion(spark,
+        Streams.ohlcWindows(Streams.readEventStream(spark, dir)),
+        name, "complete")
+        .select(expr("unix_micros(win_start) div 86400000000").as("day"),
+          col("user_id"), col("open_cents"), col("high_cents"),
+          col("low_cents"), col("close_cents"), col("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+    val rev = Files.createTempDirectory("graft-ohlc-rev").toString
+    Tables.events(spark, sf)
+      .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .coalesce(1).write.mode("overwrite").parquet(rev)
+    val a = bars(replayDir, "t_ohlc_unsorted")
+    val b = bars(rev, "t_ohlc_rev")
+    assert(a == b, "bars differ between replay orders")
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("x"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(expr("min_by(x, struct(ts, event_id))").as("o"),
+        max(col("x")).as("h"), min(col("x")).as("l"),
+        expr("max_by(x, struct(ts, event_id))").as("c"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(a == batch, "stream bars diverge from batch recompute")
+  }
+
   test("stateful last-n mean emits one final state per user") {
     val stream = Streams.readEventStream(spark, replayDir)
     val out = Streams
