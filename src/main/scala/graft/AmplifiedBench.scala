@@ -57,7 +57,9 @@ object AmplifiedBench {
       // via DimCache (r15 change), so the warmup pays the staging write
       // and the timed reps measure the AvailableNow replay itself:
       // source scan → stateful operator (state store) → memory sink.
-      "stream_near_dedup", "stream_postings", "stream_kmv_window")
+      "stream_near_dedup", "stream_postings", "stream_kmv_window",
+      // r16: the arrival-order-independent windowed OHLC face
+      "stream_ohlc")
 
   /** Writes the factor-amplified dataset as `{table}.parquet` under a
     * temp dir honoring the same directory contract as /root/testdata,
