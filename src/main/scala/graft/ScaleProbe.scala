@@ -524,6 +524,45 @@ object ScaleProbe {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     Seq(32, 128, 512).foreach(probeGroupedScanOffsets)
+
+    // high-G regime of the same axis: a synthetic 4000-value group key
+    // (just under the 4096 cap) at fixed P. Contiguity still bounds the
+    // collect at P + G − 1 ≈ G — certifying that even AT the cap the
+    // driver map is thousands of tuples, not P × G millions. The scan
+    // itself must stay wall-comparable to the 3-group case (the group
+    // count only widens the bounded offsets map, never the data pass).
+    def probeGroupedScanHighG(parts: Int): Unit = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val g = 4000
+        val li = Tables.lineitem(spark, sfDir)
+          .select(pmod(col("l_partkey"), lit(g)).as("gk"),
+            col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("wt"))
+        val t0 = System.nanoTime()
+        val scanned = operators.GlobalOrder.groupedCumSum(
+          li, Seq("gk"),
+          Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+          col("wt"), "cum")
+        val n = scanned.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val sorted = li
+          .repartitionByRange(col("gk"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"))
+          .sortWithinPartitions(col("gk"))
+        val entries = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+          val ks = scala.collection.mutable.LinkedHashSet.empty[Any]
+          it.foreach(r => ks.add(r.get(0)))
+          ks.iterator.map(k => (pi, k))
+        }.count()
+        println(f"""{"probe":"grouped_scan_offsets_highg","partitions":$parts,"groups":$g,"offsets_entries":$entries,"bound_p_plus_g":${parts + g - 1},"rows":$n,"secs":$secs%.2f}""")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    Seq(32, 512).foreach(probeGroupedScanHighG)
     spark.stop()
   }
 }
