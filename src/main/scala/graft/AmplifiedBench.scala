@@ -165,12 +165,13 @@ object AmplifiedBench {
         .foreach(t => spark.catalog.dropTempView(t.name))
       spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
     }
+    // cleanup() runs OUTSIDE the caller's gc_ms sampling span: its two
+    // forced System.gc() full collections are deliberate harness pauses,
+    // not the organic GC pressure the telemetry column exists to expose.
     def timed(name: String, dir: String): Double = {
       run(name, dir)
       val ts = Seq.fill(reps)(run(name, dir))
-      val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
-      cleanup()
-      med
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
     }
 
     // Local-iteration filter, same contract as Verify's SPARK_GRAFT_ONLY.
@@ -189,11 +190,16 @@ object AmplifiedBench {
     val rows = selection.filter(n => only.forall(_.contains(n))).map { n =>
       val gc0 = gcMs()
       val base = timed(n, sfDir)
+      val gcBase = gcMs() - gc0
+      cleanup()
+      val gc1 = gcMs()
       val amp = timed(n, ampDir)
+      val gcQuery = gcBase + (gcMs() - gc1)
+      cleanup()
       val ratio = if (base > 0 && amp > 0) amp / base else -1.0
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory - rt.freeMemory) / 1048576
-      println(f"""{"query":"$n","base_secs":$base%.3f,"amp_secs":$amp%.3f,"factor":$factor,"ratio":$ratio%.2f,"gc_ms":${gcMs() - gc0},"heap_mb":$heapMb}""")
+      println(f"""{"query":"$n","base_secs":$base%.3f,"amp_secs":$amp%.3f,"factor":$factor,"ratio":$ratio%.2f,"gc_ms":$gcQuery,"heap_mb":$heapMb}""")
       (n, base, amp, ratio)
     }
     val worst = rows.filter(_._4 > 0).sortBy(-_._4).take(5)

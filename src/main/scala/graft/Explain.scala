@@ -96,14 +96,48 @@ object Explain {
           println(s"!! stream smells [$name]: ${ss.mkString(", ")}")
         }
       }
+      // A gate row with no registered builder is a COVERAGE HOLE, not a
+      // design choice: it would silently exempt a (possibly stateful)
+      // new plan from the unbounded-key/watermark-less/range-less
+      // checks. Count it as a smell so the audit fails loudly until a
+      // builder is added to streamingStatePlans.
       val uncovered = streamTargets.filterNot(plans.map(_._1).contains)
+      if (uncovered.nonEmpty) {
+        streamSmellCount += uncovered.size
+        println(s"!! unaudited stream rows (add builders to " +
+          s"streamingStatePlans): ${uncovered.mkString(", ")}")
+      }
       println(s"\n[streaming-state audit] ${plans.size} plans, " +
-        s"$streamSmellCount smells" +
-        (if (uncovered.nonEmpty)
-          s" (no stateful plan by design: ${uncovered.mkString(", ")})"
-        else ""))
+        s"$streamSmellCount smells")
     }
     spark.stop()
+  }
+
+  /** Staging dirs for the streaming-state audit, registered for
+    * best-effort recursive deletion at JVM exit (the StreamingGate r15
+    * pattern) — repeated audit runs must not accumulate table copies in
+    * java.io.tmpdir.
+    */
+  private val tempDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.walk(root)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally s.close()
+        } catch { case _: Exception => () }
+      }))
+  }
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p)
+    p.toString
   }
 
   /** One analyzed (never started) streaming plan per stream_* gate row,
@@ -120,16 +154,14 @@ object Explain {
     import org.apache.spark.sql.DataFrame
     import graft.streaming.Streams
     lazy val evDir = {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft-explain-stream").toString
+      val d = tempDir("graft-explain-stream")
       Tables.events(spark, sfDir)
         .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
         .coalesce(1).write.mode("overwrite").parquet(d)
       d
     }
     lazy val docDir = {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft-explain-docs").toString
+      val d = tempDir("graft-explain-docs")
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"))
         .withColumn("ts", expr("timestamp'2026-01-01 00:00:00'"))
@@ -137,8 +169,7 @@ object Explain {
       d
     }
     lazy val chgDir = {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft-explain-scd2").toString
+      val d = tempDir("graft-explain-scd2")
       Tables.orders(spark, sfDir).limit(64)
         .select(col("o_custkey").as("key"),
           expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
@@ -151,8 +182,7 @@ object Explain {
     lazy val embStaged = {
       val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-      val d = java.nio.file.Files
-        .createTempDirectory("graft-explain-emb").toString
+      val d = tempDir("graft-explain-emb")
       emb.limit(64).coalesce(1).write.mode("overwrite").parquet(d)
       (d, emb.schema)
     }
@@ -195,7 +225,9 @@ object Explain {
       "stream_postings" -> (() => Streams.postingsMaintain(spark, docs)),
       "stream_pq_encode" -> (() => {
         val (d, schema) = embStaged
-        val cb = graft.DimCache.cached(s"pq-codebooks-explain:$sfDir") {
+        // canonical key — shared with StreamingGate/LlmOps so a prior
+        // gate run in this JVM makes this a cache hit (and vice versa)
+        val cb = graft.DimCache.cached(s"pq-codebooks:$sfDir:8:16") {
           graft.operators.Similarity.pqCodebooks(
             Tables.embeddings(spark, sfDir).select(col("vec_id"),
               expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e")),

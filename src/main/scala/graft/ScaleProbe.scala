@@ -497,6 +497,25 @@ object ScaleProbe {
     // partition ladder at fixed G (l_returnflag, 3 groups): a
     // 4000-task cluster at the 4096-group cap stays ≤ ~8k tuples on
     // the driver, and wall should be flat in P at fixed data.
+    // exact mirror of scanCore's partials construction, shared by both
+    // offsets axes: same range partitioning and per-partition
+    // distinct-group walk, counting entries instead of subtotaling them.
+    // Group key FIRST in the range ordering, exactly like scanCore.
+    def offsetsEntries(df: org.apache.spark.sql.DataFrame,
+        groupCol: String, ord: Seq[org.apache.spark.sql.Column]): Long = {
+      val keyed = col(groupCol) +: ord
+      val sorted = df
+        .repartitionByRange(keyed: _*)
+        .sortWithinPartitions(keyed: _*)
+      val gi = sorted.schema.fieldIndex(groupCol)
+      sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        val ks = scala.collection.mutable.LinkedHashSet.empty[Any]
+        it.foreach(r => ks.add(r.get(gi)))
+        ks.iterator.map(k => (pi, k))
+      }.count()
+    }
+    val wmOrd = Seq(col("l_extendedprice"), col("l_orderkey"),
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     def probeGroupedScanOffsets(parts: Int): Unit = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
@@ -505,20 +524,7 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val medians = queries.Aggregates.weightedMedianOver(li).collect()
         val secs = (System.nanoTime() - t0) / 1e9
-        // exact mirror of scanCore's partials construction: same range
-        // partitioning and per-partition distinct-group walk, counting
-        // entries instead of subtotaling them
-        val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
-          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-        val sorted = li
-          .select(col("l_returnflag") +: ord: _*)
-          .repartitionByRange(col("l_returnflag") +: ord: _*)
-          .sortWithinPartitions(col("l_returnflag") +: ord: _*)
-        val entries = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
-          val ks = scala.collection.mutable.LinkedHashSet.empty[Any]
-          it.foreach(r => ks.add(r.get(0)))
-          ks.iterator.map(k => (pi, k))
-        }.count()
+        val entries = offsetsEntries(li, "l_returnflag", wmOrd)
         val groups = li.select(col("l_returnflag")).distinct().count()
         println(f"""{"probe":"grouped_scan_offsets","partitions":$parts,"groups":$groups,"offsets_entries":$entries,"bound_p_plus_g":${parts + groups - 1},"bound_p_times_g":${parts * groups},"median_rows":${medians.length},"secs":$secs%.2f}""")
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -549,16 +555,7 @@ object ScaleProbe {
           col("wt"), "cum")
         val n = scanned.count()
         val secs = (System.nanoTime() - t0) / 1e9
-        val sorted = li
-          .repartitionByRange(col("gk"), col("l_extendedprice"),
-            col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-            col("l_suppkey"))
-          .sortWithinPartitions(col("gk"))
-        val entries = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
-          val ks = scala.collection.mutable.LinkedHashSet.empty[Any]
-          it.foreach(r => ks.add(r.get(0)))
-          ks.iterator.map(k => (pi, k))
-        }.count()
+        val entries = offsetsEntries(li, "gk", wmOrd)
         println(f"""{"probe":"grouped_scan_offsets_highg","partitions":$parts,"groups":$g,"offsets_entries":$entries,"bound_p_plus_g":${parts + g - 1},"rows":$n,"secs":$secs%.2f}""")
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }

@@ -95,9 +95,13 @@ class StreamingSpec extends AnyFunSuite {
     // min_by/max_by merge commutatively: a reverse-(ts,event_id)-sorted
     // single-file replay must produce the SAME bars as the unsorted
     // 4-file replay — and both must equal the batch recompute.
+    // maxFilesPerTrigger=1 forces one micro-batch per file, so the
+    // unsorted 4-file replay genuinely merges OHLC state ACROSS batches
+    // (the property under test), not just across partitions of one batch
     def bars(dir: String, name: String): Map[(Long, Long), (Long, Long, Long, Long, Long)] =
       Streams.runToCompletion(spark,
-        Streams.ohlcWindows(Streams.readEventStream(spark, dir)),
+        Streams.ohlcWindows(spark.readStream.schema(Streams.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)),
         name, "complete")
         .select(expr("unix_micros(win_start) div 86400000000").as("day"),
           col("user_id"), col("open_cents"), col("high_cents"),
