@@ -85,6 +85,32 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("groupedCumSumWithTotal: totals ride the scan, null group keeps " +
+      "its own total (r16)") {
+    // The r15 rewire's documented contract (COVERAGE semantics note): a
+    // NULL group key partitions like SQL PARTITION BY — the null group
+    // gets its own cum AND its own total from the scan's partials (the
+    // pre-r15 join formulation dropped null groups entirely).
+    val got = GlobalOrder.groupedCumSumWithTotal(
+      grouped, Seq("seg"), Seq(col("c_custkey")), col("v"), "cum", "tot")
+    assert(got.schema("cum").dataType == LongType)
+    assert(got.schema("tot").dataType == LongType)
+    val w = Window.partitionBy(col("seg"))
+    val want = grouped
+      .withColumn("cum",
+        sum(col("v")).over(w.orderBy(col("c_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("v")).over(w))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the null group is present with a consistent total: its max cum
+    // equals its tot, and its rows were not dropped
+    val nulls = got.filter(col("seg").isNull)
+      .agg(count(lit(1)), max(col("cum")), max(col("tot"))).head()
+    assert(nulls.getLong(0) > 0, "null group dropped")
+    assert(nulls.getLong(1) == nulls.getLong(2),
+      "null group's final cum must equal its riding total")
+  }
+
   test("grouped scans enforce their fail-fast contracts") {
     // output-name collision
     intercept[IllegalArgumentException] {
