@@ -67,6 +67,17 @@ object AmplifiedBench {
     */
   def buildAmplified(spark: SparkSession, sfDir: String, f: Int): String = {
     val out = System.getProperty("java.io.tmpdir") + s"/graft_amp_${f}x"
+    // Reuse hook for the fresh-JVM adjudication child (r17): the child
+    // re-measures ONE query on the identical amplified dataset the sweep
+    // just used — rebuilding it would both waste minutes and break
+    // "same input, fresh heap" as the only changed variable.
+    val marker = java.nio.file.Paths.get(out, "_SUCCESS_GRAFT")
+    if (sys.env.contains("SPARK_GRAFT_AMP_REUSE") &&
+        java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == sfDir) {
+      System.err.println(s"[amp] reusing existing ${f}x dataset at $out")
+      return out
+    }
     def shiftOf(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
@@ -118,6 +129,11 @@ object AmplifiedBench {
       amp(docs, Map("doc_id" -> shiftOf(docs, "doc_id")), saltText = true))
     val emb = Tables.embeddings(spark, sfDir)
     write("embeddings", amp(emb, Map("vec_id" -> shiftOf(emb, "vec_id"))))
+    // completeness marker for the reuse hook (parquet's own _SUCCESS is
+    // per-table; this one certifies the whole directory)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "_SUCCESS_GRAFT"),
+      sfDir.getBytes("UTF-8"))
     out
   }
 
@@ -187,6 +203,45 @@ object AmplifiedBench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // Machine-enforced adjudication (r17, verdict task 3): any sweep row
+    // whose ratio exceeds the threshold re-runs AUTOMATICALLY in a fresh
+    // child JVM on the identical amplified dataset (SPARK_GRAFT_AMP_REUSE)
+    // — the exact protocol that adjudicated sketch_cms_topk's 13.5×
+    // sweep reading down to 1.54× in r16, previously run by hand. The
+    // emitted row carries both numbers so the JSONL is self-adjudicating:
+    // fresh ≪ sweep ⇒ sweep context (late-sweep GC/heap), fresh ≈ sweep
+    // ⇒ real scaling behavior to investigate as code.
+    val adjThreshold = sys.env.get("SPARK_GRAFT_AMP_ADJ_THRESHOLD")
+      .map(_.toDouble).getOrElse(3.0)
+    val noAdj = sys.env.contains("SPARK_GRAFT_AMP_NO_ADJ")
+    def freshJvmRatio(query: String): Option[Double] = {
+      import scala.jdk.CollectionConverters._
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmFlags = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala
+        .filter(a => a.startsWith("--add-opens") ||
+          a.startsWith("--add-exports") || a.startsWith("-Xmx") ||
+          a.startsWith("-XX:") || a.startsWith("-Dspark."))
+      val cmd = (Seq(javaBin) ++ jvmFlags ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.AmplifiedBench", sfDir, factor.toString, reps.toString)).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_AMP_ONLY", query)
+      pb.environment().put("SPARK_GRAFT_AMP_REUSE", "1")
+      pb.environment().put("SPARK_GRAFT_AMP_NO_ADJ", "1")
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val outLines = scala.io.Source.fromInputStream(p.getInputStream)
+        .getLines().toList
+      p.waitFor()
+      // the child prints exactly one data row for the selected query
+      outLines.find(_.contains(s""""query":"$query"""")).flatMap { line =>
+        """"ratio":([-0-9.]+)""".r.findFirstMatchIn(line)
+          .map(_.group(1).toDouble)
+      }
+    }
     val rows = selection.filter(n => only.forall(_.contains(n))).map { n =>
       val gc0 = gcMs()
       val base = timed(n, sfDir)
@@ -194,12 +249,27 @@ object AmplifiedBench {
       cleanup()
       val gc1 = gcMs()
       val amp = timed(n, ampDir)
-      val gcQuery = gcBase + (gcMs() - gc1)
+      val gcAmp = gcMs() - gc1
       cleanup()
       val ratio = if (base > 0 && amp > 0) amp / base else -1.0
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory - rt.freeMemory) / 1048576
-      println(f"""{"query":"$n","base_secs":$base%.3f,"amp_secs":$amp%.3f,"factor":$factor,"ratio":$ratio%.2f,"gc_ms":$gcQuery,"heap_mb":$heapMb}""")
+      // gc_base_ms/gc_amp_ms split (r17 ADVICE): a base-side GC spike
+      // DEFLATES the ratio, an amp-side spike inflates it — one summed
+      // column could not say which group the pressure hit.
+      val freshPart =
+        if (!noAdj && ratio > adjThreshold) {
+          System.err.println(
+            f"[amp] $n sweep ratio $ratio%.2f > $adjThreshold%.1f — " +
+              "re-running in a fresh child JVM for adjudication")
+          freshJvmRatio(n) match {
+            case Some(fr) =>
+              val verdict = if (fr <= adjThreshold) "sweep_context" else "code"
+              f""","fresh_ratio":$fr%.2f,"adjudication":"$verdict""""
+            case None => ""","fresh_ratio":-1,"adjudication":"child_failed""""
+          }
+        } else ""
+      println(f"""{"query":"$n","base_secs":$base%.3f,"amp_secs":$amp%.3f,"factor":$factor,"ratio":$ratio%.2f,"gc_base_ms":$gcBase,"gc_amp_ms":$gcAmp,"heap_mb":$heapMb$freshPart}""")
       (n, base, amp, ratio)
     }
     val worst = rows.filter(_._4 > 0).sortBy(-_._4).take(5)

@@ -227,9 +227,15 @@ object Bench {
       if (sink1 + acc.get() == 42L) println("") // keep the loops live
       (single, all)
     }
+    // r17 (verdict task 2): the r16 drift adjudication could not tell
+    // whether the box slowed DURING the sweep because the probe ran only
+    // once, before any Spark work. Sample the identical probe before AND
+    // after the sweep: a post-sweep tax above the pre-sweep tax is the
+    // direct signature of contention arriving mid-run — the failure mode
+    // the single-sample instrument missed in r16.
     val (calSingle, calAll) = calibrate()
     System.err.println(
-      f"[bench] cpu-calibration single=$calSingle%.3fs allcores=$calAll%.3fs " +
+      f"[bench] cpu-calibration(pre) single=$calSingle%.3fs allcores=$calAll%.3fs " +
         f"(fixed 2e8-iter integer-mix loop; compare across rounds)")
 
     // One full pre-pass so global one-time costs — JVM/codegen caches,
@@ -243,15 +249,24 @@ object Bench {
     // Median-of-5 is robust to one-sided GC outliers; the group shape
     // keeps cross-query heap pollution out of the number entirely.
     val reps = 5
+    // Per-query ORGANIC gc/heap deltas (r17, mirroring the r16
+    // AmplifiedBench telemetry): gc_ms spans only the five timed reps —
+    // after the group warmup, before groupCleanup's deliberate
+    // System.gc() pauses — so a per-query drift adjudication can read
+    // "GC pressure during this group's measurement" straight off
+    // BENCH_r{N}.json instead of re-running the query in a fresh JVM.
     val results = selected.map { n =>
       run(n) // group-local warmup (C2 finishes mid-flight compiles)
+      val gc0 = gcMillis
       val ts = Seq.fill(reps)(run(n))
+      val gcDelta = gcMillis - gc0
+      val heap = heapUsedMb
       val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
       System.err.println(
-        f"[bench] $n%-22s median=$med%7.3fs heap=${heapUsedMb}%5dMB " +
-          f"gc=${gcMillis}%6dms codecache=${codeCacheMb}%4dMB")
+        f"[bench] $n%-22s median=$med%7.3fs heap=$heap%5dMB " +
+          f"gc_delta=$gcDelta%5dms gc_cum=${gcMillis}%6dms codecache=${codeCacheMb}%4dMB")
       groupCleanup()
-      n -> med
+      (n, med, gcDelta, heap)
     }
     // Layout-pruning evidence for the z-order scan: rows the parquet
     // scan actually READ (post row-group min/max skipping) vs the full
@@ -275,13 +290,29 @@ object Bench {
         f"[bench] scan_zorder_pruned rows_read=$read total_rows=$total " +
           f"pruned_factor=${total.toDouble / math.max(read, 1L)}%.1f")
     }
+    // Post-sweep calibration arm (see the pre-sweep comment): the pair
+    // brackets the whole measurement window.
+    val (calSingle2, calAll2) = calibrate()
+    System.err.println(
+      f"[bench] cpu-calibration(post) single=$calSingle2%.3fs allcores=$calAll2%.3fs")
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val gcs = results
+      .map { case (k, _, g, _) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val heaps = results
+      .map { case (k, _, _, h) => "\"" + k + "\":" + h }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // cal_single_s/cal_allcores_s keep their r15 meaning (pre-sweep) so
+    // the round-over-round tax comparison stays one column; cal_post_*
+    // is the new second sample.
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""cal_single_s":$calSingle%.3f,"cal_allcores_s":$calAll%.3f,""" +
+        f""""cal_post_single_s":$calSingle2%.3f,"cal_post_allcores_s":$calAll2%.3f,""" +
+        f""""gc_ms":$gcs,"heap_mb":$heaps,""" +
         f""""sf":"$sfDir"}""")
     spark.stop()
   }

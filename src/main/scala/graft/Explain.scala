@@ -109,6 +109,14 @@ object Explain {
       }
       println(s"\n[streaming-state audit] ${plans.size} plans, " +
         s"$streamSmellCount smells")
+      // Coverage holes hard-fail (r17 ADVICE): a smell is a judgment
+      // call a human reads; a MISSING audit is a harness bug — exit
+      // nonzero so any scripted gate keyed on exit status catches a new
+      // gate row landing without a builder, not just a stdout reader.
+      if (uncovered.nonEmpty) {
+        spark.stop()
+        sys.exit(2)
+      }
     }
     spark.stop()
   }

@@ -76,12 +76,19 @@ object Streams {
     * broker source actually provides. State per (day, user) window is
     * five longs + the two ordering keys; watermark-evicted in
     * production (the gate replays complete mode to read final bars).
+    *
+    * `lateness` (r17, advisor note): the order-independence certificate
+    * is unconditional only in complete-mode replay; an append/update
+    * consumer DROPS events later than the watermark and diverges from
+    * the batch bars. Production callers must therefore choose their own
+    * lateness bound explicitly rather than inherit the gate's default.
     */
-  def ohlcWindows(events: DataFrame): DataFrame =
+  def ohlcWindows(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
     events
       .select(col("user_id"), col("ts"), col("event_id"),
         floor(col("value") * 100 + lit(0.5)).cast(LongType).as("x"))
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), "1 day"), col("user_id"))
       .agg(
         min_by(col("x"), struct(col("ts"), col("event_id"))).as("open_cents"),
@@ -791,6 +798,37 @@ object Streams {
       .toDF("event_type", "n_events", "cents")
   }
 
+  /** State-store provider selection (r17, verdict task 4): the r16
+    * RocksDB parity experiment (SCALING.md:181-190 — bit-identical
+    * `stream_near_dedup` output, 20.4 vs 22.4 s) shipped as a doc note;
+    * this makes it a reproducible harness switch. `SPARK_GRAFT_STATE_
+    * PROVIDER=rocksdb` (env, for driver runs) or `-Dgraft.stateProvider=
+    * rocksdb` (sysprop, for in-JVM specs) routes EVERY gate/bench
+    * streaming query through RocksDBStateStoreProvider — state lives
+    * off-heap/on-disk per partition, the provider a 100 TB deployment
+    * would run to keep multi-GB key spaces out of executor heaps. Unset
+    * ⇒ Spark's default HDFSBackedStateStoreProvider. The conf is
+    * set-or-unset on EVERY call so one flagged run can't leak its
+    * provider into a later unflagged query in the same session.
+    */
+  private val providerClasses = Map(
+    "rocksdb" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "hdfs" ->
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+  private def applyStateProvider(spark: SparkSession): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    sys.props.get("graft.stateProvider")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER")) match {
+      case Some(p) =>
+        val cls = providerClasses.getOrElse(p.toLowerCase,
+          sys.error(s"unknown state provider '$p' " +
+            s"(expected one of ${providerClasses.keys.mkString("/")})"))
+        spark.conf.set(key, cls)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run a streaming query to completion against a static replay dir and
     * return the in-memory sink table (used by tests and demos;
     * checkpointing exercised via the checkpointLocation option).
@@ -801,6 +839,7 @@ object Streams {
       name: String,
       mode: String = "update",
       checkpoint: Option[String] = None): DataFrame = {
+    applyStateProvider(spark)
     var w = df.writeStream
       .outputMode(mode)
       .format("memory")

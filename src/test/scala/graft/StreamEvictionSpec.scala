@@ -188,4 +188,38 @@ class StreamEvictionSpec extends AnyFunSuite {
       "t_evict_win", "append"))
     assert(windowed == unbounded, s"$windowed vs $unbounded")
   }
+
+  /** RocksDB state-store parity (r17, promoting the r16 SCALING.md
+    * experiment to a harness-enforced contract): the SAME gate query —
+    * `stream_near_dedup`, the largest-state row (~1.2M signature keys)
+    * — must produce bit-identical output under
+    * HDFSBackedStateStoreProvider (default) and RocksDBStateStoreProvider
+    * (`-Dgraft.stateProvider=rocksdb`, the switch a 100 TB deployment
+    * flips to move state off-heap). Routed through the same
+    * `Streams.applyStateProvider` hook the driver's
+    * SPARK_GRAFT_STATE_PROVIDER env flag uses, so this spec certifies
+    * the exact code path the harness flag exercises.
+    */
+  test("rocksdb state store: stream_near_dedup output is bit-identical") {
+    def sigCounts(): Set[(String, Long)] =
+      SparkEntry.queries("stream_near_dedup")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val default = sigCounts()
+    assert(default.nonEmpty)
+    System.setProperty("graft.stateProvider", "rocksdb")
+    try {
+      val rocks = sigCounts()
+      // The rocksdb run really used the provider: the conf is set by
+      // applyStateProvider inside runToCompletion and persists on the
+      // session until the next (unflagged) call unsets it.
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      assert(rocks == default,
+        s"provider changed results: ${rocks.size} vs ${default.size} sigs")
+    } finally System.clearProperty("graft.stateProvider")
+    // and an unflagged run restores the default provider
+    sigCounts()
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
 }
