@@ -103,7 +103,17 @@ object Similarity {
   def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
     assignCells(emb, centroidArrays(cents))
 
-  def assignCells(emb: DataFrame, cRows: IndexedSeq[(Int, Seq[Double])]): DataFrame = {
+  def assignCells(emb: DataFrame, cRows: IndexedSeq[(Int, Seq[Double])]): DataFrame =
+    assignCellsWithSim(emb, cRows).select(col("vec_id"), col("cell_id"), col("e"))
+
+  /** [[assignCells]] plus the winning dot product itself (`top_sim` =
+    * e·ĉ of the assigned cell). Because centroids ship unit-normalized,
+    * `top_sim / ‖e‖` IS the vector's cosine to its own centroid — the
+    * SemDeDup keep-policy rank (`dedup_semantic_keep`) — at zero extra
+    * arithmetic: the argmax already computed every dot product.
+    */
+  def assignCellsWithSim(
+      emb: DataFrame, cRows: IndexedSeq[(Int, Seq[Double])]): DataFrame = {
     require(cRows.nonEmpty, "assignCells: empty centroid set")
     val cellIds = array(cRows.map(r => lit(r._1)): _*)
     val unitCents = array(cRows.map { r =>
@@ -119,8 +129,9 @@ object Similarity {
       .withColumn("sims", transform(unitCents, cu => dot(col("e"), cu)))
       .select(col("vec_id"), col("e"),
         element_at(cellIds, array_position(col("sims"), array_max(col("sims")))
-          .cast(IntegerType)).as("cell_id"))
-      .select(col("vec_id"), col("cell_id"), col("e"))
+          .cast(IntegerType)).as("cell_id"),
+        array_max(col("sims")).as("top_sim"))
+      .select(col("vec_id"), col("cell_id"), col("e"), col("top_sim"))
   }
 
   // -------------------------------------------------- product quantization

@@ -1859,6 +1859,137 @@ object LlmOps {
       |FROM assigned a, unnest(range(1, len(a.e) + 1)) AS u(i)
       |GROUP BY cell_id, u.i""".stripMargin
 
+  /** SemDeDup-style cluster-bounded semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-partition the embedding space, find
+    * near-duplicate pairs ONLY within each cluster (cosine ≥ 0.35 —
+    * data-relative for the near-orthogonal synthetic embeddings, same
+    * rationale as `decontaminate_semantic`), and keep, of each dup
+    * pair, the member FARTHER from its cluster centroid — the paper's
+    * "keep outliers" policy (the retained corpus preserves diversity;
+    * prototypical near-dups are the redundant mass). Per vector the
+    * verdict is dominance-style and deterministic: dropped iff ANY
+    * same-cell partner with cosine ≥ τ is strictly closer to the
+    * centroid (ties on the centroid-cosine broken by lower vec_id).
+    *
+    * vs `dedup_emb_cosine` (SRP-LSH banding): clustering pays ZERO
+    * recall loss within a cell and bounds candidates by cluster
+    * population instead of bucket occupancy. The 100 TB contract is
+    * the paper's: k scales WITH the corpus (50k clusters over 5B
+    * embeddings), so per-cell population — and therefore the per-cell
+    * pairwise quadratic — stays constant while assignment stays a
+    * map-side broadcast argmax (`assignCellsWithSim`, k centroids as
+    * literals, no exchange). Here k = 8 over the gate corpus, the same
+    * DimCache'd Lehmer-strided centroid set the whole IVF family
+    * shares, so the oracle replays assignment bit-exactly. The
+    * centroid-cosine rank rides the assignment's own argmax dot
+    * (top_sim / ‖e‖) — zero extra passes.
+    *
+    * Determinism: every cosine is the ascending-index DotF64 fold both
+    * engines compute bit-identically; the dominance comparison uses
+    * the RAW doubles (identical bits both sides), and only the
+    * centroid cosine is rounded for display.
+    */
+  private def dedupSemanticKeep(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotF64.dotf64
+    val (dimsMin, dimsMax) = embDims(s, dir)
+    require(dimsMin == dimsMax,
+      s"dedupSemanticKeep needs fixed-width embeddings, got " +
+        s"min=$dimsMin max=$dimsMax")
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), embDouble.as("embedding"))
+    val cRows = graft.DimCache.cached(s"ivf-centroids:$dir:8") {
+      graft.operators.Similarity.centroidArrays(
+        graft.operators.Similarity.centroids(emb, nCells = 8))
+    }
+    val m = graft.operators.Similarity.assignCellsWithSim(emb, cRows)
+      .select(col("vec_id"), col("cell_id"), col("e"),
+        dotf64(col("e"), col("e")).as("n2"), col("top_sim"))
+      .select(col("vec_id"), col("cell_id"), col("e"), col("n2"),
+        (col("top_sim") / sqrt(col("n2"))).as("cc"))
+    val a = m.select(col("cell_id"), col("vec_id").as("id_a"),
+      col("e").as("ea"), col("n2").as("na2"), col("cc").as("ca"))
+    val b = m.select(col("cell_id"), col("vec_id").as("id_b"),
+      col("e").as("eb"), col("n2").as("nb2"), col("cc").as("cb"))
+    val near = a.join(b, Seq("cell_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("ca"), col("id_b"), col("cb"),
+        (dotf64(col("ea"), col("eb")) / (sqrt(col("na2")) * sqrt(col("nb2"))))
+          .as("cos"))
+      .filter(col("cos") >= 0.35)
+    val verdict = near
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(count(lit(1)).as("n_near"),
+        max(when(col("cb") < col("ca") ||
+          (col("cb") === col("ca") && col("id_b") < col("id_a")), 1)
+          .otherwise(0)).as("dropped"))
+    m.join(verdict, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (coalesce(col("dropped"), lit(0)) === 0).as("kept"),
+        round(col("cc"), 6).as("centroid_cos_6dp"))
+  }
+
+  /** DuckDB twin: the `cluster_kmeans_step` centroid/assignment CTEs
+    * verbatim (same Lehmer pick, same unit-normalization, same
+    * ascending folds), extended with the winning sim (`list_max`) and
+    * the within-cell pair/dominance logic.
+    */
+  private val dedupSemanticKeepSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |picked AS (
+      |  SELECT vec_id, e FROM ev
+      |  ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 8),
+      |cents AS (
+      |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell_id,
+      |    e AS centroid
+      |  FROM picked),
+      |unitc AS (
+      |  SELECT cell_id, centroid,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(centroid, x -> x * x)), (acc, v) -> acc + v)) AS n
+      |  FROM cents),
+      |unit AS (
+      |  SELECT cell_id,
+      |    list_transform(centroid,
+      |      x -> CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE x / n END) AS cu
+      |  FROM unitc),
+      |cl AS (SELECT list(cu ORDER BY cell_id) AS cus FROM unit),
+      |assigned AS (
+      |  SELECT vec_id, e, list_position(sims, list_max(sims)) - 1 AS cell_id,
+      |    list_max(sims) AS top_sim
+      |  FROM (
+      |    SELECT vec_id, e,
+      |      list_transform(cus, cu ->
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> e[i] * cu[i])),
+      |          (acc, v) -> acc + v)) AS sims
+      |    FROM ev CROSS JOIN cl)),
+      |m AS (
+      |  SELECT vec_id, cell_id, e,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (acc, v) -> acc + v) AS n2,
+      |    top_sim / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (acc, v) -> acc + v)) AS cc
+      |  FROM assigned),
+      |near AS (
+      |  SELECT a.vec_id AS id_a, a.cc AS ca, b.vec_id AS id_b, b.cc AS cb
+      |  FROM m a JOIN m b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+      |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])),
+      |      (acc, v) -> acc + v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.35),
+      |v AS (
+      |  SELECT id_a AS vec_id, count(*) AS n_near,
+      |    max(CASE WHEN cb < ca OR (cb = ca AND id_b < id_a)
+      |      THEN 1 ELSE 0 END) AS dropped
+      |  FROM near GROUP BY id_a)
+      |SELECT m.vec_id, CAST(m.cell_id AS INTEGER) AS cell_id,
+      |  CAST(coalesce(v.n_near, 0) AS BIGINT) AS n_near,
+      |  coalesce(v.dropped, 0) = 0 AS kept,
+      |  round(m.cc, 6) AS centroid_cos_6dp
+      |FROM m LEFT JOIN v USING (vec_id)""".stripMargin
+
   /** Semantic (embedding-space) decontamination — the vector-side
     * counterpart of `decontaminate_ngrams`: flag every corpus vector
     * whose max cosine against ANY benchmark-set embedding (label = 7
@@ -3156,6 +3287,7 @@ object LlmOps {
     "dedup_substring_cut" -> Q(dedupSubstringCut _, dedupSubstringCutSql),
     "mix_token_budget" -> Q(mixTokenBudget _, mixTokenBudgetSql),
     "dedup_emb_cosine" -> Q(dedupEmbCosine _, dedupEmbCosineSql),
+    "dedup_semantic_keep" -> Q(dedupSemanticKeep _, dedupSemanticKeepSql),
     "sample_stratified" -> Q(sampleStratified _, sampleStratifiedSql),
     "sample_weighted" -> Q(sampleWeighted _, sampleWeightedSql),
     "text_tfidf_topk" -> Q(textTfidfTopk _, textTfidfTopkSql),

@@ -469,4 +469,50 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("sim6") > 0.0),
       "a hard negative should at least beat orthogonality")
   }
+
+  /** SemDeDup keep-policy invariants (`dedup_semantic_keep`): the hash
+    * oracle pins the exact verdict table; this pins the PROPERTY the
+    * verdicts must have. (1) one verdict per vector; (2) the KEPT set is
+    * τ-separated within every cell — if two kept vectors were within
+    * τ = 0.35, the dominance rule (lower centroid-cosine wins, vec_id
+    * tiebreak) would have dropped one of them; (3) every dropped vector
+    * reports at least one near partner; (4) the policy actually fires
+    * on this corpus (some vector is dropped). Cosines are recomputed
+    * driver-side with the same ascending-index fold DotF64 runs, so the
+    * τ comparison sees the identical doubles the query compared.
+    */
+  test("semantic dedup keep-policy: kept set is tau-separated per cell") {
+    val verdicts = SparkEntry.queries("dedup_semantic_keep")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toMap
+    assert(verdicts.size == emb.size, "one verdict per vector")
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val byCell = verdicts.toSeq.groupBy(_._2._1)
+    var dropped = 0
+    byCell.foreach { case (_, members) =>
+      val kept = members.filter(_._2._3).map(_._1)
+      for (i <- kept.indices; j <- (i + 1) until kept.length)
+        assert(cos(emb(kept(i)), emb(kept(j))) < 0.35,
+          s"kept pair ${kept(i)}/${kept(j)} within tau")
+      members.filterNot(_._2._3).foreach { case (id, (_, nNear, _)) =>
+        dropped += 1
+        assert(nNear >= 1L, s"dropped $id reports no near partner")
+      }
+    }
+    assert(dropped > 0, "policy never fired on this corpus")
+  }
 }
