@@ -336,6 +336,108 @@ object Conversions {
        |  AND l_suppkey BETWEEN sk_lo AND sk_hi
        |GROUP BY l_returnflag""".stripMargin
 
+  /** One-time bloom-filtered (or bloom-less control) events copy for
+    * [[scanBloomPruned]] — the point-lookup counterpart of the z-order
+    * layout (SURVEY §6: parquet bloom-filter pruning, "built-in since
+    * Spark 3.5 — verify"; ref `cpp/src/io/parquet/bloom_filter_reader.cu`
+    * — the same split-block bloom row-group skipping, here via Spark's
+    * parquet-mr writer/reader).
+    *
+    * The copy is deliberately HOSTILE to stats pruning: rows are
+    * scattered by a Lehmer hash of the id so every row group's
+    * [min, max] spans the whole id domain, and dictionary encoding is
+    * disabled — the honest 100 TB configuration, where a
+    * corpus-cardinality id column overflows the dictionary-page budget
+    * and falls back to plain encoding on its own (dictionary-page
+    * row-group filtering, parquet-mr's other point-lookup pruner, is
+    * then unavailable exactly when bloom matters). Small
+    * `parquet.block.size` stands in for production's many row groups
+    * per file. With that layout, the per-column bloom filter is the
+    * ONLY thing standing between a point probe and a full scan —
+    * ZOrderSpec measures rows-read on this copy vs the bit-identical
+    * bloom-less control.
+    */
+  private[graft] def bloomedEventsPath(
+      s: SparkSession, dir: String, bloom: Boolean): String = {
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val suffix = if (bloom) "bloom" else "plain"
+    val path = System.getProperty("java.io.tmpdir") + s"/graft_bscan_${suffix}_$tag"
+    graft.DimCache.cached(s"bscan-layout:$suffix:$dir") {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val ndv = ev.count()
+      // xxhash64, not the Lehmer fold: the scatter key is LAYOUT-ONLY
+      // (the oracle never sees it), and the Lehmer fold is monotonic
+      // until id*48271 first wraps its modulus (~id 44k) — on a small
+      // id domain it would silently leave the copy id-SORTED, handing
+      // min/max stats the pruning power this layout exists to deny.
+      val scattered = ev
+        .repartition(2, xxhash64(col("event_id")))
+        .sortWithinPartitions(xxhash64(col("event_id")))
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .option("parquet.enable.dictionary", "false")
+      val w =
+        if (bloom) scattered
+          .option("parquet.bloom.filter.enabled#event_id", "true")
+          .option("parquet.bloom.filter.expected.ndv#event_id", ndv.toString)
+        else scattered
+      w.parquet(path)
+      path
+    }
+  }
+
+  /** Deterministic existing-id probe set: the 4 event_ids nearest the
+    * middle of the id domain (ties to the lower id). Mid-domain is the
+    * honest probe for a bloom demo — an edge-of-domain id (the naive
+    * "first 4 ids" pick) sits OUTSIDE many scattered row groups'
+    * [min, max] and row-group stats prune it by accident, crediting the
+    * bloom filter for work the stats did. A mid id is inside every
+    * scattered group's range, so nothing but the bloom can skip.
+    */
+  private[graft] def bloomProbeIds(s: SparkSession, dir: String): Seq[Long] =
+    graft.DimCache.cached(s"bscan-probes:$dir") {
+      val b = Tables.events(s, dir)
+        .agg(min(col("event_id")).cast("long"), max(col("event_id")).cast("long"))
+        .head()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      Tables.events(s, dir)
+        .select(col("event_id"))
+        .orderBy(abs(col("event_id") - lit(mid)), col("event_id"))
+        .limit(4)
+        .collect().map(_.getLong(0)).toSeq
+    }
+
+  /** The read path the bloom layout exists for: a 4-id point lookup over
+    * the scattered copy. Row groups whose split-block bloom filter
+    * excludes all probe ids are skipped entirely by parquet-mr's
+    * row-group filtering under ordinary `spark.sql.parquet.filterPushdown`
+    * — no reader rewrite, exactly like the z-order min/max path. The
+    * oracle computes the same 4 rows from the RAW events parquet, so the
+    * green row proves the scattered copy is faithful; ZOrderSpec asserts
+    * the pruning itself (bloom copy reads a fraction of the rows the
+    * bloom-less control reads).
+    */
+  private def scanBloomPruned(s: SparkSession, dir: String): DataFrame = {
+    val probes = bloomProbeIds(s, dir)
+    s.read.parquet(bloomedEventsPath(s, dir, bloom = true))
+      .filter(col("event_id").isin(probes: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+  }
+
+  private val scanBloomPrunedSql =
+    """WITH b AS (
+      |  SELECT CAST((min(event_id) + max(event_id)) // 2 AS BIGINT) AS mid
+      |  FROM events),
+      |p AS (
+      |  SELECT event_id FROM events, b
+      |  ORDER BY abs(event_id - mid), event_id LIMIT 4)
+      |SELECT e.event_id, e.user_id, e.event_type, e.value
+      |FROM events e JOIN p USING (event_id)""".stripMargin
+
   /** Business-day (weekday) arithmetic — the SLA/lead-time calendar op
     * every warehouse reports with: order-to-ship weekday lead time per
     * return flag. Portable via the Monday-anchored epoch
@@ -438,6 +540,7 @@ object Conversions {
     "dt_business_days" -> Q(dtBusinessDays _, dtBusinessDaysSql),
     "conv_zorder" -> Q(zorderCode _, zorderCodeSql),
     "scan_zorder_pruned" -> Q(scanZorderPruned _, scanZorderPrunedSql),
+    "scan_bloom_pruned" -> Q(scanBloomPruned _, scanBloomPrunedSql),
     "conv_byte_cast" -> Q(byteCast _, byteCastSql),
     "conv_cast_roundtrip" -> Q(castRoundtrip _, castRoundtripSql),
     "conv_ipv4" -> Q(ipv4Conv _, ipv4ConvSql),

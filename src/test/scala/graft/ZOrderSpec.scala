@@ -154,4 +154,52 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zSpan < linSpan,
       s"z-cluster suppkey span $zSpan should be tighter than linear $linSpan")
   }
+
+  /** Parquet bloom-filter pruning (`scan_bloom_pruned`'s layout; SURVEY
+    * §6 "verify" item): on a copy deliberately hostile to every OTHER
+    * pruner — ids scattered so row-group [min,max] spans the domain,
+    * dictionary encoding off (the honest high-cardinality regime) — a
+    * point lookup over the bloom-filtered copy must read a fraction of
+    * the rows the bit-identical bloom-less control reads, row groups
+    * skipped by parquet-mr's bloom check under ordinary filter
+    * pushdown. Scan-node `numOutputRows` counts rows the reader
+    * materialized (post row-group skipping, pre residual filter) — the
+    * same evidence metric Bench reports for the z-order scan.
+    */
+  test("parquet bloom filter prunes row groups where stats and dictionary cannot") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = "/root/testdata/sf0.01" // 10k events -> several row groups
+    val bloomPath = queries.Conversions.bloomedEventsPath(spark, dir, bloom = true)
+    val plainPath = queries.Conversions.bloomedEventsPath(spark, dir, bloom = false)
+    val probes = queries.Conversions.bloomProbeIds(spark, dir)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    def read(path: String, id: Long): (Long, Seq[(Long, Long)]) = {
+      val df = spark.read.parquet(path).filter(col("event_id") === id)
+        .select(col("event_id"), col("user_id"))
+      val out = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val rowsRead = scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+      (rowsRead, out)
+    }
+    val total = spark.read.parquet(plainPath).count()
+    var bloomRead = 0L; var plainRead = 0L
+    probes.foreach { id =>
+      val (br, bout) = read(bloomPath, id)
+      val (pr, pout) = read(plainPath, id)
+      assert(bout == pout && bout.nonEmpty, s"content mismatch for id $id")
+      bloomRead += br; plainRead += pr
+    }
+    // the control reads EVERYTHING every probe: no pruner applies
+    assert(plainRead == total * probes.size,
+      s"control should be un-prunable: read $plainRead of ${total * probes.size}")
+    // the bloom copy skips most row groups per point probe
+    assert(bloomRead * 2 < plainRead,
+      s"bloom pruned too little: $bloomRead vs control $plainRead")
+  }
 }
