@@ -53,6 +53,11 @@ object Bench {
     // and the PQ encode + ADC top-k path (codebooks DimCache'd in the
     // pre-pass; reps time encode + scoring)
     "scan_zorder_pruned", "sim_ivfpq_topk",
+    // round-17: the bloom-filter layout's read path (one-time bloom
+    // copy lands in the pre-pass via DimCache; reps time the
+    // point-lookup whose row groups the column bloom filter prunes —
+    // rows-read evidence printed after the sweep like the z-order line)
+    "scan_bloom_pruned",
     // round-9: incremental near-dedup against the persisted LSH index
     // (index build lands in the warmup pre-pass via DimCache — the
     // write-once/query-many contract — so reps time the steady-state
@@ -288,6 +293,30 @@ object Bench {
       val total = Tables.lineitem(spark, sfDir).count()
       System.err.println(
         f"[bench] scan_zorder_pruned rows_read=$read total_rows=$total " +
+          f"pruned_factor=${total.toDouble / math.max(read, 1L)}%.1f")
+    }
+    // Same evidence for the bloom-filter point-lookup layout: rows the
+    // scan materialized (post bloom row-group skipping) vs the copy's
+    // full row count (the un-prunable control reads everything —
+    // causality proven in ZOrderSpec; this line measures the factor on
+    // driver hardware at driver scale).
+    if (selected.contains("scan_bloom_pruned")) {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val df = SparkEntry.queries("scan_bloom_pruned")(spark, sfDir)
+      df.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val read = scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value)
+        .sum
+      val total = Tables.events(spark, sfDir).count()
+      System.err.println(
+        f"[bench] scan_bloom_pruned rows_read=$read total_rows=$total " +
           f"pruned_factor=${total.toDouble / math.max(read, 1L)}%.1f")
     }
     // Post-sweep calibration arm (see the pre-sweep comment): the pair
