@@ -59,7 +59,18 @@ object AmplifiedBench {
       // source scan → stateful operator (state store) → memory sink.
       "stream_near_dedup", "stream_postings", "stream_kmv_window",
       // r16: the arrival-order-independent windowed OHLC face
-      "stream_ohlc")
+      "stream_ohlc",
+      // r17: the bloom point-lookup. Rows MATERIALIZED stay ~one row
+      // group at any corpus size; what grows is the per-row-group
+      // metadata work (footer entries + one bloom check each), which is
+      // linear in group count — and the demo layout's fixed 64 KB
+      // groups make group count itself linear in corpus size, so the
+      // measured 10× ratio is ~2.9 (sublinear), not flat. Production
+      // 128 MB groups grow ~2000× slower, pushing the same curve toward
+      // flat. A ratio approaching 10 would mean the bloom stopped
+      // pruning and DATA reads went linear — the regression this row
+      // exists to catch.
+      "scan_bloom_pruned")
 
   /** Writes the factor-amplified dataset as `{table}.parquet` under a
     * temp dir honoring the same directory contract as /root/testdata,
