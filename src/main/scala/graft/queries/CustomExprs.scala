@@ -530,6 +530,45 @@ object CustomExprs {
       |  TRUE AS p50_ok, TRUE AS p99_ok
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** The single-summary face of the GK contract (r17, closing the
+    * recorded-decision slack of `agg_gk_vs_exact` with code): forcing
+    * the input to ONE partition means the distributed aggregate builds
+    * exactly one GK summary and the merge step is the identity, so the
+    * 2ε merge-additivity allowance vanishes and the estimate must sit
+    * inside the RAW documented band ε + 2/n — the tightest contract the
+    * sketch admits. Together the pair brackets the implementation:
+    * merged path ≤ 2ε + 2/n (`agg_gk_vs_exact`), single-summary path ≤
+    * ε + 2/n (here). The coalesce(1) is a contract artifact, not a
+    * scale path — the production plan is the merged row's.
+    */
+  private def aggGkSingleSummary(s: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0 / 1000
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("rf"),
+        col("l_extendedprice").cast("double").as("p"))
+    val ests = li.coalesce(1).groupBy(col("rf"))
+      .agg(percentile_approx(col("p"), lit(0.5), lit(1000)).as("e50"),
+        percentile_approx(col("p"), lit(0.99), lit(1000)).as("e99"))
+    val band = lit(eps) + lit(2.0) / col("n_rows")
+    li.join(broadcast(ests), Seq("rf"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p") < col("e50"), 1L).otherwise(0L)).as("lo50"),
+        sum(when(col("p") <= col("e50"), 1L).otherwise(0L)).as("hi50"),
+        sum(when(col("p") < col("e99"), 1L).otherwise(0L)).as("lo99"),
+        sum(when(col("p") <= col("e99"), 1L).otherwise(0L)).as("hi99"))
+      .select(col("rf").as("l_returnflag"), col("n_rows"),
+        (col("lo50") / col("n_rows") <= lit(0.5) + band &&
+          col("hi50") / col("n_rows") >= lit(0.5) - band).as("p50_ok"),
+        (col("lo99") / col("n_rows") <= lit(0.99) + band &&
+          col("hi99") / col("n_rows") >= lit(0.99) - band).as("p99_ok"))
+  }
+
+  private val aggGkSingleSummarySql =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  TRUE AS p50_ok, TRUE AS p99_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "custom_string_exprs" -> Q(customStrings _, None),
     "custom_string_ascii" -> Q(customStringsAscii _, customStringsAsciiSql),
@@ -542,6 +581,7 @@ object CustomExprs {
     "text_bpe_pair_stats" -> Q(bpePairStats _, bpePairStatsSql),
     "text_bpe_trainer_steps" -> Q(bpeTrainerSteps _, bpeTrainerStepsSql),
     "agg_percentile_approx" -> Q(percentileApprox _, None),
-    "agg_gk_vs_exact" -> Q(aggGkVsExact _, aggGkVsExactSql)
+    "agg_gk_vs_exact" -> Q(aggGkVsExact _, aggGkVsExactSql),
+    "agg_gk_single_summary" -> Q(aggGkSingleSummary _, aggGkSingleSummarySql)
   )
 }
