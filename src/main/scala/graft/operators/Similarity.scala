@@ -134,6 +134,55 @@ object Similarity {
       .select(col("vec_id"), col("cell_id"), col("e"), col("top_sim"))
   }
 
+  /** SemDeDup cluster-bounded semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540), parameterized for library use — the gate query
+    * `dedup_semantic_keep` pins the (k = 8, τ = 0.35) instance against
+    * its DuckDB oracle. Per vector: assign to its nearest centroid
+    * ([[assignCellsWithSim]] — map-side broadcast argmax), find
+    * within-cell partners at cosine ≥ τ, and drop the vector iff any
+    * partner sits strictly closer to the centroid (ties on the
+    * centroid cosine break toward the lower vec_id) — the paper's
+    * keep-outliers policy, made deterministic as pairwise dominance.
+    *
+    * Scale contract: k ∝ corpus (the paper runs 50k cells over 5B
+    * embeddings) keeps per-cell population — and the per-cell pairwise
+    * quadratic — constant; assignment never shuffles, the pair join
+    * shuffles once on cell_id.
+    *
+    * Output: (vec_id, cell_id, n_near, kept, centroid_cos_6dp).
+    */
+  def semanticDedupKeep(
+      emb: DataFrame,
+      cRows: IndexedSeq[(Int, Seq[Double])],
+      tau: Double): DataFrame = {
+    val m = assignCellsWithSim(emb, cRows)
+      .select(col("vec_id"), col("cell_id"), col("e"),
+        dot(col("e"), col("e")).as("n2"), col("top_sim"))
+      .select(col("vec_id"), col("cell_id"), col("e"), col("n2"),
+        (col("top_sim") / sqrt(col("n2"))).as("cc"))
+    val a = m.select(col("cell_id"), col("vec_id").as("id_a"),
+      col("e").as("ea"), col("n2").as("na2"), col("cc").as("ca"))
+    val b = m.select(col("cell_id"), col("vec_id").as("id_b"),
+      col("e").as("eb"), col("n2").as("nb2"), col("cc").as("cb"))
+    val near = a.join(b, Seq("cell_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("ca"), col("id_b"), col("cb"),
+        (dot(col("ea"), col("eb")) / (sqrt(col("na2")) * sqrt(col("nb2"))))
+          .as("cos"))
+      .filter(col("cos") >= tau)
+    val verdict = near
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(count(lit(1)).as("n_near"),
+        max(when(col("cb") < col("ca") ||
+          (col("cb") === col("ca") && col("id_b") < col("id_a")), 1)
+          .otherwise(0)).as("dropped"))
+    m.join(verdict, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (coalesce(col("dropped"), lit(0)) === 0).as("kept"),
+        round(col("cc"), 6).as("centroid_cos_6dp"))
+  }
+
   // -------------------------------------------------- product quantization
 
   /** Elementwise squared-L2 between two equal-length double arrays, as

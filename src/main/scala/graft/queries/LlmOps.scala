@@ -1890,7 +1890,6 @@ object LlmOps {
     * centroid cosine is rounded for display.
     */
   private def dedupSemanticKeep(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.DotF64.dotf64
     val (dimsMin, dimsMax) = embDims(s, dir)
     require(dimsMin == dimsMax,
       s"dedupSemanticKeep needs fixed-width embeddings, got " +
@@ -1901,32 +1900,7 @@ object LlmOps {
       graft.operators.Similarity.centroidArrays(
         graft.operators.Similarity.centroids(emb, nCells = 8))
     }
-    val m = graft.operators.Similarity.assignCellsWithSim(emb, cRows)
-      .select(col("vec_id"), col("cell_id"), col("e"),
-        dotf64(col("e"), col("e")).as("n2"), col("top_sim"))
-      .select(col("vec_id"), col("cell_id"), col("e"), col("n2"),
-        (col("top_sim") / sqrt(col("n2"))).as("cc"))
-    val a = m.select(col("cell_id"), col("vec_id").as("id_a"),
-      col("e").as("ea"), col("n2").as("na2"), col("cc").as("ca"))
-    val b = m.select(col("cell_id"), col("vec_id").as("id_b"),
-      col("e").as("eb"), col("n2").as("nb2"), col("cc").as("cb"))
-    val near = a.join(b, Seq("cell_id"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("ca"), col("id_b"), col("cb"),
-        (dotf64(col("ea"), col("eb")) / (sqrt(col("na2")) * sqrt(col("nb2"))))
-          .as("cos"))
-      .filter(col("cos") >= 0.35)
-    val verdict = near
-      .groupBy(col("id_a").as("vec_id"))
-      .agg(count(lit(1)).as("n_near"),
-        max(when(col("cb") < col("ca") ||
-          (col("cb") === col("ca") && col("id_b") < col("id_a")), 1)
-          .otherwise(0)).as("dropped"))
-    m.join(verdict, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell_id"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"),
-        (coalesce(col("dropped"), lit(0)) === 0).as("kept"),
-        round(col("cc"), 6).as("centroid_cos_6dp"))
+    graft.operators.Similarity.semanticDedupKeep(emb, cRows, tau = 0.35)
   }
 
   /** DuckDB twin: the `cluster_kmeans_step` centroid/assignment CTEs
