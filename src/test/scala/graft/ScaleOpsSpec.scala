@@ -481,6 +481,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     * driver-side with the same ascending-index fold DotF64 runs, so the
     * τ comparison sees the identical doubles the query compared.
     */
+  /** The parameterized operator at a NON-gate configuration (k = 4,
+    * τ = 0.30): proves `Similarity.semanticDedupKeep` is genuinely
+    * general, not a shell around the oracle-pinned (8, 0.35) instance.
+    * Same invariants as the gate test, plus the knob directions: a
+    * LOWER τ at the same clustering can only drop MORE (the near
+    * relation grows monotonically as τ falls — checked against the
+    * same-k run rather than the gate's different-k one).
+    */
+  test("semantic dedup keep-policy: parameterized (k=4, tau=0.30) holds invariants") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val cRows = Similarity.centroidArrays(Similarity.centroids(emb, 4))
+    def verdicts(tau: Double): Map[Long, Boolean] =
+      Similarity.semanticDedupKeep(emb, cRows, tau).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val at30 = verdicts(0.30)
+    val at35 = verdicts(0.35)
+    assert(at30.size == at35.size && at30.nonEmpty)
+    val dropped30 = at30.count(!_._2)
+    val dropped35 = at35.count(!_._2)
+    assert(dropped30 >= dropped35,
+      s"lower tau must drop at least as many: $dropped30 < $dropped35")
+    assert(dropped30 > 0, "policy never fired at tau=0.30, k=4")
+  }
+
   test("semantic dedup keep-policy: kept set is tau-separated per cell") {
     val verdicts = SparkEntry.queries("dedup_semantic_keep")(spark, sf)
       .collect()
