@@ -275,7 +275,13 @@ object AmplifiedBench {
               "re-running in a fresh child JVM for adjudication")
           freshJvmRatio(n) match {
             case Some(fr) =>
-              val verdict = if (fr <= adjThreshold) "sweep_context" else "code"
+              // fr < 0 means the child ran but its query FAILED — that
+              // must not read as exoneration (r17 ADVICE): a failed
+              // re-run proves nothing about the sweep reading.
+              val verdict =
+                if (fr < 0) "child_failed"
+                else if (fr <= adjThreshold) "sweep_context"
+                else "code"
               f""","fresh_ratio":$fr%.2f,"adjudication":"$verdict""""
             case None => ""","fresh_ratio":-1,"adjudication":"child_failed""""
           }

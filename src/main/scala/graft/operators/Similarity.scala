@@ -140,14 +140,21 @@ object Similarity {
     * its DuckDB oracle. Per vector: assign to its nearest centroid
     * ([[assignCellsWithSim]] — map-side broadcast argmax), find
     * within-cell partners at cosine ≥ τ, and drop the vector iff any
-    * partner sits strictly closer to the centroid (ties on the
-    * centroid cosine break toward the lower vec_id) — the paper's
-    * keep-outliers policy, made deterministic as pairwise dominance.
+    * partner sits strictly farther from the centroid (strictly lower
+    * centroid cosine; ties break toward the lower vec_id) — the
+    * prototypical member of each near pair is the one dropped, the
+    * paper's keep-outliers policy made deterministic as pairwise
+    * dominance.
     *
     * Scale contract: k ∝ corpus (the paper runs 50k cells over 5B
     * embeddings) keeps per-cell population — and the per-cell pairwise
     * quadratic — constant; assignment never shuffles, the pair join
-    * shuffles once on cell_id.
+    * shuffles once on cell_id. MEASURED (r18, `ScaleProbe` axes
+    * `semdedup_k_prop_n` / `semdedup_planted_recall`, factors 1/4/10 at
+    * k = 8·f — SCALING.md "Round-18 probe"): max cell population
+    * 292→327 (bounded), candidate pairs exactly linear (×10.0 at 10×),
+    * wall sublinear, and planted cos≈1 dup recall 99.9% flat across the
+    * k ladder — recall is a τ property, cost is the linear k ∝ N law.
     *
     * Output: (vec_id, cell_id, n_near, kept, centroid_cos_6dp).
     */

@@ -358,10 +358,23 @@ object Conversions {
     * bloom-less control.
     */
   private[graft] def bloomedEventsPath(
-      s: SparkSession, dir: String, bloom: Boolean): String = {
+      s: SparkSession, dir: String, bloom: Boolean): String =
+    bloomedEventsPath(s, dir, bloom, blockSize = 64 * 1024)
+
+  /** blockSize-parameterized variant (r18, verdict task 6): the gate
+    * layout stays 64 KB groups (several groups even at sf0.01 so the
+    * pruning experiment has groups to skip); the `bloom_blocksize`
+    * ScaleProbe axis writes a second, larger-group copy to measure how
+    * group size trades pruned_factor against per-group overhead — the
+    * production question (128 MB groups) answered with two measured
+    * points instead of theory.
+    */
+  private[graft] def bloomedEventsPath(
+      s: SparkSession, dir: String, bloom: Boolean, blockSize: Int): String = {
     val tag = java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val suffix = if (bloom) "bloom" else "plain"
+    val suffix = (if (bloom) "bloom" else "plain") +
+      (if (blockSize == 64 * 1024) "" else s"_bs$blockSize")
     val path = System.getProperty("java.io.tmpdir") + s"/graft_bscan_${suffix}_$tag"
     graft.DimCache.cached(s"bscan-layout:$suffix:$dir") {
       val ev = Tables.events(s, dir)
@@ -377,7 +390,7 @@ object Conversions {
         .repartition(2, xxhash64(col("event_id")))
         .sortWithinPartitions(xxhash64(col("event_id")))
         .write.mode("overwrite")
-        .option("parquet.block.size", 64 * 1024)
+        .option("parquet.block.size", blockSize)
         .option("parquet.enable.dictionary", "false")
       val w =
         if (bloom) scattered

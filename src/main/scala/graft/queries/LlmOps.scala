@@ -1868,8 +1868,10 @@ object LlmOps {
     * "keep outliers" policy (the retained corpus preserves diversity;
     * prototypical near-dups are the redundant mass). Per vector the
     * verdict is dominance-style and deterministic: dropped iff ANY
-    * same-cell partner with cosine ≥ τ is strictly closer to the
-    * centroid (ties on the centroid-cosine broken by lower vec_id).
+    * same-cell partner with cosine ≥ τ sits strictly farther from the
+    * centroid — strictly LOWER centroid cosine — so the prototypical
+    * member of the pair is the one dropped (ties on the
+    * centroid-cosine broken by lower vec_id).
     *
     * vs `dedup_emb_cosine` (SRP-LSH banding): clustering pays ZERO
     * recall loss within a cell and bounds candidates by cluster

@@ -881,6 +881,7 @@ object StreamingGate {
         col("value"), upper(col("event_type")).as("event_type_uc"))
       .writeStream.outputMode("append").format("parquet")
       .option("path", out).option("checkpointLocation", cp)
+    Streams.applyStateProvider(s) // same flag routing as runToCompletion
     val q1 = writer().start()
     val deadline = System.currentTimeMillis() + 60000
     while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&

@@ -816,7 +816,11 @@ object Streams {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     "hdfs" ->
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-  private def applyStateProvider(spark: SparkSession): Unit = {
+  // public since r18: the checkpoint-resume gate row starts its own
+  // query (kill/resume semantics need direct start() control) and the
+  // 25-row parity sweep (`graft.StreamParity`) needs every row to route
+  // through the same flag
+  def applyStateProvider(spark: SparkSession): Unit = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     sys.props.get("graft.stateProvider")
       .orElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER")) match {

@@ -21,9 +21,10 @@ class DriverDisciplineSpec extends AnyFunSuite {
 
   private val golden = Map(
     "AmplifiedBench.scala" -> 1, // temp-view drop list (bounded: catalog)
+    "StreamParity.scala" -> 1, // parity sweep sink compare (bounded: gate sink rows at sf0.01, a diagnostic main off the query path)
     "Bench.scala" -> 2, // evidence blocks: pruned-scan results (4..k rows)
     "MicroBench.scala" -> 1, // micro-harness result row
-    "ScaleProbe.scala" -> 9, // probe harness: per-factor invariant rows
+    "ScaleProbe.scala" -> 10, // probe harness: per-factor invariant rows + bloom_blocksize point-lookup evidence (bounded: ≤4 probe rows per sweep)
     "functions/Bpe.scala" -> 1, // merge table (<= 200 learned pairs)
     "functions/Wordpiece.scala" -> 1, // vocab page (capped broadcast)
     "operators/GlobalOrder.scala" -> 2, // offsets map (O(P+G), probed r16)

@@ -179,8 +179,10 @@ class ZOrderSpec extends AnyFunSuite {
       case f: FileSourceScanExec => Seq(f)
       case other => other.children.flatMap(scans)
     }
-    def read(path: String, id: Long): (Long, Seq[(Long, Long)]) = {
-      val df = spark.read.parquet(path).filter(col("event_id") === id)
+    def read(path: String, id: Long,
+             opts: Map[String, String] = Map.empty): (Long, Seq[(Long, Long)]) = {
+      val df = spark.read.options(opts).parquet(path)
+        .filter(col("event_id") === id)
         .select(col("event_id"), col("user_id"))
       val out = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       val rowsRead = scans(df.queryExecution.executedPlan)
@@ -188,18 +190,32 @@ class ZOrderSpec extends AnyFunSuite {
       (rowsRead, out)
     }
     val total = spark.read.parquet(plainPath).count()
-    var bloomRead = 0L; var plainRead = 0L
+    var bloomRead = 0L; var plainRead = 0L; var bloomOffRead = 0L
+    // Reader-flag necessity arm (r17 ADVICE): re-read the SAME bloom
+    // copy with parquet's bloom filtering disabled at the reader. If
+    // pruning were coming from any other mechanism (stats, dictionary,
+    // page index) this arm would still prune; reading the full table
+    // pins the bloom filter as the sole cause.
+    val bloomOff = Map("parquet.filter.bloom.enabled" -> "false")
     probes.foreach { id =>
       val (br, bout) = read(bloomPath, id)
       val (pr, pout) = read(plainPath, id)
+      val (offR, offOut) = read(bloomPath, id, bloomOff)
       assert(bout == pout && bout.nonEmpty, s"content mismatch for id $id")
-      bloomRead += br; plainRead += pr
+      assert(offOut == pout, s"bloom-off content mismatch for id $id")
+      bloomRead += br; plainRead += pr; bloomOffRead += offR
     }
     // the control reads EVERYTHING every probe: no pruner applies
     assert(plainRead == total * probes.size,
       s"control should be un-prunable: read $plainRead of ${total * probes.size}")
-    // the bloom copy skips most row groups per point probe
-    assert(bloomRead * 2 < plainRead,
+    // bloom copy, reader flag OFF: every other pruner still can't help,
+    // so the full table comes back — bloom is the causal pruner
+    assert(bloomOffRead == total * probes.size,
+      s"bloom-off arm should read everything: $bloomOffRead of ${total * probes.size}")
+    // the bloom copy skips most row groups per point probe; 5x is a
+    // deliberately slack floor under the measured ~17x (r17 ADVICE
+    // tightened it from 2x so a regression to ~2x pruning fails)
+    assert(bloomRead * 5 < plainRead,
       s"bloom pruned too little: $bloomRead vs control $plainRead")
   }
 }
