@@ -48,9 +48,13 @@ def parse_explain_log(path):
     if not audit:
         sys.exit(f"no streaming-state audit line in {path}")
     stream_plans = int(audit.group(1))
-    return dict(total_plans=len(headers),
-                batch_plans=len(headers) - stream_plans,
+    # In ALL mode the "==========" headers are the BATCH queries only —
+    # stream_* rows never print a header there; their state plans are
+    # counted by the audit line. (Verified against the r18 run: 283
+    # headers + "25 plans" = the 308-query registry.)
+    return dict(batch_plans=len(headers),
                 stream_plans=stream_plans,
+                total_plans=len(headers) + stream_plans,
                 smell_lines=len(smells),
                 stream_smells=int(audit.group(2)))
 
@@ -90,9 +94,9 @@ def main():
         f"Round-{args.round} measured counts (parsed from artifacts, not "
         f"hand-typed): `sbt test` {t['succeeded']}/{t['succeeded']} "
         f"succeeded, {t['failed']} failed, across {t['suites']} suites "
-        f"({t['aborted']} aborted). `Explain ALL`: {e['total_plans']} plans "
-        f"printed = {e['batch_plans']} batch + {e['stream_plans']} "
-        f"streaming-state, {e['smell_lines']} smell lines "
+        f"({t['aborted']} aborted). `Explain ALL`: {e['batch_plans']} batch "
+        f"plans + {e['stream_plans']} streaming-state plans = "
+        f"{e['total_plans']} total, {e['smell_lines']} smell lines "
         f"({e['stream_smells']} streaming), exit {exit_code}.{gate}\n"
         f"{END}")
 
