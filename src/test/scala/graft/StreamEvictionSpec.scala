@@ -200,6 +200,32 @@ class StreamEvictionSpec extends AnyFunSuite {
     * SPARK_GRAFT_STATE_PROVIDER env flag uses, so this spec certifies
     * the exact code path the harness flag exercises.
     */
+  /** RocksDB parity, build-enforced on the `flatMapGroupsWithState`
+    * shapes (r18, extending the single-row r17 test): sessionize, SCD2,
+    * z-score ring, and start-state handoff round-trip rich case-class
+    * state through the provider's serializer every microbatch — exactly
+    * where a provider swap historically diverges. The FULL 25-row sweep
+    * lives in `graft.StreamParity` (artifact: STREAM_PARITY_r18.jsonl);
+    * this test pins the four riskiest rows in `sbt test` so a state
+    * encoding asymmetry fails the build, not just a round artifact.
+    */
+  test("rocksdb state store: flatMapGroupsWithState gate rows are bit-identical") {
+    val shapes = Seq("stream_session", "stream_scd2", "stream_zscore",
+      "stream_start_state")
+    def rows(n: String): Seq[String] =
+      SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq
+    val defaults = shapes.map(n => n -> rows(n)).toMap
+    defaults.foreach { case (n, r) => assert(r.nonEmpty, s"$n empty sink") }
+    System.setProperty("graft.stateProvider", "rocksdb")
+    try shapes.foreach { n =>
+      val rocks = rows(n)
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      assert(rocks == defaults(n),
+        s"$n diverged under rocksdb: ${rocks.size} vs ${defaults(n).size} rows")
+    } finally System.clearProperty("graft.stateProvider")
+  }
+
   test("rocksdb state store: stream_near_dedup output is bit-identical") {
     def sigCounts(): Set[(String, Long)] =
       SparkEntry.queries("stream_near_dedup")(spark, sf).collect()
