@@ -212,6 +212,35 @@ object Explain {
       "stream_tdigest_window" -> (() => Streams.tdigestWindowQuantiles(ev)),
       "stream_dedup_exact" -> (() => Streams.dedupStream(ev)),
       "stream_near_dedup" -> (() => Streams.nearDedupStream(docsTs, "ts")),
+      "stream_semantic_dedup" -> (() => {
+        val embTsDir = tempDir("graft-explain-embts")
+        Tables.embeddings(spark, sfDir).limit(64)
+          .select(col("vec_id"),
+            expr("timestamp'2024-01-01 00:00:00' + INTERVAL 1 SECOND * vec_id")
+              .as("ts"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+              .as("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(embTsDir)
+        val cRows = graft.DimCache.cached(s"ivf-centroids:$sfDir:8") {
+          graft.operators.Similarity.centroidArrays(
+            graft.operators.Similarity.centroids(
+              Tables.embeddings(spark, sfDir).select(col("vec_id"),
+                expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                  .as("embedding")),
+              nCells = 8))
+        }
+        Streams.semanticDedupStream(spark,
+          spark.readStream.schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("embedding",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)))))
+            .parquet(embTsDir),
+          cRows, tau = 0.35)
+      }),
       "stream_join" -> (() => Streams.clickViewJoin(ev, "click", "view")),
       "stream_asof_enrich" -> (() => Streams.asOfEnrich(ev, "click", "purchase")),
       "stream_drift" -> (() => Streams.driftMonitor(ev,

@@ -748,6 +748,106 @@ object StreamingGate {
     * The NUL byte in the short-doc key is re-encoded ':' for the
     * oracle (DuckDB varchars cannot carry NUL).
     */
+  // ---------------------------------------------- stream_semantic_dedup
+  /** Streaming SemDeDup (`Streams.semanticDedupStream`): the embeddings
+    * table replayed as a stream (deterministic synthetic event time —
+    * base + vec_id seconds, so the first-seen order IS vec_id order),
+    * assigned map-side to the SAME DimCache'd k = 8 centroid set the
+    * batch `dedup_semantic_keep` uses, deduped first-seen-wins per cell
+    * at the same τ = 0.35. Fully oracled: the verdict for vector v is
+    * "dropped iff an earlier (lower vec_id) same-cell vector has cosine
+    * ≥ τ" — a plain EXISTS in SQL, no recursion, because state compares
+    * against ALL seen vectors within the horizon (the same contract as
+    * the signature store in `stream_near_dedup`), not only kept ones.
+    */
+  private def streamSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = DimCache.cached(s"gate-stage-embts:$dir") {
+      val t = tempDir("graft-gate-embts")
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("timestamp'2024-01-01 00:00:00' + INTERVAL 1 SECOND * vec_id")
+            .as("ts"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+        .orderBy(col("vec_id"))
+        .coalesce(1).write.mode("overwrite").parquet(t)
+      t
+    }
+    // same cache key as the batch operator — one centroid build per JVM
+    // serves both twins
+    val cRows = DimCache.cached(s"ivf-centroids:$dir:8") {
+      graft.operators.Similarity.centroidArrays(
+        graft.operators.Similarity.centroids(
+          Tables.embeddings(s, dir).select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+              .as("embedding")),
+          nCells = 8))
+    }
+    val stream = s.readStream.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", LongType),
+        org.apache.spark.sql.types.StructField("ts", TimestampType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))).parquet(d)
+    Streams.runToCompletion(s,
+      Streams.semanticDedupStream(s, stream, cRows, tau = 0.35),
+      sink("gate_semdedup"), mode = "append")
+  }
+
+  /** DuckDB twin: the `dedup_semantic_keep` centroid/assignment CTEs
+    * verbatim (same Lehmer pick, unit-normalization, ascending folds),
+    * with the pair stage restricted to EARLIER partners (b.vec_id <
+    * a.vec_id = arrival order under the synthetic event time) — the
+    * first-seen-wins verdict, no dominance ranking.
+    */
+  private val streamSemanticDedupSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |picked AS (
+      |  SELECT vec_id, e FROM ev
+      |  ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 8),
+      |cents AS (
+      |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell_id,
+      |    e AS centroid
+      |  FROM picked),
+      |unitc AS (
+      |  SELECT cell_id, centroid,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(centroid, x -> x * x)), (acc, v) -> acc + v)) AS n
+      |  FROM cents),
+      |unit AS (
+      |  SELECT cell_id,
+      |    list_transform(centroid,
+      |      x -> CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE x / n END) AS cu
+      |  FROM unitc),
+      |cl AS (SELECT list(cu ORDER BY cell_id) AS cus FROM unit),
+      |assigned AS (
+      |  SELECT vec_id, e, list_position(sims, list_max(sims)) - 1 AS cell_id
+      |  FROM (
+      |    SELECT vec_id, e,
+      |      list_transform(cus, cu ->
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> e[i] * cu[i])),
+      |          (acc, v) -> acc + v)) AS sims
+      |    FROM ev CROSS JOIN cl)),
+      |m AS (
+      |  SELECT vec_id, cell_id, e,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (acc, v) -> acc + v) AS n2
+      |  FROM assigned),
+      |near AS (
+      |  SELECT a.vec_id AS id_a, count(*) AS n_near
+      |  FROM m a JOIN m b ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+      |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])),
+      |      (acc, v) -> acc + v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.35
+      |  GROUP BY a.vec_id)
+      |SELECT m.vec_id, CAST(m.cell_id AS INTEGER) AS cell_id,
+      |  coalesce(near.n_near, 0) = 0 AS kept,
+      |  CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near
+      |FROM m LEFT JOIN near ON m.vec_id = near.id_a""".stripMargin
+
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
     val d = DimCache.cached(s"gate-stage-neardup:$dir") {
       val t = tempDir("graft-gate-neardup")
@@ -963,6 +1063,8 @@ object StreamingGate {
     "stream_checkpoint_resume" ->
       Q(streamCheckpointResume _, streamCheckpointResumeSql),
     "stream_near_dedup" -> Q(streamNearDedup _, streamNearDedupSql),
+    "stream_semantic_dedup" ->
+      Q(streamSemanticDedup _, streamSemanticDedupSql),
     "stream_last_n_mean" -> Q(streamLastNMean _, streamLastNMeanSql),
     "stream_tdigest_window" -> Q(streamTdigestWindow _, None),
     "stream_cms" -> Q(streamCms _, streamCmsSql),

@@ -499,6 +499,93 @@ object Streams {
       .dropDuplicatesWithinWatermark("sig")
   }
 
+  /** Streaming SemDeDup — the streaming twin of the batch
+    * `dedup_semantic_keep` operator (Abbas et al. 2023,
+    * arXiv:2303.09540). Each arriving vector is assigned to its nearest
+    * k-means cell MAP-SIDE (the same unit-normalized literal-centroid
+    * DotF64 argmax as `Similarity.assignCellsWithSim` — a stateless
+    * projection, so the only exchange is the per-cell state shuffle);
+    * the state machine is keyed by cell_id and a vector is KEPT iff no
+    * EARLIER vector of its cell within the state horizon has cosine
+    * ≥ τ. First-seen-wins is the honest streaming policy (the batch
+    * keep-farthest-from-centroid verdict needs global knowledge a
+    * stream doesn't have — same relationship as
+    * `dropDuplicatesWithinWatermark` to a batch keep-policy dedup);
+    * arrival order is the tiebreak, made deterministic by the
+    * (event-time, vec_id) sort within each invocation.
+    *
+    * State per cell: one (vec_id, µs, e, ‖e‖²) entry per vector seen
+    * inside the watermark horizon — the cell-sharded analog of
+    * near-dedup's one-signature-per-doc store. Entries older than the
+    * current watermark are evicted on every invocation: the watermark
+    * guarantees no older arrival can ever need them. Parallelism is
+    * bounded by the cell count, which is exactly the published k ∝ N
+    * contract (50k cells over 5B embeddings — thousands of parallel
+    * state shards at scale; the gate's k = 8 is the oracle-replicable
+    * miniature).
+    *
+    * Oracle parity: the assignment dots are DotF64 (ascending IEEE
+    * fold = DuckDB's list_reduce), and the in-state pairwise cosine
+    * repeats the batch pair formula bit for bit — dot(v, u) as the same
+    * left-to-right fold, denominator sqrt(‖v‖²)·sqrt(‖u‖²) (IEEE
+    * multiplication commutes, so operand order is immaterial) — every
+    * comparison both engines make is the identical double.
+    */
+  def semanticDedupStream(spark: SparkSession, emb: DataFrame,
+      cRows: IndexedSeq[(Int, Seq[Double])], tau: Double): DataFrame = {
+    import spark.implicits._
+    require(cRows.nonEmpty, "semanticDedupStream: empty centroid set")
+    val cellIds = array(cRows.map(r => lit(r._1)): _*)
+    val unitCents = array(cRows.map { r =>
+      val v = r._2
+      val n = math.sqrt(v.map(x => x * x).sum)
+      array(v.map(x => lit(if (n == 0d) 0d else x / n)): _*)
+    }: _*)
+    def dotLoop(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < a.length) { acc += a(j) * b(j); j += 1 }
+      acc
+    }
+    emb
+      .select(col("vec_id"), col("ts"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("sims",
+        transform(unitCents, cu => graft.functions.DotF64.dotf64(col("e"), cu)))
+      .select(col("vec_id"), col("ts"),
+        element_at(cellIds,
+          array_position(col("sims"), array_max(col("sims"))).cast("int"))
+          .as("cell_id"),
+        col("e"))
+      .withWatermark("ts", "10 minutes")
+      // the watermark column itself must reach the grouped Dataset or
+      // getCurrentWatermarkMs throws — carry ts, convert to ms inside
+      .select(col("cell_id"), col("vec_id"), col("ts"), col("e"))
+      .as[(Int, Long, java.sql.Timestamp, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long, Array[Double], Double)],
+        (Long, Int, Boolean, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (cell, rows, state: GroupState[List[(Long, Long, Array[Double], Double)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val wmMs = state.getCurrentWatermarkMs()
+          seen = seen.filter(_._2 >= wmMs) // horizon eviction
+          val out = Seq.newBuilder[(Long, Int, Boolean, Long)]
+          rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach { r =>
+            val e = r._4.toArray
+            val n2 = dotLoop(e, e)
+            val den0 = math.sqrt(n2)
+            val nNear = seen.count { case (_, _, ue, un2) =>
+              dotLoop(e, ue) / (den0 * math.sqrt(un2)) >= tau
+            }
+            out += ((r._2, cell, nNear == 0, nNear.toLong))
+            seen = (r._2, r._3.getTime, e, n2) :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF("vec_id", "cell_id", "kept", "n_near")
+  }
+
   /** Stream-stream inner join with watermark-bounded state (capability
     * improvement over the reference -- custreamz has no streaming join):
     * correlates each user's 'click'-like events with their 'view'-like

@@ -211,7 +211,7 @@ class StreamEvictionSpec extends AnyFunSuite {
     */
   test("rocksdb state store: flatMapGroupsWithState gate rows are bit-identical") {
     val shapes = Seq("stream_session", "stream_scd2", "stream_zscore",
-      "stream_start_state")
+      "stream_start_state", "stream_semantic_dedup")
     def rows(n: String): Seq[String] =
       SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq
     val defaults = shapes.map(n => n -> rows(n)).toMap
