@@ -293,6 +293,83 @@ object Similarity {
       .select(col("vec_id"), round(col("adc"), 6).as("adc_dist_6dp"))
   }
 
+  /** Per-dimension [min, max] bounds for SQ8 scalar quantization — the
+    * train step (FAISS `ScalarQuantizer` QT_8bit practice: one corpus
+    * pass, d pairs of doubles). Bounded collect: d rows, a design
+    * dimension like centroids/codebooks — DimCache at call sites.
+    */
+  def sq8Bounds(emb: DataFrame): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    val rows = emb
+      .select(posexplode(col("e")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+      .sortBy(_.getInt(0))
+    (rows.map(_.getDouble(1)).toIndexedSeq, rows.map(_.getDouble(2)).toIndexedSeq)
+  }
+
+  /** Map-side SQ8 encode: each vector gains `codes` — one SIGNED BYTE
+    * per dimension (code −128..127 = the 0..255 bucket of the
+    * per-dimension linear [min, max] grid, shifted by −128 to fit
+    * TINYINT in both engines). The 4×-vs-f32 memory lever between raw
+    * vectors and PQ's 32×: at 100 TB, SQ8 keeps per-dimension fidelity
+    * (recall ≈ exact for top-k) while the corpus working set drops 4×,
+    * where PQ trades more recall for more compression. A pure Project
+    * over the scan — no Exchange, no join; the bounds ship as literal
+    * arrays exactly like centroids/codebooks.
+    *
+    * Quantization arithmetic (mirrored verbatim by the DuckDB oracle,
+    * both engines IEEE): code_j = floor((x_j − mn_j)/sc_j·255 + 0.5)
+    * − 128 (sc_j = mx_j − mn_j; constant dimensions encode as −128),
+    * clamped only by construction (x ∈ [mn, mx] ⇒ code ∈ [−128, 127]).
+    */
+  def encodeSq8(emb: DataFrame, mn: IndexedSeq[Double],
+      mx: IndexedSeq[Double]): DataFrame = {
+    val mnArr = array(mn.map(lit): _*)
+    val scArr = array(mn.indices.map(j => lit(mx(j) - mn(j))): _*)
+    emb.select(col("vec_id"), col("e"),
+      zip_with(col("e"),
+        sequence(lit(0), lit(mn.size - 1)),
+        (x, j) => {
+          val m = element_at(mnArr, j.cast(IntegerType) + 1)
+          val sc = element_at(scArr, j.cast(IntegerType) + 1)
+          when(sc === 0d, lit(-128))
+            .otherwise(floor((x - m) / sc * 255d + 0.5d) - 128L)
+            .cast(ByteType)
+        }).as("codes"))
+  }
+
+  /** SQ8 asymmetric top-k: the corpus is scored from its byte codes
+    * alone — each row dequantizes x̂_j = mn_j + (code_j + 128)/255·sc_j
+    * and ranks by cosine(query, x̂) with the EXACT query vector (the
+    * asymmetric convention: only the corpus side pays quantization
+    * error). One codegen'd Project over the encoded relation →
+    * TakeOrdered(k); no joins, no shuffles — the PQ/ADC plan shape at
+    * 4× compression instead of 32×.
+    */
+  def sq8TopK(encoded: DataFrame, query: IndexedSeq[Double],
+      mn: IndexedSeq[Double], mx: IndexedSeq[Double],
+      queryVecId: Long, k: Int): DataFrame = {
+    val mnArr = array(mn.map(lit): _*)
+    val scArr = array(mn.indices.map(j => lit(mx(j) - mn(j))): _*)
+    val qArr = array(query.map(lit): _*)
+    val xhat = zip_with(col("codes"),
+      sequence(lit(0), lit(mn.size - 1)),
+      (c, j) => element_at(mnArr, j.cast(IntegerType) + 1) +
+        (c.cast(DoubleType) + 128d) / 255d *
+          element_at(scArr, j.cast(IntegerType) + 1))
+    encoded.filter(col("vec_id") =!= queryVecId)
+      .withColumn("xhat", xhat)
+      .select(col("vec_id"),
+        (graft.functions.DotF64.dotf64(qArr, col("xhat")) /
+          (sqrt(graft.functions.DotF64.dotf64(qArr, qArr)) *
+            sqrt(graft.functions.DotF64.dotf64(col("xhat"), col("xhat")))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cosine"), 6).as("sq8_cosine_6dp"))
+  }
+
   /** IVF query: probe the nProbe cells nearest to the query vector and
     * rank candidates only within them.
     */

@@ -1633,6 +1633,81 @@ object LlmOps {
        |  round(${graft.Agg.dsumSql("cos", 6)} / count(*), 6) AS avg_cos_6dp
        |FROM c GROUP BY label""".stripMargin
 
+  /** SQ8 scalar-quantization ANN (FAISS QT_8bit practice): train
+    * per-dimension [min, max] bounds once (DimCache'd — d pairs, a
+    * design dimension), encode the corpus to one signed byte per
+    * dimension (4× smaller than f32 where PQ is 32×, but with
+    * per-dimension fidelity), persist the codes as the index
+    * (write-once/query-many like the PQ codes and the bucketed layout),
+    * and rank by ASYMMETRIC cosine — exact query vector against
+    * dequantized corpus. The oracle recomputes bounds + codes +
+    * dequantization from the RAW embeddings with the identical IEEE
+    * arithmetic, so the green row proves the stored byte index
+    * faithful end to end.
+    */
+  private def simSq8Topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val (dmin, dmax) = embDims(s, dir)
+    require(dmin == dmax, s"SQ8 needs uniform dims, got [$dmin,$dmax]")
+    val (mn, mx) = graft.DimCache.cached(s"sq8-bounds:$dir") {
+      graft.operators.Similarity.sq8Bounds(emb)
+    }
+    val q0 = graft.DimCache.cached(s"sq8-query:$dir:0") {
+      emb.filter(col("vec_id") === 0)
+        .select(col("e")).head().getSeq[Double](0).toIndexedSeq
+    }
+    val codesPath = graft.DimCache.cached(s"sq8-codes:$dir") {
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val p = System.getProperty("java.io.tmpdir") + s"/graft_sq8codes_$tag"
+      graft.operators.Similarity.encodeSq8(emb, mn, mx)
+        .drop("e") // codes only: the byte-per-dimension contract
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    graft.operators.Similarity.sq8TopK(
+      s.read.parquet(codesPath), q0, mn, mx, queryVecId = 0L, k = 10)
+  }
+
+  /** DuckDB twin of the SQ8 pipeline: per-dimension min/max bounds from
+    * the raw table, the identical quantize → dequantize arithmetic
+    * (floor(y·255 + 0.5) − 128, then mn + (c + 128)/255·sc — every
+    * intermediate the same IEEE double), and the same asymmetric
+    * cosine with ascending folds.
+    */
+  private val simSq8TopkSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |d AS (SELECT CAST(min(len(e)) AS BIGINT) AS nd FROM ev),
+      |bounds AS (
+      |  SELECT ix.i AS dim, min(e[ix.i]) AS mn, max(e[ix.i]) AS mx
+      |  FROM ev, (SELECT unnest(range(1, (SELECT nd + 1 FROM d))) AS i) ix
+      |  GROUP BY ix.i),
+      |mnl AS (SELECT list(mn ORDER BY dim) AS mnl,
+      |               list(mx - mn ORDER BY dim) AS scl FROM bounds),
+      |q AS (SELECT e AS qe FROM ev WHERE vec_id = 0),
+      |xh AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(e) + 1), i ->
+      |      CASE WHEN scl[i] = 0 THEN mnl[i]
+      |      ELSE mnl[i] +
+      |        (CAST(floor((e[i] - mnl[i]) / scl[i] * 255 + 0.5) - 128
+      |          AS DOUBLE) + 128) / 255 * scl[i] END) AS xhat
+      |  FROM ev, mnl WHERE vec_id <> 0),
+      |scored AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(xhat) + 1), i -> qe[i] * xhat[i])),
+      |      (a, v) -> a + v) /
+      |    (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(qe, x -> x * x)), (a, v) -> a + v)) *
+      |     sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(xhat, x -> x * x)), (a, v) -> a + v))) AS cosine
+      |  FROM xh, q)
+      |SELECT vec_id, round(cosine, 6) AS sq8_cosine_6dp
+      |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   private def simIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
     val M = 8
     val K = 16
@@ -3289,6 +3364,7 @@ object LlmOps {
     "dedup_component_stats" -> Q(dedupComponentStats _, dedupComponentStatsSql),
     "dedup_source_matrix" -> Q(dedupSourceMatrix _, dedupSourceMatrixSql),
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
+    "sim_sq8_topk" -> Q(simSq8Topk _, simSq8TopkSql),
     "sim_lsh_recall" -> Q(simLshRecall _, simLshRecallSql),
     "sim_mmr_rerank" -> Q(simMmrRerank _, simMmrRerankSql),
     "sim_hard_negatives" -> Q(simHardNegatives _, simHardNegativesSql),

@@ -28,7 +28,7 @@ class DriverDisciplineSpec extends AnyFunSuite {
     "functions/Bpe.scala" -> 1, // merge table (<= 200 learned pairs)
     "functions/Wordpiece.scala" -> 1, // vocab page (capped broadcast)
     "operators/GlobalOrder.scala" -> 2, // offsets map (O(P+G), probed r16)
-    "operators/Similarity.scala" -> 4, // centroids/codebooks (k x dim)
+    "operators/Similarity.scala" -> 5, // centroids/codebooks (k x dim) + sq8Bounds (d min/max pairs)
     "queries/Conversions.scala" -> 1, // bloom probe ids (4)
     "queries/LlmOps.scala" -> 3, // vocab/threshold/probe dims (bounded)
     "streaming/Streams.scala" -> 1 // replay staging file list (bounded)

@@ -35,6 +35,47 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(counts.max / counts.min < 2.0, s"salt imbalance: ${counts.mkString(",")}")
   }
 
+  /** SQ8 scalar quantization (r18): (a) the encode plan is a pure map
+    * over the scan (bounds ship as literals — no Exchange, no join,
+    * the assignCells discipline); (b) every reconstructed value sits
+    * within half a grid step of the original (the defining property of
+    * the [min, max] linear 8-bit grid — an off-by-one in the ±128
+    * shift or a swapped bound fails this immediately); (c) asymmetric
+    * top-10 recall vs exact brute force stays high (per-dimension
+    * fidelity is the reason SQ8 exists next to PQ).
+    */
+  test("SQ8: encode is map-only, error within half a grid step, high recall") {
+    val embRaw = Tables.embeddings(spark, sf)
+    val emb = embRaw.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val (mn, mx) = Similarity.sq8Bounds(emb)
+    val enc = Similarity.encodeSq8(emb, mn, mx)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encodeSq8 plan shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"encodeSq8 plan explodes the corpus:\n$plan")
+    val rows = enc.select(col("e"), col("codes")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getSeq[Double](0)
+      val c = r.getSeq[Byte](1)
+      e.indices.foreach { j =>
+        val sc = mx(j) - mn(j)
+        val xhat = mn(j) + (c(j) + 128.0) / 255.0 * sc
+        val tol = if (sc == 0) 1e-12 else sc / 255.0 * 0.5 + 1e-9
+        assert(math.abs(e(j) - xhat) <= tol,
+          s"dim $j: x=${e(j)} xhat=$xhat tol=$tol")
+      }
+    }
+    val brute = Similarity.bruteForceTopK(embRaw, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val sq8 = SparkEntry.queries("sim_sq8_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(sq8).size.toDouble / brute.size
+    assert(recall >= 0.8, s"SQ8 recall $recall (sq8=$sq8 brute=$brute)")
+  }
+
   test("IVF top-k has high recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
