@@ -52,6 +52,11 @@ object AmplifiedBench {
       // r15: the heavy retrieval/sketch/graph rows the r14 sweep lacked
       "text_bm25_topk", "index_postings", "sketch_cms_topk",
       "emb_pca_power", "graph_triangles",
+      // r18: the new SQ8 byte-code ANN — bounds are d min/max pairs
+      // (scale-free dimension, DimCache'd in the warmup with the codes
+      // write), so the timed reps measure the map-only byte-scan top-k;
+      // expect ~linear-or-below in corpus size
+      "sim_sq8_topk",
       // r15: streaming-gate replays — the state-store-bound trio. Each
       // gate query stages its replay dir ONCE per (JVM, dataset dir)
       // via DimCache (r15 change), so the warmup pays the staging write

@@ -58,6 +58,10 @@ object Bench {
     // point-lookup whose row groups the column bloom filter prunes —
     // rows-read evidence printed after the sweep like the z-order line)
     "scan_bloom_pruned",
+    // round-18: the SQ8 byte-code ANN read path (bounds + codes write
+    // land in the pre-pass via DimCache — write-once/query-many like
+    // the PQ codes; reps time the map-only byte-scan asymmetric top-k)
+    "sim_sq8_topk",
     // round-9: incremental near-dedup against the persisted LSH index
     // (index build lands in the warmup pre-pass via DimCache — the
     // write-once/query-many contract — so reps time the steady-state
@@ -140,7 +144,8 @@ object Bench {
     * comparison basis can never drift silently. The bench headline
     * reports `shared_set_total` summed over exactly these queries.
     */
-  val sharedSet69: Set[String] = (headline.toSet - "scan_bloom_pruned")
+  val sharedSet69: Set[String] =
+    (headline.toSet - "scan_bloom_pruned" - "sim_sq8_topk")
   require(sharedSet69.size == 69, s"pinned shared set drifted: ${sharedSet69.size}")
 
   private def heapUsedMb: Long = {
