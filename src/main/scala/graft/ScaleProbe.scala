@@ -551,7 +551,13 @@ object ScaleProbe {
                 sqrt(expr("aggregate(eb, 0D, (acc, v) -> acc + v * v)"))))
           .filter(col("cos") >= tauSem).count()
       }
-      val recallPct = 100.0 * within / (f.toDouble * semBaseAllPairs)
+      // -1 sentinel when the base corpus has no cell-free ≥τ pairs at
+      // this (sf, τ): a zero denominator would print NaN/Infinity via
+      // %.1f — invalid JSON (r18 ADVICE; matches semBaseNearPairs' -1
+      // convention)
+      val recallPct =
+        if (semBaseAllPairs <= 0) -1.0
+        else 100.0 * within / (f.toDouble * semBaseAllPairs)
       println(
         f"""{"probe":"semdedup_k_prop_n","factor":$f,"n_vecs":$nVecs,"k":$k,"max_cell_pop":${cells.getLong(0)},"cand_pairs":${cells.getLong(1)},"near_pairs":$nearPairs,"within_replica_pairs":$within,"cross_replica_pairs":$cross,"within_per_replica":${within / f},"base_all_pairs":$semBaseAllPairs,"pair_recall_pct":$recallPct%.1f,"base_near_pairs":$semBaseNearPairs,"kept":$kept,"secs":$secs%.2f}""")
     }

@@ -24,6 +24,13 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamParity {
   def main(args: Array[String]): Unit = {
+    // The sweep's base leg relies on the DEFAULT provider; the harness
+    // env flag routes every applyStateProvider call through RocksDB, so
+    // a sweep launched with it set would compare RocksDB to RocksDB and
+    // report parity:true vacuously (r18 ADVICE). Refuse to run at all.
+    require(!sys.env.contains("SPARK_GRAFT_STATE_PROVIDER"),
+      "StreamParity must run WITHOUT SPARK_GRAFT_STATE_PROVIDER set — " +
+        "the base leg would silently route through RocksDB too")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -43,6 +50,12 @@ object StreamParity {
       val t0 = System.nanoTime()
       val base = rows()
       val tBase = (System.nanoTime() - t0) / 1e9
+      // symmetric to provider_applied below: the base leg must NOT have
+      // routed through RocksDB (applyStateProvider unsets the conf when
+      // no flag is present, so any RocksDB residue here is a leak)
+      val baseDefault = !spark.conf
+        .getOption("spark.sql.streaming.stateStore.providerClass")
+        .exists(_.contains("RocksDBStateStoreProvider"))
       System.setProperty("graft.stateProvider", "rocksdb")
       val (rocks, tRocks) =
         try {
@@ -57,7 +70,7 @@ object StreamParity {
         .getOption("spark.sql.streaming.stateStore.providerClass")
         .exists(_.contains("RocksDBStateStoreProvider"))
       val parity = base == rocks
-      if (!parity || !applied) failures += 1
+      if (!parity || !applied || !baseDefault) failures += 1
       val firstDiff =
         if (parity) ""
         else {
@@ -68,7 +81,7 @@ object StreamParity {
           s""","first_diff":"${d.replace("\"", "'").take(160)}""""
         }
       println(
-        f"""{"query":"$n","rows":${base.size},"rocksdb_rows":${rocks.size},"parity":$parity,"provider_applied":$applied,"base_secs":$tBase%.2f,"rocksdb_secs":$tRocks%.2f$firstDiff}""")
+        f"""{"query":"$n","rows":${base.size},"rocksdb_rows":${rocks.size},"parity":$parity,"provider_applied":$applied,"base_default_provider":$baseDefault,"base_secs":$tBase%.2f,"rocksdb_secs":$tRocks%.2f$firstDiff}""")
     }
     println(
       s"""{"parity_summary":{"queries":${names.size},"failures":$failures}}""")

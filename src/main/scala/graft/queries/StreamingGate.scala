@@ -789,9 +789,14 @@ object StreamingGate {
         org.apache.spark.sql.types.StructField("embedding",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType))))).parquet(d)
+    // requireSingleDataBatch: the SQL twin below is HORIZON-FREE (every
+    // earlier same-cell partner counts), which equals the stream's
+    // watermark-evicted semantics only while the whole replay fits in
+    // one microbatch at watermark 0 — the coalesce(1) + AvailableNow
+    // staging guarantees that today; this asserts it stays true.
     Streams.runToCompletion(s,
       Streams.semanticDedupStream(s, stream, cRows, tau = 0.35),
-      sink("gate_semdedup"), mode = "append")
+      sink("gate_semdedup"), mode = "append", requireSingleDataBatch = true)
   }
 
   /** DuckDB twin: the `dedup_semantic_keep` centroid/assignment CTEs

@@ -929,7 +929,8 @@ object Streams {
       df: DataFrame,
       name: String,
       mode: String = "update",
-      checkpoint: Option[String] = None): DataFrame = {
+      checkpoint: Option[String] = None,
+      requireSingleDataBatch: Boolean = false): DataFrame = {
     applyStateProvider(spark)
     var w = df.writeStream
       .outputMode(mode)
@@ -939,6 +940,19 @@ object Streams {
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     val q: StreamingQuery = w.start()
     q.awaitTermination()
+    // Some gate oracles (stream_semantic_dedup) are horizon-free SQL
+    // that matches the stream ONLY when every input row is processed in
+    // one microbatch (watermark 0 throughout, so no mid-replay state
+    // eviction). That held implicitly via coalesce(1) staging +
+    // AvailableNow; assert it so a future staging or trigger change
+    // (second file, maxFilesPerTrigger) breaks loudly instead of
+    // silently diverging from the oracle (r18 ADVICE).
+    if (requireSingleDataBatch) {
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"$name: oracle contract needs a single data microbatch " +
+          s"(horizon-free SQL twin), saw $dataBatches")
+    }
     spark.table(name)
   }
 }

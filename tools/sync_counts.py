@@ -50,8 +50,9 @@ def parse_explain_log(path):
     stream_plans = int(audit.group(1))
     # In ALL mode the "==========" headers are the BATCH queries only —
     # stream_* rows never print a header there; their state plans are
-    # counted by the audit line. (Verified against the r18 run: 283
-    # headers + "25 plans" = the 308-query registry.)
+    # counted by the audit line. (Structural rule, not a pinned count:
+    # batch headers + the audit line's plan count must equal the full
+    # registry size at any round.)
     return dict(batch_plans=len(headers),
                 stream_plans=stream_plans,
                 total_plans=len(headers) + stream_plans,
@@ -92,8 +93,10 @@ def main():
     block = (
         f"{BEGIN}\n"
         f"Round-{args.round} measured counts (parsed from artifacts, not "
-        f"hand-typed): `sbt test` {t['succeeded']}/{t['succeeded']} "
-        f"succeeded, {t['failed']} failed, across {t['suites']} suites "
+        f"hand-typed): `sbt test` {t['succeeded']}/"
+        f"{t['succeeded'] + t['failed'] + t['canceled'] + t['ignored']} "
+        f"succeeded, {t['failed']} failed, {t['canceled']} canceled, "
+        f"{t['ignored']} ignored, across {t['suites']} suites "
         f"({t['aborted']} aborted). `Explain ALL`: {e['batch_plans']} batch "
         f"plans + {e['stream_plans']} streaming-state plans = "
         f"{e['total_plans']} total, {e['smell_lines']} smell lines "
