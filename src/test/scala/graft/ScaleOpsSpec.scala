@@ -73,7 +73,47 @@ class ScaleOpsSpec extends AnyFunSuite {
     val sq8 = SparkEntry.queries("sim_sq8_topk")(spark, sf)
       .collect().map(_.getLong(0)).toSet
     val recall = brute.intersect(sq8).size.toDouble / brute.size
-    assert(recall >= 0.8, s"SQ8 recall $recall (sq8=$sq8 brute=$brute)")
+    // deterministic corpus + IEEE-deterministic arithmetic: the observed
+    // value here is exactly 0.9 (one pair straddles the quantization
+    // resolution at this corpus/query — ids 299 vs 232 swap between the
+    // exact and dequantized rankings), and the `sim_sq8_recall` gate row
+    // hash-pins 1.0 for all 8 query ids at sf0.01. Pin the floor AT the
+    // observed value — the r18 0.8 floor would have let a real
+    // quantization regression pass while the "recall ≈ exact" docstring
+    // went false (r18 verdict task 3).
+    assert(recall >= 0.9, s"SQ8 recall $recall (sq8=$sq8 brute=$brute)")
+  }
+
+  /** Mid-domain ANN probe id (r18 verdict task 5): every ANN gate row
+    * queries vec_id = 0 — an edge-of-domain vector could get lucky with
+    * the quantization grid or the cell layout (the same lesson as the
+    * scan-pruning probes, which now probe mid-domain ids). Re-run the
+    * SQ8 and IVF recall checks at a query id from the MIDDLE of the
+    * vec_id domain; non-gate spec assertions by design (the gate twin
+    * stays the oracle-replicable qid < 8 instance).
+    */
+  test("ANN at a mid-domain query id: SQ8 recall exact, IVF recall holds") {
+    val embRaw = Tables.embeddings(spark, sf)
+    val mid = embRaw.count() / 2
+    val emb = embRaw.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val brute = Similarity.bruteForceTopK(embRaw, mid, 10)
+      .collect().map(_.getLong(0)).toSet
+    val (mn, mx) = Similarity.sq8Bounds(emb)
+    val qv = emb.filter(col("vec_id") === mid)
+      .select(col("e")).head().getSeq[Double](0).toIndexedSeq
+    val sq8 = Similarity
+      .sq8TopK(Similarity.encodeSq8(emb, mn, mx).drop("e"), qv, mn, mx, mid, 10)
+      .collect().map(_.getLong(0)).toSet
+    val rSq8 = brute.intersect(sq8).size.toDouble / brute.size
+    assert(rSq8 == 1.0, s"SQ8 mid-domain recall $rSq8 (sq8=$sq8 brute=$brute)")
+    val cents = Similarity.centroids(embRaw, 16).cache()
+    val assigned = Similarity.assignCells(embRaw, cents).cache()
+    val ivf = Similarity.ivfTopK(spark, assigned, cents, mid, 10, nProbe = 6)
+      .collect().map(_.getLong(0)).toSet
+    val rIvf = brute.intersect(ivf).size.toDouble / brute.size
+    assert(rIvf >= 0.5, s"IVF mid-domain recall $rIvf (ivf=$ivf brute=$brute)")
+    assigned.unpersist(); cents.unpersist()
   }
 
   test("IVF top-k has high recall vs brute force") {
