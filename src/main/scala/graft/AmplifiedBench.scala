@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   * does.
   *
   * Usage: runMain graft.AmplifiedBench [sfDir] [factor] [reps]
-  * Output: one JSON line per (query, factor) + a final ratio summary.
+  * Output: one JSON line per (query, factor); any row whose ratio
+  * exceeds the adjudication threshold gets a SECOND line at the end of
+  * the run (`"adjudication_deferred":true`) carrying the fresh-JVM
+  * child's own base/amp/ratio, measured after the sweep drained.
   */
 object AmplifiedBench {
 
@@ -219,18 +222,26 @@ object AmplifiedBench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    // Machine-enforced adjudication (r17, verdict task 3): any sweep row
-    // whose ratio exceeds the threshold re-runs AUTOMATICALLY in a fresh
-    // child JVM on the identical amplified dataset (SPARK_GRAFT_AMP_REUSE)
-    // — the exact protocol that adjudicated sketch_cms_topk's 13.5×
-    // sweep reading down to 1.54× in r16, previously run by hand. The
-    // emitted row carries both numbers so the JSONL is self-adjudicating:
-    // fresh ≪ sweep ⇒ sweep context (late-sweep GC/heap), fresh ≈ sweep
-    // ⇒ real scaling behavior to investigate as code.
+    // Machine-enforced adjudication (r17 task 3, DEFERRED in r19 —
+    // verdict task 1): any sweep row whose ratio exceeds the threshold
+    // re-runs in a fresh child JVM on the identical amplified dataset
+    // (SPARK_GRAFT_AMP_REUSE). In r17–r18 the child launched INSIDE the
+    // sweep, so it competed with the parent's hot heap and 32 busy
+    // threads — join_skew_salted's r18 child read 8.66 where a
+    // standalone run read 4.72, and a hand run was needed to settle it.
+    // Now adjudication queues during the sweep and the children run
+    // only AFTER the sweep fully drains: temp views dropped, cache
+    // cleared, the parent's SparkSession STOPPED, heap GC'd, and a
+    // settle pause — the parent is an idle waiter while each child
+    // measures. The child re-measures BASE and AMP itself, so its ratio
+    // is internally consistent (same JVM, same dataset, fresh heap).
     val adjThreshold = sys.env.get("SPARK_GRAFT_AMP_ADJ_THRESHOLD")
       .map(_.toDouble).getOrElse(3.0)
+    val settleMs = sys.env.get("SPARK_GRAFT_AMP_SETTLE_MS")
+      .map(_.toLong).getOrElse(8000L)
     val noAdj = sys.env.contains("SPARK_GRAFT_AMP_NO_ADJ")
-    def freshJvmRatio(query: String): Option[Double] = {
+    // child row: (base_secs, amp_secs, ratio) parsed from its one data line
+    def freshJvmRun(query: String): Option[(Double, Double, Double)] = {
       import scala.jdk.CollectionConverters._
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val jvmFlags = java.lang.management.ManagementFactory
@@ -254,10 +265,14 @@ object AmplifiedBench {
       p.waitFor()
       // the child prints exactly one data row for the selected query
       outLines.find(_.contains(s""""query":"$query"""")).flatMap { line =>
-        """"ratio":([-0-9.]+)""".r.findFirstMatchIn(line)
-          .map(_.group(1).toDouble)
+        def num(key: String): Option[Double] =
+          (s""""$key":([-0-9.]+)""").r.findFirstMatchIn(line)
+            .map(_.group(1).toDouble)
+        for (b <- num("base_secs"); a <- num("amp_secs"); r <- num("ratio"))
+          yield (b, a, r)
       }
     }
+    val pending = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val rows = selection.filter(n => only.forall(_.contains(n))).map { n =>
       val gc0 = gcMs()
       val base = timed(n, sfDir)
@@ -273,30 +288,44 @@ object AmplifiedBench {
       // gc_base_ms/gc_amp_ms split (r17 ADVICE): a base-side GC spike
       // DEFLATES the ratio, an amp-side spike inflates it — one summed
       // column could not say which group the pressure hit.
-      val freshPart =
-        if (!noAdj && ratio > adjThreshold) {
-          System.err.println(
-            f"[amp] $n sweep ratio $ratio%.2f > $adjThreshold%.1f — " +
-              "re-running in a fresh child JVM for adjudication")
-          freshJvmRatio(n) match {
-            case Some(fr) =>
-              // fr < 0 means the child ran but its query FAILED — that
-              // must not read as exoneration (r17 ADVICE): a failed
-              // re-run proves nothing about the sweep reading.
-              val verdict =
-                if (fr < 0) "child_failed"
-                else if (fr <= adjThreshold) "sweep_context"
-                else "code"
-              f""","fresh_ratio":$fr%.2f,"adjudication":"$verdict""""
-            case None => ""","fresh_ratio":-1,"adjudication":"child_failed""""
-          }
-        } else ""
-      println(f"""{"query":"$n","base_secs":$base%.3f,"amp_secs":$amp%.3f,"factor":$factor,"ratio":$ratio%.2f,"gc_base_ms":$gcBase,"gc_amp_ms":$gcAmp,"heap_mb":$heapMb$freshPart}""")
+      if (!noAdj && ratio > adjThreshold) {
+        System.err.println(
+          f"[amp] $n sweep ratio $ratio%.2f > $adjThreshold%.1f — " +
+            "queued for post-drain fresh-JVM adjudication")
+        pending += ((n, ratio))
+      }
+      println(f"""{"query":"$n","base_secs":$base%.3f,"amp_secs":$amp%.3f,"factor":$factor,"ratio":$ratio%.2f,"gc_base_ms":$gcBase,"gc_amp_ms":$gcAmp,"heap_mb":$heapMb}""")
       (n, base, amp, ratio)
     }
     val worst = rows.filter(_._4 > 0).sortBy(-_._4).take(5)
     System.err.println("[amp] worst ratios: " + worst.map { case (n, _, _, r) =>
       f"$n=$r%.1f" }.mkString(", "))
-    spark.stop()
+    if (pending.nonEmpty) {
+      // drain: the children must see an idle box, not the sweep's tail
+      cleanup()
+      spark.stop()
+      System.gc()
+      System.err.println(
+        s"[amp] sweep drained; settling ${settleMs}ms before " +
+          s"${pending.size} adjudication child(ren)")
+      Thread.sleep(settleMs)
+      pending.foreach { case (n, sweepRatio) =>
+        freshJvmRun(n) match {
+          case Some((b, a, fr)) =>
+            // fr < 0 means the child ran but its query FAILED — that
+            // must not read as exoneration (r17 ADVICE): a failed
+            // re-run proves nothing about the sweep reading.
+            val verdict =
+              if (fr < 0) "child_failed"
+              else if (fr <= adjThreshold) "sweep_context"
+              else "code"
+            println(
+              f"""{"query":"$n","adjudication_deferred":true,"sweep_ratio":$sweepRatio%.2f,"fresh_base_secs":$b%.3f,"fresh_amp_secs":$a%.3f,"fresh_ratio":$fr%.2f,"adjudication":"$verdict"}""")
+          case None =>
+            println(
+              f"""{"query":"$n","adjudication_deferred":true,"sweep_ratio":$sweepRatio%.2f,"fresh_ratio":-1,"adjudication":"child_failed"}""")
+        }
+      }
+    } else spark.stop()
   }
 }
