@@ -603,6 +603,149 @@ object ScaleProbe {
         f"""{"probe":"semdedup_planted_recall","factor":$f,"n_vecs":${stats.getLong(0)},"k":$k,"planted_pairs":$plantedPairs,"found_pairs":$found,"recall_pct":${100.0 * found / plantedPairs}%.1f,"kept":${stats.getLong(1)},"secs":$secs%.2f}""")
     }
 
+    // Streaming SemDeDup axis (r19, verdict task 4): the batch twin has
+    // the k ∝ N ladder; this gives `Streams.semanticDedupStream` the
+    // same treatment. Corpus growth is the SAME sign-mask isometry
+    // replica construction as the batch axis with k = 8·f cells, so the
+    // per-cell population — and with it the per-arrival compare count,
+    // the stream's unit of work — stays constant while parallelism
+    // (cell count = state shards) grows with the corpus. Laws:
+    //   - state_rows == n_vecs (everything inside the one-batch horizon
+    //     is retained; state is the cell-sharded vector store);
+    //   - state rows PER CELL ≈ constant across factors (the k ∝ N
+    //     contract applied to the state store);
+    //   - per-event µs ≈ flat (per-arrival cost ∝ cell population).
+    val ssdSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    // state observables: numRowsTotal counts STORE rows = one per cell
+    // (the whole per-cell entry list is a single value), so the
+    // entry-count law is read through memoryUsedBytes (∝ retained
+    // vector entries) next to the cell count.
+    def ssdStateMetrics(
+        q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+      val sp = q.recentProgress.flatMap(_.stateOperators)
+      (sp.map(_.numRowsTotal).lastOption.getOrElse(-1L),
+        sp.map(_.memoryUsedBytes).lastOption.getOrElse(-1L))
+    }
+    def runSsd(stage: String, cRows: IndexedSeq[(Int, Seq[Double])],
+        tag: String): (org.apache.spark.sql.DataFrame, Long, Long) = {
+      import graft.streaming.Streams
+      val stream = spark.readStream.schema(ssdSchema).parquet(stage)
+      val q = Streams.semanticDedupStream(spark, stream, cRows, tau = 0.35)
+        .writeStream.outputMode("append").format("memory").queryName(tag)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (cells, mem) = ssdStateMetrics(q)
+      (spark.table(tag), cells, mem)
+    }
+    def probeStreamSemDedup(f: Int): Unit = {
+      val baseEmb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val big = (0 until f).map { i =>
+        val e =
+          if (i == 0) col("embedding")
+          else expr(
+            s"transform(embedding, (x, j) -> x * CASE WHEN pmod(hash(j, $i), 2) = 0 THEN 1.0D ELSE -1.0D END)")
+        baseEmb.select((col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+          e.as("embedding"))
+      }.reduce(_ union _)
+      val k = 8 * f
+      val cRows = operators.Similarity.centroidArrays(
+        operators.Similarity.centroids(big, nCells = k))
+      // staging + centroid pick are the once-per-index-build offline
+      // steps (untimed, the batch axis' convention); single file so the
+      // whole replay is one microbatch at watermark 0 — the pure
+      // within-horizon regime (the eviction arm below covers the rest)
+      val stage = java.nio.file.Files
+        .createTempDirectory(s"graft-probe-ssd-$f").toString
+      big.select(col("vec_id"),
+          expr("timestamp'2024-01-01 00:00:00'").as("ts"), col("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val t0 = System.nanoTime()
+      val (res, stateCells, stateMem) = runSsd(stage, cRows, s"probe_ssd_$f")
+      val nOut = res.count()
+      val kept = res.filter(col("kept")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val usPerEvent = secs * 1e6 / math.max(nOut, 1L)
+      println(
+        f"""{"probe":"stream_semdedup","factor":$f,"n_vecs":$nOut,"k":$k,"kept":$kept,"state_cells":$stateCells,"state_mem_kb":${stateMem / 1024},"state_mem_bytes_per_vec":${stateMem / math.max(nOut, 1L)},"secs":$secs%.2f,"us_per_event":$usPerEvent%.1f}""")
+    }
+
+    // Eviction arm (factor-independent): plant LATE stragglers past the
+    // 10-minute watermark horizon and replay in three checkpointed
+    // AvailableNow batches. Batch 1 = the full base corpus at T0.
+    // Batch 2 = exact copies of vectors 0..99 at T0+2h: the watermark
+    // at batch 2 is still T0−10min (it lags one batch), so every
+    // original is IN state and every copy must be DROPPED (cos = 1
+    // partner) — horizon retention. Batch 3 = exact copies of vectors
+    // 100..199 at T0+4h: now the watermark is T0+2h−10min, so every T0
+    // entry is evicted on invocation — copies whose only ≥τ partner was
+    // their own original must come back KEPT (without eviction, late
+    // kept would be exactly 0: each copy's original is a cos-1.0
+    // partner), and the final state row count collapses from n+100
+    // toward ~200 (batch-2 + batch-3 entries in invoked cells) — the
+    // store is bounded by the horizon, not the stream's history.
+    def probeStreamSemDedupEviction(): Unit = {
+      val baseEmb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val cRows = operators.Similarity.centroidArrays(
+        operators.Similarity.centroids(baseEmb, nCells = 8))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-probe-ssde").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-probe-ssde-ckpt").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-probe-ssde-out").toString
+      def writeBatch(df: org.apache.spark.sql.DataFrame, tsExpr: String): Unit =
+        df.select(col("vec_id"), expr(tsExpr).as("ts"), col("embedding"))
+          .coalesce(1).write.mode("append").parquet(stage)
+      // memory sinks can't resume from a checkpoint; the three-run
+      // replay goes through the production file-sink shape instead
+      // (`stream_checkpoint_resume` precedent) and per-batch verdicts
+      // are recovered from the vec_id offset ranges.
+      def runEv(): (Long, Long) = {
+        import graft.streaming.Streams
+        val stream = spark.readStream.schema(ssdSchema).parquet(stage)
+        val q = Streams.semanticDedupStream(spark, stream, cRows, tau = 0.35)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ssdStateMetrics(q)
+      }
+      writeBatch(baseEmb, "timestamp'2024-01-01 00:00:00'")
+      val (c1, m1) = runEv()
+      writeBatch(
+        baseEmb.filter(col("vec_id") < 100)
+          .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding")),
+        "timestamp'2024-01-01 02:00:00'")
+      val (c2, m2) = runEv()
+      writeBatch(
+        baseEmb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+          .select((col("vec_id") + lit(20000000L)).as("vec_id"), col("embedding")),
+        "timestamp'2024-01-01 04:00:00'")
+      val (c3, m3) = runEv()
+      val r = spark.read.parquet(out)
+      val n = r.filter(col("vec_id") < 10000000L).count()
+      val dropped2 = r.filter(col("vec_id") >= 10000000L &&
+        col("vec_id") < 20000000L && !col("kept")).count()
+      val late = r.filter(col("vec_id") >= 20000000L)
+      val kept3 = late.filter(col("kept")).count()
+      val cellsHit3 = late.select(col("cell_id")).distinct().count()
+      println(
+        f"""{"probe":"stream_semdedup_eviction","n_base":$n,"state_cells_b1":$c1,"state_mem_kb_b1":${m1 / 1024},"in_horizon_dropped":$dropped2,"stragglers":100,"state_cells_b2":$c2,"state_mem_kb_b2":${m2 / 1024},"late_kept":$kept3,"late_total":100,"cells_hit_b3":$cellsHit3,"state_cells_b3":$c3,"state_mem_kb_b3":${m3 / 1024}}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
@@ -611,6 +754,7 @@ object ScaleProbe {
       axis("lsh_dedup") { probe("lsh_dedup", f, replicated) }
       axis("semdedup_k_prop_n") { probeSemDedup(f) }
       axis("semdedup_planted_recall") { probeSemDedupPlanted(f) }
+      axis("stream_semdedup") { probeStreamSemDedup(f) }
       axis("funnel") { probeFunnel(f) }
       axis("weighted_median_skew") { probeWeightedMedianSkew(f) }
       axis("stream_sketch") { probeStreamSketch(f) }
@@ -682,6 +826,7 @@ object ScaleProbe {
         println(f"""{"probe":"grouped_scan_offsets","partitions":$parts,"groups":$groups,"offsets_entries":$entries,"bound_p_plus_g":${parts + groups - 1},"bound_p_times_g":${parts * groups},"median_rows":${medians.length},"secs":$secs%.2f}""")
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
+    axis("stream_semdedup_eviction") { probeStreamSemDedupEviction() }
     axis("grouped_scan_offsets") { Seq(32, 128, 512).foreach(probeGroupedScanOffsets) }
 
     // high-G regime of the same axis: a synthetic 4000-value group key
