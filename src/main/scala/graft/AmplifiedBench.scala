@@ -60,6 +60,11 @@ object AmplifiedBench {
       // write), so the timed reps measure the map-only byte-scan top-k;
       // expect ~linear-or-below in corpus size
       "sim_sq8_topk",
+      // r19: the SQ8 recall certification — two broadcast-query map
+      // passes (raw corpus + byte index) + per-query top-10 windows;
+      // expect ~linear in corpus size with the same fixed-overhead
+      // amortization as the other ANN rows
+      "sim_sq8_recall",
       // r15: streaming-gate replays — the state-store-bound trio. Each
       // gate query stages its replay dir ONCE per (JVM, dataset dir)
       // via DimCache (r15 change), so the warmup pays the staging write

@@ -62,6 +62,10 @@ object Bench {
     // land in the pre-pass via DimCache — write-once/query-many like
     // the PQ codes; reps time the map-only byte-scan asymmetric top-k)
     "sim_sq8_topk",
+    // round-19: the SQ8 recall certification (two broadcast-query map
+    // passes — raw corpus + persisted byte index — and per-query
+    // top-10 windows over the 8-query fanout)
+    "sim_sq8_recall",
     // round-9: incremental near-dedup against the persisted LSH index
     // (index build lands in the warmup pre-pass via DimCache — the
     // write-once/query-many contract — so reps time the steady-state
@@ -145,7 +149,8 @@ object Bench {
     * reports `shared_set_total` summed over exactly these queries.
     */
   val sharedSet69: Set[String] =
-    (headline.toSet - "scan_bloom_pruned" - "sim_sq8_topk")
+    (headline.toSet - "scan_bloom_pruned" - "sim_sq8_topk"
+      - "sim_sq8_recall")
   require(sharedSet69.size == 69, s"pinned shared set drifted: ${sharedSet69.size}")
 
   private def heapUsedMb: Long = {
