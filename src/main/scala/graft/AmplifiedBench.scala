@@ -65,6 +65,12 @@ object AmplifiedBench {
       // expect ~linear in corpus size with the same fixed-overhead
       // amortization as the other ANN rows
       "sim_sq8_recall",
+      // r19: the IVF,SQ8 composed read path — cell-partitioned byte
+      // codes (index write DimCache'd in the warmup), probe =
+      // partition-pruned scan of 2/8 cells; expect sublinear (the
+      // pruned fraction is constant, per-cell population grows
+      // linearly) with byte-scan fixed-overhead amortization
+      "sim_ivfsq8_topk",
       // r15: streaming-gate replays — the state-store-bound trio. Each
       // gate query stages its replay dir ONCE per (JVM, dataset dir)
       // via DimCache (r15 change), so the warmup pays the staging write

@@ -212,6 +212,16 @@ object Explain {
       "stream_tdigest_window" -> (() => Streams.tdigestWindowQuantiles(ev)),
       "stream_dedup_exact" -> (() => Streams.dedupStream(ev)),
       "stream_near_dedup" -> (() => Streams.nearDedupStream(docsTs, "ts")),
+      "stream_decontaminate" -> (() => Streams.decontaminateStream(docsTs,
+        Tables.documents(spark, sfDir)
+          .filter(expr("doc_id % 100 = 0"))
+          .select(expr("split(coalesce(text, ''), ' ')").as("tk"))
+          .filter(expr("size(tk) >= 4"))
+          .select(expr(
+            """explode(transform(sequence(0, size(tk) - 4),
+              |  i -> concat_ws(' ', slice(tk, i + 1, 4))))""".stripMargin)
+            .as("g8"))
+          .distinct())),
       "stream_semantic_dedup" -> (() => {
         val embTsDir = tempDir("graft-explain-embts")
         Tables.embeddings(spark, sfDir).limit(64)

@@ -326,19 +326,88 @@ object Similarity {
     * clamped only by construction (x ∈ [mn, mx] ⇒ code ∈ [−128, 127]).
     */
   def encodeSq8(emb: DataFrame, mn: IndexedSeq[Double],
-      mx: IndexedSeq[Double]): DataFrame = {
+      mx: IndexedSeq[Double]): DataFrame =
+    emb.select(col("vec_id"), col("e"), sq8Codes(mn, mx).as("codes"))
+
+  /** The SQ8 quantizer as a reusable Column over `e` — shared by the
+    * flat index ([[encodeSq8]]) and the IVF-composed index
+    * ([[encodeIvfSq8]]) so both persist byte-identical codes.
+    */
+  def sq8Codes(mn: IndexedSeq[Double], mx: IndexedSeq[Double]): Column = {
     val mnArr = array(mn.map(lit): _*)
     val scArr = array(mn.indices.map(j => lit(mx(j) - mn(j))): _*)
-    emb.select(col("vec_id"), col("e"),
-      zip_with(col("e"),
-        sequence(lit(0), lit(mn.size - 1)),
-        (x, j) => {
-          val m = element_at(mnArr, j.cast(IntegerType) + 1)
-          val sc = element_at(scArr, j.cast(IntegerType) + 1)
-          when(sc === 0d, lit(-128))
-            .otherwise(floor((x - m) / sc * 255d + 0.5d) - 128L)
-            .cast(ByteType)
-        }).as("codes"))
+    zip_with(col("e"),
+      sequence(lit(0), lit(mn.size - 1)),
+      (x, j) => {
+        val m = element_at(mnArr, j.cast(IntegerType) + 1)
+        val sc = element_at(scArr, j.cast(IntegerType) + 1)
+        when(sc === 0d, lit(-128))
+          .otherwise(floor((x - m) / sc * 255d + 0.5d) - 128L)
+          .cast(ByteType)
+      })
+  }
+
+  // ------------------------------------------------------------- IVF,SQ8
+
+  /** The composed IVF,SQ8 index (FAISS `index_factory("IVF8,SQ8")`
+    * practice): every vector carries its nearest-centroid cell AND its
+    * byte-per-dimension SQ8 codes — one pure Project over the scan (the
+    * cell argmax and the quantizer are both literal-driven map-side
+    * expressions; no Exchange, no join). Persisted
+    * `partitionBy(cell_id)`, a probe becomes a PartitionFilter: the
+    * scan physically skips (nCells − nProbe)/nCells of the index files
+    * BEFORE the byte codes are even read — coarse pruning × 4×
+    * compression, the multiplicative pair that makes billion-vector
+    * corpora searchable from executor memory.
+    */
+  def encodeIvfSq8(emb: DataFrame, cRows: IndexedSeq[(Int, Seq[Double])],
+      mn: IndexedSeq[Double], mx: IndexedSeq[Double]): DataFrame =
+    assignCells(emb, cRows)
+      .select(col("cell_id"), col("vec_id"), sq8Codes(mn, mx).as("codes"))
+
+  /** Driver-side coarse probe: rank cells by cosine(centroid, query)
+    * and return the nProbe nearest cell_ids (ties to the lower id).
+    * Query-local work over the bounded centroid set — FAISS keeps this
+    * on the caller's thread for the same reason — and the ascending
+    * accumulation loops are the IEEE folds of [[cosine]]'s engine tree,
+    * so the probed set matches the DuckDB twin's exactly.
+    */
+  def probeCellIds(query: IndexedSeq[Double],
+      cRows: IndexedSeq[(Int, Seq[Double])], nProbe: Int): Seq[Int] = {
+    def fold(f: Int => Double, n: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += f(i); i += 1 }
+      acc
+    }
+    val qn = math.sqrt(fold(i => query(i) * query(i), query.size))
+    cRows.map { case (id, c) =>
+      val d = fold(i => c(i) * query(i), c.size)
+      val cn = math.sqrt(fold(i => c(i) * c(i), c.size))
+      (id, d / (cn * qn))
+    }.sortBy { case (id, sim) => (-sim, id) }.take(nProbe).map(_._1)
+  }
+
+  /** IVF,SQ8 top-k: filter the persisted index to the probed cells
+    * (partition-pruned at planning time — the cell list is literal),
+    * dequantize, and rank by asymmetric cosine exactly like
+    * [[sq8TopK]]. Plan: pruned Scan → Project → TakeOrdered; zero
+    * joins, zero shuffles, and per-query IO = nProbe/nCells of an
+    * already-4×-compressed index.
+    */
+  def ivfSq8TopK(index: DataFrame, query: IndexedSeq[Double],
+      mn: IndexedSeq[Double], mx: IndexedSeq[Double],
+      probed: Seq[Int], queryVecId: Long, k: Int): DataFrame = {
+    val qArr = array(query.map(lit): _*)
+    index.filter(col("cell_id").isin(probed: _*))
+      .filter(col("vec_id") =!= queryVecId)
+      .withColumn("xhat", sq8Dequantize(mn, mx))
+      .select(col("vec_id"),
+        (graft.functions.DotF64.dotf64(qArr, col("xhat")) /
+          (sqrt(graft.functions.DotF64.dotf64(qArr, qArr)) *
+            sqrt(graft.functions.DotF64.dotf64(col("xhat"), col("xhat")))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** SQ8 asymmetric top-k: the corpus is scored from its byte codes

@@ -1832,6 +1832,313 @@ object LlmOps {
       |SELECT vec_id, round(cosine, 6) AS sq8_cosine_6dp
       |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  /** The persisted IVF,SQ8 composed index (cell-partitioned byte
+    * codes): built once per (JVM, dataset) — one Project over the scan
+    * computes the cell argmax AND the quantizer — and written
+    * `partitionBy(cell_id)`, so a probe's cell filter is a
+    * PartitionFilter that skips index FILES, not rows (shared by
+    * `sim_ivfsq8_topk` and its recall certification).
+    */
+  private def ivfSq8CodesPath(s: SparkSession, dir: String,
+      embE: DataFrame, cRows: IndexedSeq[(Int, Seq[Double])],
+      mn: IndexedSeq[Double], mx: IndexedSeq[Double]): String =
+    graft.DimCache.cached(s"ivfsq8-codes:$dir") {
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val p = System.getProperty("java.io.tmpdir") + s"/graft_ivfsq8_$tag"
+      graft.operators.Similarity
+        .encodeIvfSq8(embE.select(col("vec_id"), col("e").as("embedding")),
+          cRows, mn, mx)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(p)
+      p
+    }
+
+  /** IVF,SQ8 composed ANN (FAISS `IVF8,SQ8` practice): the coarse
+    * quantizer prunes to nProbe = 2 of 8 cells — driver-side over the
+    * bounded centroid set, so the cell list is LITERAL and the scan is
+    * partition-pruned at planning time — and the fine ranking
+    * dequantizes the surviving byte codes for asymmetric cosine. The
+    * multiplicative 100 TB pair: nProbe/nCells of the IO × 4×
+    * compression on what remains, with the same no-join no-shuffle
+    * Project → TakeOrdered plan as `sim_sq8_topk`. Fully oracled: the
+    * DuckDB twin recomputes centroid pick → assignment → probe →
+    * bounds → quantize → dequantize → ranking from the raw table in
+    * identical IEEE arithmetic, so the green row proves the PERSISTED
+    * partitioned index end-to-end.
+    */
+  private def simIvfSq8Topk(s: SparkSession, dir: String): DataFrame = {
+    val embE = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val (dmin, dmax) = embDims(s, dir)
+    require(dmin == dmax, s"SQ8 needs uniform dims, got [$dmin,$dmax]")
+    val (mn, mx) = graft.DimCache.cached(s"sq8-bounds:$dir") {
+      graft.operators.Similarity.sq8Bounds(embE)
+    }
+    val cRows = graft.DimCache.cached(s"ivf-centroids:$dir:8") {
+      graft.operators.Similarity.centroidArrays(
+        graft.operators.Similarity.centroids(
+          embE.select(col("vec_id"), col("e").as("embedding")), nCells = 8))
+    }
+    val q0 = graft.DimCache.cached(s"sq8-query:$dir:0") {
+      embE.filter(col("vec_id") === 0)
+        .select(col("e")).head().getSeq[Double](0).toIndexedSeq
+    }
+    val probed = graft.operators.Similarity.probeCellIds(q0, cRows, nProbe = 2)
+    graft.operators.Similarity.ivfSq8TopK(
+      s.read.parquet(ivfSq8CodesPath(s, dir, embE, cRows, mn, mx)),
+      q0, mn, mx, probed, queryVecId = 0L, k = 10)
+      .select(col("vec_id"), round(col("cosine"), 6).as("ivfsq8_cosine_6dp"))
+  }
+
+  /** Recall certification for the COMPOSED index (the `sim_lsh_recall`
+    * / `sim_sq8_recall` precedent): per query vector (vec_id < 8),
+    * top-10 overlap between the partition-pruned IVF,SQ8 ranking and
+    * exact brute force over the raw corpus — so probe loss (did the
+    * 2-of-8 coarse quantizer keep the true neighbors' cells?) and
+    * quantization loss are measured TOGETHER, per query, hash-checked
+    * at the gate. Each query probes its own cells; the (qid, cell,
+    * query-vector) fanout ships as a 16-row broadcast literal against
+    * the persisted index — no corpus self-join, no shuffle wider than
+    * the 8-query window.
+    */
+  private def simIvfSq8Recall(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotF64.dotf64
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val embE = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val (dmin, dmax) = embDims(s, dir)
+    require(dmin == dmax, s"SQ8 needs uniform dims, got [$dmin,$dmax]")
+    val (mn, mx) = graft.DimCache.cached(s"sq8-bounds:$dir") {
+      graft.operators.Similarity.sq8Bounds(embE)
+    }
+    val cRows = graft.DimCache.cached(s"ivf-centroids:$dir:8") {
+      graft.operators.Similarity.centroidArrays(
+        graft.operators.Similarity.centroids(
+          embE.select(col("vec_id"), col("e").as("embedding")), nCells = 8))
+    }
+    val qrows = graft.DimCache.cached(s"ivfsq8-queries:$dir") {
+      embE.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("e")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+        .sortBy(_._1).toIndexedSeq
+    }
+    val qprobe = qrows.flatMap { case (qid, qv) =>
+      graft.operators.Similarity.probeCellIds(qv, cRows, nProbe = 2)
+        .map(c => (qid, c, qv))
+    }.toDF("qid", "cell_id", "qe")
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    def top10(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val q = embE.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val exact = top10(embE.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        (dotf64(col("qe"), col("e")) /
+          (sqrt(dotf64(col("qe"), col("qe"))) *
+            sqrt(dotf64(col("e"), col("e"))))).as("cos")))
+    val approx = top10(
+      s.read.parquet(ivfSq8CodesPath(s, dir, embE, cRows, mn, mx))
+        .filter(col("vec_id") >= 8)
+        .join(broadcast(qprobe), Seq("cell_id"))
+        .withColumn("xhat", graft.operators.Similarity.sq8Dequantize(mn, mx))
+        .select(col("qid"), col("vec_id"),
+          (dotf64(col("qe"), col("xhat")) /
+            (sqrt(dotf64(col("qe"), col("qe"))) *
+              sqrt(dotf64(col("xhat"), col("xhat"))))).as("cos")))
+    val hits = exact.join(approx, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("nh"))
+    q.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("nh"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000) div 10"))
+  }
+
+  /** DuckDB twin of the composed pipeline: the `sim_ivf_topk` centroid
+    * pick / assignment / probe CTEs (probe now per-query via a
+    * windowed rank) chained into the `sim_sq8_topk` bounds / quantize
+    * / dequantize CTEs — every fold ascending IEEE, so rankings match
+    * and hit counts are integer-exact.
+    */
+  private val simIvfSq8RecallSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |picked AS (
+      |  SELECT vec_id, e FROM ev
+      |  ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 8),
+      |cents AS (
+      |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell_id,
+      |    e AS centroid
+      |  FROM picked),
+      |unitc AS (
+      |  SELECT cell_id, centroid,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(centroid, x -> x * x)), (acc, v) -> acc + v)) AS n
+      |  FROM cents),
+      |unit AS (
+      |  SELECT cell_id,
+      |    list_transform(centroid,
+      |      x -> CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE x / n END) AS cu
+      |  FROM unitc),
+      |cl AS (SELECT list(cu ORDER BY cell_id) AS cus FROM unit),
+      |assigned AS (
+      |  SELECT vec_id, e, list_position(sims, list_max(sims)) - 1 AS cell_id
+      |  FROM (
+      |    SELECT vec_id, e,
+      |      list_transform(cus, cu ->
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> e[i] * cu[i])),
+      |          (acc, v) -> acc + v)) AS sims
+      |    FROM ev CROSS JOIN cl)),
+      |d AS (SELECT CAST(min(len(e)) AS BIGINT) AS nd FROM ev),
+      |bounds AS (
+      |  SELECT ix.i AS dim, min(e[ix.i]) AS mn, max(e[ix.i]) AS mx
+      |  FROM ev, (SELECT unnest(range(1, (SELECT nd + 1 FROM d))) AS i) ix
+      |  GROUP BY ix.i),
+      |mnl AS (SELECT list(mn ORDER BY dim) AS mnl,
+      |               list(mx - mn ORDER BY dim) AS scl FROM bounds),
+      |q AS (SELECT vec_id AS qid, e AS qe,
+      |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(e, x -> x * x)), (a, v) -> a + v)) AS qn
+      |  FROM ev WHERE vec_id < 8),
+      |probe AS (
+      |  SELECT qid, cell_id FROM (
+      |    SELECT qid, cell_id,
+      |      row_number() OVER (PARTITION BY qid
+      |        ORDER BY sim DESC, cell_id) AS rn
+      |    FROM (
+      |      SELECT q.qid, c.cell_id,
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(c.centroid) + 1),
+      |            i -> c.centroid[i] * q.qe[i])), (acc, v) -> acc + v) /
+      |        (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(c.centroid, x -> x * x)), (acc, v) -> acc + v))
+      |         * q.qn) AS sim
+      |      FROM cents c CROSS JOIN q)) t WHERE rn <= 2),
+      |cand AS (
+      |  SELECT p.qid, a.vec_id, a.e
+      |  FROM assigned a JOIN probe p USING (cell_id)
+      |  WHERE a.vec_id >= 8),
+      |xh AS (
+      |  SELECT qid, vec_id,
+      |    list_transform(range(1, len(e) + 1), i ->
+      |      CASE WHEN scl[i] = 0 THEN mnl[i]
+      |      ELSE mnl[i] +
+      |        (CAST(floor((e[i] - mnl[i]) / scl[i] * 255 + 0.5) - 128
+      |          AS DOUBLE) + 128) / 255 * scl[i] END) AS xhat
+      |  FROM cand, mnl),
+      |exact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, c.vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> qe[i] * e[i])),
+      |          (a, v) -> a + v) /
+      |        (qn *
+      |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(e, x -> x * x)), (a, v) -> a + v)))
+      |        DESC, c.vec_id) AS rn
+      |    FROM (SELECT vec_id, e FROM ev WHERE vec_id >= 8) c
+      |    CROSS JOIN q) t WHERE rn <= 10),
+      |approx AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT x.qid, x.vec_id,
+      |      row_number() OVER (PARTITION BY x.qid ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(xhat) + 1), i -> qe[i] * xhat[i])),
+      |          (a, v) -> a + v) /
+      |        (qn *
+      |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(xhat, x -> x * x)), (a, v) -> a + v)))
+      |        DESC, x.vec_id) AS rn
+      |    FROM xh x JOIN q ON x.qid = q.qid) t WHERE rn <= 10),
+      |h AS (SELECT qid, count(*) AS nh
+      |  FROM exact JOIN approx USING (qid, vec_id) GROUP BY qid)
+      |SELECT q.qid, CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+      |  (CAST(coalesce(nh, 0) AS BIGINT) * 1000000) // 10 AS recall_ppm
+      |FROM q LEFT JOIN h ON q.qid = h.qid""".stripMargin
+
+  private val simIvfSq8TopkSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |picked AS (
+      |  SELECT vec_id, e FROM ev
+      |  ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 8),
+      |cents AS (
+      |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell_id,
+      |    e AS centroid
+      |  FROM picked),
+      |unitc AS (
+      |  SELECT cell_id, centroid,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(centroid, x -> x * x)), (acc, v) -> acc + v)) AS n
+      |  FROM cents),
+      |unit AS (
+      |  SELECT cell_id,
+      |    list_transform(centroid,
+      |      x -> CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE x / n END) AS cu
+      |  FROM unitc),
+      |cl AS (SELECT list(cu ORDER BY cell_id) AS cus FROM unit),
+      |assigned AS (
+      |  SELECT vec_id, e, list_position(sims, list_max(sims)) - 1 AS cell_id
+      |  FROM (
+      |    SELECT vec_id, e,
+      |      list_transform(cus, cu ->
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> e[i] * cu[i])),
+      |          (acc, v) -> acc + v)) AS sims
+      |    FROM ev CROSS JOIN cl)),
+      |d AS (SELECT CAST(min(len(e)) AS BIGINT) AS nd FROM ev),
+      |bounds AS (
+      |  SELECT ix.i AS dim, min(e[ix.i]) AS mn, max(e[ix.i]) AS mx
+      |  FROM ev, (SELECT unnest(range(1, (SELECT nd + 1 FROM d))) AS i) ix
+      |  GROUP BY ix.i),
+      |mnl AS (SELECT list(mn ORDER BY dim) AS mnl,
+      |               list(mx - mn ORDER BY dim) AS scl FROM bounds),
+      |q AS (
+      |  SELECT e AS qe,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (acc, v) -> acc + v)) AS qn
+      |  FROM ev WHERE vec_id = 0),
+      |probe AS (
+      |  SELECT cell_id FROM (
+      |    SELECT c.cell_id,
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(c.centroid) + 1),
+      |          i -> c.centroid[i] * q.qe[i])), (acc, v) -> acc + v) /
+      |      (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(c.centroid, x -> x * x)), (acc, v) -> acc + v))
+      |       * q.qn) AS sim
+      |    FROM cents c CROSS JOIN q)
+      |  ORDER BY sim DESC, cell_id LIMIT 2),
+      |cand AS (
+      |  SELECT a.vec_id, a.e
+      |  FROM assigned a JOIN probe USING (cell_id)
+      |  WHERE a.vec_id <> 0),
+      |xh AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(e) + 1), i ->
+      |      CASE WHEN scl[i] = 0 THEN mnl[i]
+      |      ELSE mnl[i] +
+      |        (CAST(floor((e[i] - mnl[i]) / scl[i] * 255 + 0.5) - 128
+      |          AS DOUBLE) + 128) / 255 * scl[i] END) AS xhat
+      |  FROM cand, mnl),
+      |scored AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(xhat) + 1), i -> qe[i] * xhat[i])),
+      |      (a, v) -> a + v) /
+      |    (qn *
+      |     sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(xhat, x -> x * x)), (a, v) -> a + v))) AS cosine
+      |  FROM xh, q)
+      |SELECT vec_id, round(cosine, 6) AS ivfsq8_cosine_6dp
+      |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   private def simIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
     val M = 8
     val K = 16
@@ -3490,6 +3797,8 @@ object LlmOps {
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
     "sim_sq8_topk" -> Q(simSq8Topk _, simSq8TopkSql),
     "sim_sq8_recall" -> Q(simSq8Recall _, simSq8RecallSql),
+    "sim_ivfsq8_topk" -> Q(simIvfSq8Topk _, simIvfSq8TopkSql),
+    "sim_ivfsq8_recall" -> Q(simIvfSq8Recall _, simIvfSq8RecallSql),
     "sim_lsh_recall" -> Q(simLshRecall _, simLshRecallSql),
     "sim_mmr_rerank" -> Q(simMmrRerank _, simMmrRerankSql),
     "sim_hard_negatives" -> Q(simHardNegatives _, simHardNegativesSql),

@@ -853,6 +853,69 @@ object StreamingGate {
       |  CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near
       |FROM m LEFT JOIN near ON m.vec_id = near.id_a""".stripMargin
 
+  /** Ingest-time decontamination (the streaming face of
+    * `decontaminate_ngrams`): documents replayed with synthetic ingest
+    * time (doc_id seconds), the FROZEN benchmark 4-gram set (the batch
+    * twin's doc_id % 100 = 0 subset) as the static side of a map-side
+    * stream-static LEFT SEMI join, and a per-(10-minute window, doc)
+    * shared-gram count. Complete mode: per-cell count adds merge
+    * order-independently (the stream_cms contract), so any replay
+    * batching equals the batch answer; a production deployment swaps
+    * complete for watermark + append to evict settled windows.
+    */
+  private def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = DimCache.cached(s"gate-stage-docts:$dir") {
+      val t = tempDir("graft-gate-docts")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          expr("timestamp'2024-01-01 00:00:00' + INTERVAL 1 SECOND * doc_id")
+            .as("ts"))
+        .repartition(4).write.mode("overwrite").parquet(t)
+      t
+    }
+    val bench = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(split(coalesce(col("text"), lit("")), " ").as("tk"))
+      .filter(size(col("tk")) >= 4)
+      .select(explode(expr(
+        """transform(sequence(0, size(tk) - 4),
+          |  i -> concat_ws(' ', slice(tk, i + 1, 4)))""".stripMargin)).as("g8"))
+      .distinct()
+    val stream = s.readStream.schema(
+      org.apache.spark.sql.types.StructType(Streams.docSchema.fields :+
+        org.apache.spark.sql.types.StructField("ts", TimestampType)))
+      .parquet(d)
+    Streams.runToCompletion(
+      s, Streams.decontaminateStream(stream, bench), sink("gate_decon"),
+      mode = "complete")
+      .select(expr("unix_micros(win_start)").as("win_us"), col("doc_id"),
+        col("n_shared_grams"))
+  }
+
+  /** DuckDB twin: the `decontaminate_ngrams` gram/bench/count CTEs
+    * verbatim, plus the synthetic ingest-time window bucket computed
+    * directly from doc_id (ts = 2024-01-01 + doc_id seconds, 10-minute
+    * epoch-aligned tumble — exactly Spark's `window()` start).
+    */
+  private val streamDecontaminateSql =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, g8 FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(0, len(tk) - 3),
+      |        i -> array_to_string(list_slice(tk, i + 1, i + 4), ' '))) AS g8
+      |    FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+      |          FROM documents) t0
+      |    WHERE len(tk) >= 4) t1),
+      |bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 100 = 0),
+      |contam AS (
+      |  SELECT doc_id, count(*) AS n_shared_grams
+      |  FROM g WHERE doc_id % 100 <> 0 AND g8 IN (SELECT g8 FROM bench)
+      |  GROUP BY doc_id)
+      |SELECT CAST(((epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+      |    + doc_id * 1000000) // 600000000) * 600000000 AS BIGINT) AS win_us,
+      |  doc_id, CAST(n_shared_grams AS BIGINT) AS n_shared_grams
+      |FROM contam""".stripMargin
+
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
     val d = DimCache.cached(s"gate-stage-neardup:$dir") {
       val t = tempDir("graft-gate-neardup")
@@ -1068,6 +1131,8 @@ object StreamingGate {
     "stream_checkpoint_resume" ->
       Q(streamCheckpointResume _, streamCheckpointResumeSql),
     "stream_near_dedup" -> Q(streamNearDedup _, streamNearDedupSql),
+    "stream_decontaminate" ->
+      Q(streamDecontaminate _, streamDecontaminateSql),
     "stream_semantic_dedup" ->
       Q(streamSemanticDedup _, streamSemanticDedupSql),
     "stream_last_n_mean" -> Q(streamLastNMean _, streamLastNMeanSql),

@@ -801,6 +801,45 @@ object Streams {
   def readDocStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(dir)
 
+  /** Ingest-time benchmark decontamination — the streaming face of
+    * `decontaminate_ngrams` (reference semantics:
+    * `python/cudf/cudf/core/column/string.py` n-gram surface composed
+    * with the dedup family's contract): every arriving training
+    * document is checked against the FROZEN benchmark 4-gram set
+    * before it enters the corpus — the shape a production pipeline
+    * actually runs, since eval suites are fixed long before ingest
+    * ends. Per arriving doc: its distinct 4-token shingles are
+    * computed IN-ROW (stateless projection — `array_distinct` over the
+    * in-row transform, so the per-doc dedup needs no state), matched
+    * against the static bench-gram relation (bounded — benchmarks are
+    * small — so Spark broadcasts it: a map-side stream-static LEFT
+    * SEMI join, no stream-side shuffle before the aggregate), and
+    * counted per (10-minute ingest window, doc). The only stateful
+    * operator is that windowed count — state is one long per
+    * contaminated (window, doc) inside the 10-minute watermark horizon
+    * (append deployments evict settled windows; the gate replays in
+    * complete mode because the per-cell adds merge order-independently
+    * — the stream_cms contract — so ANY replay batching equals the
+    * batch answer).
+    */
+  def decontaminateStream(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    docs
+      .filter(pmod(col("doc_id"), lit(100)) =!= 0)
+      .withWatermark("ts", "10 minutes")
+      .select(col("doc_id"), col("ts"),
+        split(coalesce(col("text"), lit("")), " ").as("tk"))
+      .filter(size(col("tk")) >= 4)
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(expr(
+          """transform(sequence(0, size(tk) - 4),
+            |  i -> concat_ws(' ', slice(tk, i + 1, 4)))""".stripMargin)))
+          .as("g8"))
+      .join(benchGrams, Seq("g8"), "left_semi")
+      .groupBy(window(col("ts"), "10 minutes"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .select(col("window.start").as("win_start"), col("doc_id"),
+        col("n_shared_grams"))
+
   /** Streaming inverted-index maintenance — the real-time face of
     * `index_postings`: per token, ONE state row holding the true
     * document frequency plus the 20 SMALLEST doc_ids (the min-k set is

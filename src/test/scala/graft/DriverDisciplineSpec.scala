@@ -30,7 +30,7 @@ class DriverDisciplineSpec extends AnyFunSuite {
     "operators/GlobalOrder.scala" -> 2, // offsets map (O(P+G), probed r16)
     "operators/Similarity.scala" -> 5, // centroids/codebooks (k x dim) + sq8Bounds (d min/max pairs)
     "queries/Conversions.scala" -> 1, // bloom probe ids (4)
-    "queries/LlmOps.scala" -> 3, // vocab/threshold/probe dims (bounded)
+    "queries/LlmOps.scala" -> 4, // vocab/threshold/probe dims + the r19 ivfsq8 recall-audit query vectors (8 rows x d, the sim_sq8_recall query-sample bound)
     "streaming/Streams.scala" -> 1 // replay staging file list (bounded)
   )
 

@@ -116,6 +116,69 @@ class ScaleOpsSpec extends AnyFunSuite {
     assigned.unpersist(); cents.unpersist()
   }
 
+  /** IVF,SQ8 composed index (r19): (a) the index build — cell argmax +
+    * byte quantizer — is ONE map-only Project over the scan (no
+    * Exchange, no join: both the centroid set and the bounds ship as
+    * literals); (b) persisted `partitionBy(cell_id)`, the probe's cell
+    * filter is a PARTITION filter — the pruned scan never opens the
+    * unprobed cells' files; (c) the composed ranking agrees with the
+    * flat-SQ8 ranking restricted to the probed cells' members (the
+    * composition adds probe loss, never quantization drift); (d) recall
+    * vs exact brute force at the gate parameterization (8 cells,
+    * nProbe 2) stays at the observed value.
+    */
+  test("IVF,SQ8: map-only build, partition-pruned probe, composed recall") {
+    val embRaw = Tables.embeddings(spark, sf)
+    val emb = embRaw.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val (mn, mx) = Similarity.sq8Bounds(emb)
+    val cRows = Similarity.centroidArrays(Similarity.centroids(embRaw, 8))
+    val idx = Similarity.encodeIvfSq8(embRaw, cRows, mn, mx)
+    val buildPlan = idx.queryExecution.executedPlan.toString
+    assert(!buildPlan.contains("Exchange"),
+      s"encodeIvfSq8 plan shuffles:\n$buildPlan")
+    assert(!buildPlan.contains("CartesianProduct") &&
+      !buildPlan.contains("BroadcastNestedLoop"),
+      s"encodeIvfSq8 plan explodes the corpus:\n$buildPlan")
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ivfsq8_spec").toString
+    idx.write.mode("overwrite").partitionBy("cell_id").parquet(p)
+    val stored = spark.read.parquet(p)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("e")).head().getSeq[Double](0).toIndexedSeq
+    val probed = Similarity.probeCellIds(qv, cRows, nProbe = 2)
+    assert(probed.size == 2 && probed.toSet.size == 2)
+    val topk = Similarity.ivfSq8TopK(stored, qv, mn, mx, probed, 0L, 10)
+    val scanPlan = topk.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") &&
+      !scanPlan.contains("PartitionFilters: []"),
+      s"probe filter did not reach the partition level:\n$scanPlan")
+    val got = topk.collect().map(_.getLong(0))
+    // (c) composition consistency: flat SQ8 ranking over ONLY the
+    // probed cells' members must equal the composed result exactly
+    val probedMembers = Similarity.assignCells(embRaw, cRows)
+      .filter(col("cell_id").isin(probed: _*))
+      .select(col("vec_id"), col("e"))
+    val flat = Similarity.sq8TopK(
+      Similarity.encodeSq8(probedMembers, mn, mx).drop("e"),
+      qv, mn, mx, 0L, 10).collect().map(_.getLong(0))
+    assert(got.sameElements(flat),
+      s"composed=${got.mkString(",")} flat-restricted=${flat.mkString(",")}")
+    val brute = Similarity.bruteForceTopK(embRaw, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(got.toSet).size.toDouble / brute.size
+    // observed at this corpus/query: 0.9 — and the single miss is
+    // vec 299, the SAME quantization straddle the flat-SQ8 test pins
+    // (299 vs 232 swap at this corpus's quantization resolution), so
+    // the 2-of-8 probe itself lost NOTHING here. At sf0.01 the oracled
+    // `sim_ivfsq8_recall` gate row hash-pins the full per-query
+    // distribution: 1.0 for five qids, 0.9/0.8/0.7 for the three whose
+    // exact neighbors span more than the two probed cells — the probe
+    // loss a composed index honestly pays (flat SQ8 there is 1.0 on
+    // all eight). Pin AT the observed value per the r18 floor policy.
+    assert(recall >= 0.9, s"IVF,SQ8 recall $recall (got=${got.mkString(",")})")
+  }
+
   test("IVF top-k has high recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
