@@ -2061,6 +2061,147 @@ object LlmOps {
       |  (CAST(coalesce(nh, 0) AS BIGINT) * 1000000) // 10 AS recall_ppm
       |FROM q LEFT JOIN h ON q.qid = h.qid""".stripMargin
 
+  /** Two-stage retrieve-and-refine over the composed index (FAISS
+    * `IndexRefine` practice): stage 1 ranks the partition-pruned byte
+    * codes by asymmetric cosine and keeps 50 candidates (5× the final
+    * k — the standard refine multiplier); stage 2 re-scores ONLY those
+    * 50 from the raw vectors at full precision and returns the exact
+    * top-10. This is the production ANN stack: the quantized index
+    * bounds the candidate set cheaply, the refine pass erases
+    * quantization error from the final ranking — recall limited only
+    * by stage-1 candidate recall, while raw-vector IO drops from
+    * |corpus| to k'. Plan: pruned byte scan → TakeOrdered(50) →
+    * broadcast-semi join against the raw scan (the id-keyed refine
+    * read) → exact cosine → TakeOrdered(10); the only join is against
+    * a 50-row broadcast.
+    */
+  private def simIvfSq8Rerank(s: SparkSession, dir: String): DataFrame = {
+    val embE = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val (dmin, dmax) = embDims(s, dir)
+    require(dmin == dmax, s"SQ8 needs uniform dims, got [$dmin,$dmax]")
+    val (mn, mx) = graft.DimCache.cached(s"sq8-bounds:$dir") {
+      graft.operators.Similarity.sq8Bounds(embE)
+    }
+    val cRows = graft.DimCache.cached(s"ivf-centroids:$dir:8") {
+      graft.operators.Similarity.centroidArrays(
+        graft.operators.Similarity.centroids(
+          embE.select(col("vec_id"), col("e").as("embedding")), nCells = 8))
+    }
+    val q0 = graft.DimCache.cached(s"sq8-query:$dir:0") {
+      embE.filter(col("vec_id") === 0)
+        .select(col("e")).head().getSeq[Double](0).toIndexedSeq
+    }
+    val probed = graft.operators.Similarity.probeCellIds(q0, cRows, nProbe = 2)
+    val cand = graft.operators.Similarity.ivfSq8TopK(
+      s.read.parquet(ivfSq8CodesPath(s, dir, embE, cRows, mn, mx)),
+      q0, mn, mx, probed, queryVecId = 0L, k = 50)
+      .select(col("vec_id"))
+    import graft.functions.DotF64.dotf64
+    val qArr = array(q0.map(lit): _*)
+    embE.join(broadcast(cand), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        (dotf64(qArr, col("e")) /
+          (sqrt(dotf64(qArr, qArr)) * sqrt(dotf64(col("e"), col("e")))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("cosine"), 6).as("rerank_cosine_6dp"))
+  }
+
+  /** DuckDB twin: the `sim_ivfsq8_topk` CTEs with the scored stage
+    * LIMIT 50 (identical quantized ordering, so the candidate SET
+    * matches), then the exact-cosine refine over the raw vectors with
+    * the same ascending folds as the brute-force family.
+    */
+  private val simIvfSq8RerankSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |picked AS (
+      |  SELECT vec_id, e FROM ev
+      |  ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 8),
+      |cents AS (
+      |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell_id,
+      |    e AS centroid
+      |  FROM picked),
+      |unitc AS (
+      |  SELECT cell_id, centroid,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(centroid, x -> x * x)), (acc, v) -> acc + v)) AS n
+      |  FROM cents),
+      |unit AS (
+      |  SELECT cell_id,
+      |    list_transform(centroid,
+      |      x -> CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE x / n END) AS cu
+      |  FROM unitc),
+      |cl AS (SELECT list(cu ORDER BY cell_id) AS cus FROM unit),
+      |assigned AS (
+      |  SELECT vec_id, e, list_position(sims, list_max(sims)) - 1 AS cell_id
+      |  FROM (
+      |    SELECT vec_id, e,
+      |      list_transform(cus, cu ->
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> e[i] * cu[i])),
+      |          (acc, v) -> acc + v)) AS sims
+      |    FROM ev CROSS JOIN cl)),
+      |d AS (SELECT CAST(min(len(e)) AS BIGINT) AS nd FROM ev),
+      |bounds AS (
+      |  SELECT ix.i AS dim, min(e[ix.i]) AS mn, max(e[ix.i]) AS mx
+      |  FROM ev, (SELECT unnest(range(1, (SELECT nd + 1 FROM d))) AS i) ix
+      |  GROUP BY ix.i),
+      |mnl AS (SELECT list(mn ORDER BY dim) AS mnl,
+      |               list(mx - mn ORDER BY dim) AS scl FROM bounds),
+      |q AS (
+      |  SELECT e AS qe,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(e, x -> x * x)), (acc, v) -> acc + v)) AS qn
+      |  FROM ev WHERE vec_id = 0),
+      |probe AS (
+      |  SELECT cell_id FROM (
+      |    SELECT c.cell_id,
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(c.centroid) + 1),
+      |          i -> c.centroid[i] * q.qe[i])), (acc, v) -> acc + v) /
+      |      (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(c.centroid, x -> x * x)), (acc, v) -> acc + v))
+      |       * q.qn) AS sim
+      |    FROM cents c CROSS JOIN q)
+      |  ORDER BY sim DESC, cell_id LIMIT 2),
+      |cand AS (
+      |  SELECT a.vec_id, a.e
+      |  FROM assigned a JOIN probe USING (cell_id)
+      |  WHERE a.vec_id <> 0),
+      |xh AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(e) + 1), i ->
+      |      CASE WHEN scl[i] = 0 THEN mnl[i]
+      |      ELSE mnl[i] +
+      |        (CAST(floor((e[i] - mnl[i]) / scl[i] * 255 + 0.5) - 128
+      |          AS DOUBLE) + 128) / 255 * scl[i] END) AS xhat
+      |  FROM cand, mnl),
+      |stage1 AS (
+      |  SELECT vec_id FROM (
+      |    SELECT vec_id,
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(xhat) + 1), i -> qe[i] * xhat[i])),
+      |        (a, v) -> a + v) /
+      |      (qn *
+      |       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(xhat, x -> x * x)), (a, v) -> a + v))) AS qcos
+      |    FROM xh, q
+      |    ORDER BY qcos DESC, vec_id LIMIT 50)),
+      |refined AS (
+      |  SELECT ev.vec_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(e) + 1), i -> qe[i] * e[i])),
+      |      (a, v) -> a + v) /
+      |    (qn *
+      |     sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(e, x -> x * x)), (a, v) -> a + v))) AS cosine
+      |  FROM ev JOIN stage1 USING (vec_id) CROSS JOIN q)
+      |SELECT vec_id, round(cosine, 6) AS rerank_cosine_6dp
+      |FROM refined ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   private val simIvfSq8TopkSql =
     """WITH ev AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -3799,6 +3940,7 @@ object LlmOps {
     "sim_sq8_recall" -> Q(simSq8Recall _, simSq8RecallSql),
     "sim_ivfsq8_topk" -> Q(simIvfSq8Topk _, simIvfSq8TopkSql),
     "sim_ivfsq8_recall" -> Q(simIvfSq8Recall _, simIvfSq8RecallSql),
+    "sim_ivfsq8_rerank" -> Q(simIvfSq8Rerank _, simIvfSq8RerankSql),
     "sim_lsh_recall" -> Q(simLshRecall _, simLshRecallSql),
     "sim_mmr_rerank" -> Q(simMmrRerank _, simMmrRerankSql),
     "sim_hard_negatives" -> Q(simHardNegatives _, simHardNegativesSql),
