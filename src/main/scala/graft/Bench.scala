@@ -346,6 +346,31 @@ object Bench {
         f"[bench] scan_bloom_pruned rows_read=$read total_rows=$total " +
           f"pruned_factor=${total.toDouble / math.max(read, 1L)}%.1f")
     }
+    // Same evidence for the IVF,SQ8 composed index: rows the
+    // partition-pruned byte-code scan materialized (the probe's literal
+    // cell_id IN (...) is a PartitionFilter, so unprobed cells' FILES
+    // are never opened) vs the full index row count — nProbe/nCells
+    // measured on driver hardware, the coarse half of the index's
+    // multiplicative pruning × compression pair.
+    if (selected.contains("sim_ivfsq8_topk")) {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val df = SparkEntry.queries("sim_ivfsq8_topk")(spark, sfDir)
+      df.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val read = scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value)
+        .sum
+      val total = Tables.embeddings(spark, sfDir).count()
+      System.err.println(
+        f"[bench] sim_ivfsq8_topk index_rows_read=$read total_rows=$total " +
+          f"pruned_factor=${total.toDouble / math.max(read, 1L)}%.1f")
+    }
     // Post-sweep calibration arm (see the pre-sweep comment): the pair
     // brackets the whole measurement window.
     val (calSingle2, calAll2) = calibrate()

@@ -251,6 +251,24 @@ object Explain {
             .parquet(embTsDir),
           cRows, tau = 0.35)
       }),
+      "stream_ivfsq8_encode" -> (() => {
+        val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cRows = graft.DimCache.cached(s"ivf-centroids:$sfDir:8") {
+          graft.operators.Similarity.centroidArrays(
+            graft.operators.Similarity.centroids(
+              emb.select(col("vec_id"), col("e").as("embedding")),
+              nCells = 8))
+        }
+        val (mn, mx) = graft.DimCache.cached(s"sq8-bounds:$sfDir") {
+          graft.operators.Similarity.sq8Bounds(emb)
+        }
+        val (d, schema) = embStaged
+        graft.operators.Similarity.encodeIvfSq8(
+          spark.readStream.schema(schema).parquet(d)
+            .select(col("vec_id"), col("e").as("embedding")),
+          cRows, mn, mx)
+      }),
       "stream_join" -> (() => Streams.clickViewJoin(ev, "click", "view")),
       "stream_asof_enrich" -> (() => Streams.asOfEnrich(ev, "click", "purchase")),
       "stream_drift" -> (() => Streams.driftMonitor(ev,

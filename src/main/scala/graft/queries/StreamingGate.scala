@@ -1094,6 +1094,95 @@ object StreamingGate {
       sink("gate_pq"), mode = "append")
   }
 
+  /** Streaming ingest for the IVF,SQ8 composed index (the
+    * `stream_pq_encode` precedent at the r19 index's shape): each
+    * arriving vector gains its coarse cell (broadcast argmax over the
+    * frozen centroid set) AND its SQ8 byte codes (frozen bounds) as
+    * ONE stateless projection — exactly the row the cell-partitioned
+    * index write appends, so new vectors route to their cell partition
+    * without touching any other cell's files. Codes ship as the
+    * ArrCanon-joined string (the emb_quantize array convention);
+    * oracle recomputes assignment + quantizer from the raw table.
+    */
+  private def streamIvfSq8Encode(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val cRows = DimCache.cached(s"ivf-centroids:$dir:8") {
+      graft.operators.Similarity.centroidArrays(
+        graft.operators.Similarity.centroids(
+          emb.select(col("vec_id"), col("e").as("embedding")), nCells = 8))
+    }
+    val (mn, mx) = DimCache.cached(s"sq8-bounds:$dir") {
+      graft.operators.Similarity.sq8Bounds(emb)
+    }
+    val d = DimCache.cached(s"gate-stage-pq:$dir") {
+      val t = tempDir("graft-gate-pq")
+      emb.repartition(4).write.mode("overwrite").parquet(t)
+      t
+    }
+    val stream = s.readStream.schema(emb.schema).parquet(d)
+    Streams.runToCompletion(
+      s, graft.operators.Similarity
+        .encodeIvfSq8(stream.select(col("vec_id"), col("e").as("embedding")),
+          cRows, mn, mx)
+        .select(col("vec_id"), col("cell_id"),
+          graft.ArrCanon.joined(expr("transform(codes, c -> CAST(c AS INT))"))
+            .as("codes_str")),
+      sink("gate_ivfsq8enc"), mode = "append")
+  }
+
+  /** DuckDB twin: the `sim_ivfsq8_topk` assignment CTEs + the SQ8
+    * quantizer emitted as the joined INT list.
+    */
+  private val streamIvfSq8EncodeSql =
+    s"""WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |picked AS (
+      |  SELECT vec_id, e FROM ev
+      |  ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 8),
+      |cents AS (
+      |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell_id,
+      |    e AS centroid
+      |  FROM picked),
+      |unitc AS (
+      |  SELECT cell_id, centroid,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(centroid, x -> x * x)), (acc, v) -> acc + v)) AS n
+      |  FROM cents),
+      |unit AS (
+      |  SELECT cell_id,
+      |    list_transform(centroid,
+      |      x -> CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE x / n END) AS cu
+      |  FROM unitc),
+      |cl AS (SELECT list(cu ORDER BY cell_id) AS cus FROM unit),
+      |assigned AS (
+      |  SELECT vec_id, e, list_position(sims, list_max(sims)) - 1 AS cell_id
+      |  FROM (
+      |    SELECT vec_id, e,
+      |      list_transform(cus, cu ->
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> e[i] * cu[i])),
+      |          (acc, v) -> acc + v)) AS sims
+      |    FROM ev CROSS JOIN cl)),
+      |d AS (SELECT CAST(min(len(e)) AS BIGINT) AS nd FROM ev),
+      |bounds AS (
+      |  SELECT ix.i AS dim, min(e[ix.i]) AS mn, max(e[ix.i]) AS mx
+      |  FROM ev, (SELECT unnest(range(1, (SELECT nd + 1 FROM d))) AS i) ix
+      |  GROUP BY ix.i),
+      |mnl AS (SELECT list(mn ORDER BY dim) AS mnl,
+      |               list(mx - mn ORDER BY dim) AS scl FROM bounds),
+      |codes AS (
+      |  SELECT vec_id, cell_id,
+      |    list_transform(range(1, len(e) + 1), i ->
+      |      CASE WHEN scl[i] = 0 THEN -128
+      |      ELSE CAST(floor((e[i] - mnl[i]) / scl[i] * 255 + 0.5) - 128
+      |        AS INTEGER) END) AS c
+      |  FROM assigned, mnl)
+      |SELECT vec_id, CAST(cell_id AS INTEGER) AS cell_id,
+      |  ${graft.ArrCanon.joinedSql("c")} AS codes_str
+      |FROM codes""".stripMargin
+
   private val streamPqEncodeSql =
     """WITH ev AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1133,6 +1222,8 @@ object StreamingGate {
     "stream_near_dedup" -> Q(streamNearDedup _, streamNearDedupSql),
     "stream_decontaminate" ->
       Q(streamDecontaminate _, streamDecontaminateSql),
+    "stream_ivfsq8_encode" ->
+      Q(streamIvfSq8Encode _, streamIvfSq8EncodeSql),
     "stream_semantic_dedup" ->
       Q(streamSemanticDedup _, streamSemanticDedupSql),
     "stream_last_n_mean" -> Q(streamLastNMean _, streamLastNMeanSql),
