@@ -1889,6 +1889,156 @@ object LlmOps {
       .select(col("vec_id"), round(col("cosine"), 6).as("ivfsq8_cosine_6dp"))
   }
 
+  /** The recall-audit query sample (vec_id < 8), collected once per
+    * (JVM, dataset) — the bounded 8×d dimension every per-query
+    * driver-side probe shares (`sim_ivf_recall`, `sim_ivfsq8_recall`).
+    */
+  private def recallQueryVectors(dir: String,
+      embE: DataFrame): IndexedSeq[(Long, IndexedSeq[Double])] =
+    graft.DimCache.cached(s"ivfsq8-queries:$dir") {
+      embE.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("e")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+        .sortBy(_._1).toIndexedSeq
+    }
+
+  /** Recall certification for the plain IVF index (completing the ANN
+    * self-certification matrix: SRP-LSH r10, SQ8 r18, IVF,SQ8 r19 —
+    * this row covers the remaining un-quantized coarse index): per
+    * query vector (vec_id < 8), top-10 overlap between the
+    * nProbe = 2-of-8 cell-restricted exact-cosine ranking (the
+    * `sim_ivf_topk` parameterization) and global exact brute force —
+    * so the number measures PURE probe loss, the quantity the k ∝ N
+    * cell-training contract exists to control. Same plan shape as the
+    * composed row: per-query probes ship as a 16-row broadcast
+    * literal, no corpus self-join.
+    */
+  private def simIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotF64.dotf64
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val embE = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val cRows = graft.DimCache.cached(s"ivf-centroids:$dir:8") {
+      graft.operators.Similarity.centroidArrays(
+        graft.operators.Similarity.centroids(
+          embE.select(col("vec_id"), col("e").as("embedding")), nCells = 8))
+    }
+    val qprobe = recallQueryVectors(dir, embE).flatMap { case (qid, qv) =>
+      graft.operators.Similarity.probeCellIds(qv, cRows, nProbe = 2)
+        .map(c => (qid, c, qv))
+    }.toDF("qid", "cell_id", "qe")
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    def top10(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val q = embE.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    def cos(qe: Column, e: Column): Column =
+      dotf64(qe, e) / (sqrt(dotf64(qe, qe)) * sqrt(dotf64(e, e)))
+    val exact = top10(embE.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), cos(col("qe"), col("e")).as("cos")))
+    val assigned = graft.operators.Similarity
+      .assignCells(embE.select(col("vec_id"), col("e").as("embedding")), cRows)
+      .filter(col("vec_id") >= 8)
+    val approx = top10(assigned
+      .join(broadcast(qprobe), Seq("cell_id"))
+      .select(col("qid"), col("vec_id"), cos(col("qe"), col("e")).as("cos")))
+    val hits = exact.join(approx, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("nh"))
+    q.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("nh"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000) div 10"))
+  }
+
+  /** DuckDB twin: the `sim_ivfsq8_recall` CTEs with the quantize /
+    * dequantize stage removed — candidates score from raw vectors.
+    */
+  private val simIvfRecallSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |picked AS (
+      |  SELECT vec_id, e FROM ev
+      |  ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 8),
+      |cents AS (
+      |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell_id,
+      |    e AS centroid
+      |  FROM picked),
+      |unitc AS (
+      |  SELECT cell_id, centroid,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(centroid, x -> x * x)), (acc, v) -> acc + v)) AS n
+      |  FROM cents),
+      |unit AS (
+      |  SELECT cell_id,
+      |    list_transform(centroid,
+      |      x -> CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE x / n END) AS cu
+      |  FROM unitc),
+      |cl AS (SELECT list(cu ORDER BY cell_id) AS cus FROM unit),
+      |assigned AS (
+      |  SELECT vec_id, e, list_position(sims, list_max(sims)) - 1 AS cell_id
+      |  FROM (
+      |    SELECT vec_id, e,
+      |      list_transform(cus, cu ->
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> e[i] * cu[i])),
+      |          (acc, v) -> acc + v)) AS sims
+      |    FROM ev CROSS JOIN cl)),
+      |q AS (SELECT vec_id AS qid, e AS qe,
+      |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(e, x -> x * x)), (a, v) -> a + v)) AS qn
+      |  FROM ev WHERE vec_id < 8),
+      |probe AS (
+      |  SELECT qid, cell_id FROM (
+      |    SELECT qid, cell_id,
+      |      row_number() OVER (PARTITION BY qid
+      |        ORDER BY sim DESC, cell_id) AS rn
+      |    FROM (
+      |      SELECT q.qid, c.cell_id,
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(c.centroid) + 1),
+      |            i -> c.centroid[i] * q.qe[i])), (acc, v) -> acc + v) /
+      |        (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(c.centroid, x -> x * x)), (acc, v) -> acc + v))
+      |         * q.qn) AS sim
+      |      FROM cents c CROSS JOIN q)) t WHERE rn <= 2),
+      |exact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, c.vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> qe[i] * e[i])),
+      |          (a, v) -> a + v) /
+      |        (qn *
+      |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(e, x -> x * x)), (a, v) -> a + v)))
+      |        DESC, c.vec_id) AS rn
+      |    FROM (SELECT vec_id, e FROM ev WHERE vec_id >= 8) c
+      |    CROSS JOIN q) t WHERE rn <= 10),
+      |approx AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT p.qid, a.vec_id,
+      |      row_number() OVER (PARTITION BY p.qid ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(a.e) + 1), i -> qe[i] * a.e[i])),
+      |          (acc2, v) -> acc2 + v) /
+      |        (qn *
+      |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(a.e, x -> x * x)), (acc2, v) -> acc2 + v)))
+      |        DESC, a.vec_id) AS rn
+      |    FROM assigned a JOIN probe p USING (cell_id)
+      |    JOIN q ON p.qid = q.qid
+      |    WHERE a.vec_id >= 8) t WHERE rn <= 10),
+      |h AS (SELECT qid, count(*) AS nh
+      |  FROM exact JOIN approx USING (qid, vec_id) GROUP BY qid)
+      |SELECT q.qid, CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+      |  (CAST(coalesce(nh, 0) AS BIGINT) * 1000000) // 10 AS recall_ppm
+      |FROM q LEFT JOIN h ON q.qid = h.qid""".stripMargin
+
   /** Recall certification for the COMPOSED index (the `sim_lsh_recall`
     * / `sim_sq8_recall` precedent): per query vector (vec_id < 8),
     * top-10 overlap between the partition-pruned IVF,SQ8 ranking and
@@ -1915,12 +2065,7 @@ object LlmOps {
         graft.operators.Similarity.centroids(
           embE.select(col("vec_id"), col("e").as("embedding")), nCells = 8))
     }
-    val qrows = graft.DimCache.cached(s"ivfsq8-queries:$dir") {
-      embE.filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("e")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
-        .sortBy(_._1).toIndexedSeq
-    }
+    val qrows = recallQueryVectors(dir, embE)
     val qprobe = qrows.flatMap { case (qid, qv) =>
       graft.operators.Similarity.probeCellIds(qv, cRows, nProbe = 2)
         .map(c => (qid, c, qv))
@@ -3941,6 +4086,7 @@ object LlmOps {
     "sim_ivfsq8_topk" -> Q(simIvfSq8Topk _, simIvfSq8TopkSql),
     "sim_ivfsq8_recall" -> Q(simIvfSq8Recall _, simIvfSq8RecallSql),
     "sim_ivfsq8_rerank" -> Q(simIvfSq8Rerank _, simIvfSq8RerankSql),
+    "sim_ivf_recall" -> Q(simIvfRecall _, simIvfRecallSql),
     "sim_lsh_recall" -> Q(simLshRecall _, simLshRecallSql),
     "sim_mmr_rerank" -> Q(simMmrRerank _, simMmrRerankSql),
     "sim_hard_negatives" -> Q(simHardNegatives _, simHardNegativesSql),
