@@ -69,9 +69,10 @@ object Bench {
     // round-19: the IVF,SQ8 composed index read path (cell-partitioned
     // byte codes land in the pre-pass via DimCache; reps time the
     // partition-pruned dequantize + asymmetric top-k — nProbe/nCells
-    // of the IO × 4× compression) and its composed-recall
-    // certification (probe loss + quantization loss measured together)
-    "sim_ivfsq8_topk", "sim_ivfsq8_recall",
+    // of the IO × 4× compression), its composed-recall certification
+    // (probe loss + quantization loss measured together), and the
+    // plain-IVF recall row that decomposes the two
+    "sim_ivfsq8_topk", "sim_ivfsq8_recall", "sim_ivf_recall",
     // round-9: incremental near-dedup against the persisted LSH index
     // (index build lands in the warmup pre-pass via DimCache — the
     // write-once/query-many contract — so reps time the steady-state
@@ -156,7 +157,8 @@ object Bench {
     */
   val sharedSet69: Set[String] =
     (headline.toSet - "scan_bloom_pruned" - "sim_sq8_topk"
-      - "sim_sq8_recall" - "sim_ivfsq8_topk" - "sim_ivfsq8_recall")
+      - "sim_sq8_recall" - "sim_ivfsq8_topk" - "sim_ivfsq8_recall"
+      - "sim_ivf_recall")
   require(sharedSet69.size == 69, s"pinned shared set drifted: ${sharedSet69.size}")
 
   private def heapUsedMb: Long = {
