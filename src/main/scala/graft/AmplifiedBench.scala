@@ -71,6 +71,16 @@ object AmplifiedBench {
       // pruned fraction is constant, per-cell population grows
       // linearly) with byte-scan fixed-overhead amortization
       "sim_ivfsq8_topk",
+      // r19: the 1-bit binary index read path — thresholds + 16-byte
+      // codes write DimCache'd in the warmup; timed reps measure the
+      // integer XOR+popcount Hamming cut + 64-candidate exact rerank;
+      // expect ~linear-or-below (two-long scan, fixed-overhead heavy)
+      "sim_binary_topk",
+      // r19: the matryoshka d/4-prefix retrieve-and-refine — prefix
+      // index write in the warmup; timed reps measure the
+      // quarter-width stage-1 scan + broadcast rerank; expect ~linear
+      // in corpus with a 4× smaller byte base than the raw scan
+      "sim_matryoshka_topk",
       // r15: streaming-gate replays — the state-store-bound trio. Each
       // gate query stages its replay dir ONCE per (JVM, dataset dir)
       // via DimCache (r15 change), so the warmup pays the staging write

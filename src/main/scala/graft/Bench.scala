@@ -73,6 +73,14 @@ object Bench {
     // (probe loss + quantization loss measured together), and the
     // plain-IVF recall row that decomposes the two
     "sim_ivfsq8_topk", "sim_ivfsq8_recall", "sim_ivf_recall",
+    // round-19: the 1-bit binary index read path (threshold train +
+    // 16-byte/row code write land in the pre-pass via DimCache; reps
+    // time the integer XOR+popcount Hamming cut + exact rerank) and
+    // the matryoshka d/4-prefix retrieve-and-refine (prefix index
+    // write in the pre-pass; reps time the quarter-width stage-1 scan
+    // + broadcast rerank) — each with its recall certification
+    "sim_binary_topk", "sim_binary_recall",
+    "sim_matryoshka_topk", "sim_matryoshka_recall",
     // round-9: incremental near-dedup against the persisted LSH index
     // (index build lands in the warmup pre-pass via DimCache — the
     // write-once/query-many contract — so reps time the steady-state
@@ -158,7 +166,8 @@ object Bench {
   val sharedSet69: Set[String] =
     (headline.toSet - "scan_bloom_pruned" - "sim_sq8_topk"
       - "sim_sq8_recall" - "sim_ivfsq8_topk" - "sim_ivfsq8_recall"
-      - "sim_ivf_recall")
+      - "sim_ivf_recall" - "sim_binary_topk" - "sim_binary_recall"
+      - "sim_matryoshka_topk" - "sim_matryoshka_recall")
   require(sharedSet69.size == 69, s"pinned shared set drifted: ${sharedSet69.size}")
 
   private def heapUsedMb: Long = {

@@ -269,6 +269,17 @@ object Explain {
             .select(col("vec_id"), col("e").as("embedding")),
           cRows, mn, mx)
       }),
+      "stream_binary_encode" -> (() => {
+        val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val (mn, mx) = graft.DimCache.cached(s"sq8-bounds:$sfDir") {
+          graft.operators.Similarity.sq8Bounds(emb)
+        }
+        val (d, schema) = embStaged
+        graft.operators.Similarity.encodeBinary(
+          spark.readStream.schema(schema).parquet(d),
+          graft.operators.Similarity.binaryThresholds(mn, mx))
+      }),
       "stream_join" -> (() => Streams.clickViewJoin(ev, "click", "view")),
       "stream_asof_enrich" -> (() => Streams.asOfEnrich(ev, "click", "purchase")),
       "stream_drift" -> (() => Streams.driftMonitor(ev,

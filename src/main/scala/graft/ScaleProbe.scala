@@ -746,12 +746,97 @@ object ScaleProbe {
         f"""{"probe":"stream_semdedup_eviction","n_base":$n,"state_cells_b1":$c1,"state_mem_kb_b1":${m1 / 1024},"in_horizon_dropped":$dropped2,"stragglers":100,"state_cells_b2":$c2,"state_mem_kb_b2":${m2 / 1024},"late_kept":$kept3,"late_total":100,"cells_hit_b3":$cellsHit3,"state_cells_b3":$c3,"state_mem_kb_b3":${m3 / 1024}}""")
     }
 
+    /** Binary-ANN candidate-budget law (r19, the `semdedup_k_prop_n`
+      * treatment for the 1-bit index): corpus grows ×f under the
+      * sign-mask isometry (replicas are NOT duplicates — same norms,
+      * new directions), queries stay the 8 base vectors. Recall@10 of
+      * the two-stage pipeline is measured twice per factor — at the
+      * gate's FIXED nCand = 64 (expected to decay: a constant Hamming
+      * cut keeps a shrinking fraction of a growing corpus) and at
+      * nCand = 64·f (expected ~flat: the production rule, budget ∝
+      * corpus, which keeps the kept FRACTION constant — stage-2 rerank
+      * cost stays linear in nCand, i.e. linear in corpus under the
+      * law, exactly like SemDeDup's k ∝ N). Brute-force truth and both
+      * pipelines recompute per factor over the same corpus.
+      */
+    def probeBinaryBudget(f: Int): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val baseEmb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      val big = (0 until f).map { i =>
+        val e =
+          if (i == 0) col("e")
+          else expr(
+            s"transform(e, (x, j) -> x * CASE WHEN pmod(hash(j, $i), 2) = 0 THEN 1.0D ELSE -1.0D END)")
+        baseEmb.select(
+          (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+          e.as("e"))
+      }.reduce(_ union _).localCheckpoint(false)
+      val corpus = big.filter(col("vec_id") >= 8) // replicas included
+      val nVecs = big.count()
+      // train on the full replicated corpus (the index build step)
+      val (mn, mx) = operators.Similarity.sq8Bounds(big)
+      val thr = operators.Similarity.binaryThresholds(mn, mx)
+      val qrows = baseEmb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("e")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+        .sortBy(_._1)
+      import spark.implicits._
+      val q = baseEmb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      def cosQ(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        import graft.functions.DotF64.dotf64
+        dotf64(col("qe"), e) /
+          (sqrt(dotf64(col("qe"), col("qe"))) * sqrt(dotf64(e, e)))
+      }
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      def top10(scored: org.apache.spark.sql.DataFrame) = scored
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val exact = top10(corpus.crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"), cosQ(col("e")).as("cos")))
+        .localCheckpoint(false)
+      val enc = operators.Similarity.encodeBinary(corpus, thr)
+        .localCheckpoint(false)
+      val qcodes = qrows.map { case (qid, qv) =>
+        val (lo, hi) = operators.Similarity.binaryCode(qv, thr)
+        (qid, lo, hi)
+      }.toSeq.toDF("qid", "qlo", "qhi")
+      def recallAt(nCand: Int): Double = {
+        val wham = Window.partitionBy(col("qid"))
+          .orderBy(col("hamming").asc, col("vec_id"))
+        val cand = enc.crossJoin(broadcast(qcodes))
+          .select(col("qid"), col("vec_id"),
+            (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+              bit_count(col("hi").bitwiseXOR(col("qhi"))))
+              .cast("long").as("hamming"))
+          .withColumn("rn", row_number().over(wham))
+          .filter(col("rn") <= nCand)
+          .select(col("qid"), col("vec_id"))
+        val approx = top10(corpus.join(broadcast(cand), "vec_id")
+          .join(broadcast(q), "qid")
+          .select(col("qid"), col("vec_id"), cosQ(col("e")).as("cos")))
+        val hits = exact.join(approx, Seq("qid", "vec_id")).count()
+        hits.toDouble / (10 * qrows.length)
+      }
+      val t0 = System.nanoTime()
+      val rFixed = recallAt(64)
+      val rScaled = recallAt(64 * f)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(
+        f"""{"probe":"binary_recall_budget","factor":$f,"n_vecs":$nVecs,"ncand_fixed":64,"recall_fixed_pct":${rFixed * 100}%.1f,"ncand_scaled":${64 * f},"recall_scaled_pct":${rScaled * 100}%.1f,"secs":$secs%.2f}""")
+    }
+
     factors.foreach { f =>
       // worst case: identical replicas — every bucket holds all N copies
       val replicated = (0 until f)
         .map(i => docs.select((col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"), col("text")))
         .reduce(_ union _)
       axis("lsh_dedup") { probe("lsh_dedup", f, replicated) }
+      axis("binary_recall_budget") { probeBinaryBudget(f) }
       axis("semdedup_k_prop_n") { probeSemDedup(f) }
       axis("semdedup_planted_recall") { probeSemDedupPlanted(f) }
       axis("stream_semdedup") { probeStreamSemDedup(f) }

@@ -450,6 +450,159 @@ object Similarity {
       .select(col("vec_id"), round(col("cosine"), 6).as("sq8_cosine_6dp"))
   }
 
+  // ------------------------------------------------- binary quantization
+
+  /** Per-dimension binary thresholds: the midpoint (mn_j + mx_j)/2 of
+    * the SQ8 bounds — one exact IEEE op per dimension over an
+    * already-trained bounded dimension, so the binary index shares the
+    * SQ8 train pass instead of paying its own corpus scan. (FAISS
+    * `index_factory("LSH")`-with-train / modern vector-DB "binary
+    * quantization" practice: one sign bit per dimension against a
+    * per-dimension center.)
+    */
+  def binaryThresholds(mn: IndexedSeq[Double],
+      mx: IndexedSeq[Double]): IndexedSeq[Double] =
+    mn.indices.map(j => (mn(j) + mx(j)) / 2d)
+
+  /** Map-side binary encode for d = 64 corpora: dimensions 1..32 pack
+    * into `lo`, 33..64 into `hi` — each an ascending-dim fold
+    * `acc·2 + bit` (bit_j = e_j > thr_j), so each half is < 2³², safely
+    * inside BIGINT in both engines (packing all 64 bits into one long
+    * would put dimension 1 in the sign bit and make the fold
+    * engine-dependent). A pure Project over the scan — no Exchange, no
+    * join; the thresholds ship as literal arrays like
+    * centroids/codebooks. At 100 TB this is the similarity family's
+    * deepest memory lever shy of PQ: 16 bytes/row replace 64 floats
+    * (16×), and candidate scoring becomes two XOR+popcount integer ops
+    * — no float math at all until the rerank stage.
+    */
+  def encodeBinary(emb: DataFrame, thr: IndexedSeq[Double]): DataFrame = {
+    require(thr.size % 2 == 0, s"encodeBinary: need even dims, got ${thr.size}")
+    val half = thr.size / 2
+    require(half <= 62, s"encodeBinary: half-width $half overflows BIGINT")
+    def pack(offset: Int): Column = {
+      val thrArr = array((0 until half).map(j => lit(thr(offset + j))): _*)
+      aggregate(
+        zip_with(slice(col("e"), offset + 1, half), thrArr,
+          (x, t) => when(x > t, 1L).otherwise(0L)),
+        lit(0L), (acc, b) => acc * 2L + b)
+    }
+    emb.select(col("vec_id"), pack(0).as("lo"), pack(half).as("hi"))
+  }
+
+  /** Driver-side twin of [[encodeBinary]] for query vectors: the same
+    * ascending-dim fold in plain Scala (integer arithmetic — exactly
+    * the engines' result).
+    */
+  def binaryCode(v: IndexedSeq[Double], thr: IndexedSeq[Double]): (Long, Long) = {
+    val half = thr.size / 2
+    def pack(offset: Int): Long = {
+      var acc = 0L; var j = 0
+      while (j < half) {
+        acc = acc * 2L + (if (v(offset + j) > thr(offset + j)) 1L else 0L)
+        j += 1
+      }
+      acc
+    }
+    (pack(0), pack(half))
+  }
+
+  /** Binary retrieve-and-refine top-k: stage 1 ranks the PERSISTED
+    * 16-byte/row binary index by Hamming distance to the query's code
+    * (two XOR+popcount per row — integer-only, the cheapest candidate
+    * generator in the family), keeps the nCand best (ties to the lower
+    * vec_id), and stage 2 re-scores ONLY those candidates with exact
+    * full-precision cosine against the raw vectors (the broadcast side
+    * is the nCand-row candidate set, so the corpus never shuffles).
+    * Plan: Scan(codes) → Project → TakeOrdered(nCand), then a
+    * broadcast-hash join against the raw table → TakeOrdered(k). The
+    * standard binary-quantization + rescoring pipeline (Qdrant/Weaviate
+    * BQ practice, FAISS IndexBinaryFlat + refine).
+    *
+    * Recall is a corpus property, measured, not assumed: the oracled
+    * `sim_binary_recall` gate row hash-pins the per-query top-10
+    * overlap vs exact brute force (0.4–1.0, mean 0.675 on the
+    * ISOTROPIC synthetic corpus — the adversarial case for sign bits,
+    * which capture anisotropy that random vectors lack; trained
+    * embedding models sit far higher in practice). The rerank stage
+    * itself is LOSSLESS (spec-pinned): all loss is the Hamming cut.
+    */
+  def binaryTopK(codes: DataFrame, emb: DataFrame, query: IndexedSeq[Double],
+      thr: IndexedSeq[Double], queryVecId: Long, nCand: Int, k: Int): DataFrame = {
+    val (qlo, qhi) = binaryCode(query, thr)
+    val cand = codes.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        (bit_count(col("lo").bitwiseXOR(lit(qlo))) +
+          bit_count(col("hi").bitwiseXOR(lit(qhi)))).cast(LongType).as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id"))
+      .limit(nCand)
+    val qArr = array(query.map(lit): _*)
+    emb.join(broadcast(cand), "vec_id")
+      .select(col("vec_id"), col("hamming"),
+        (dot(qArr, col("e")) / (sqrt(dot(qArr, qArr)) * norm(col("e"))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("hamming"),
+        round(col("cosine"), 6).as("bq_cosine_6dp"))
+  }
+
+  // ------------------------------------------------ matryoshka (prefix-dim)
+
+  /** The matryoshka prefix index: only the first dPrefix dimensions of
+    * each vector, persisted as their own column (Kusupati et al. 2022,
+    * arXiv:2205.13147 — MRL embeddings are trained so prefixes are
+    * usable sub-embeddings; OpenAI text-embedding-3 "dimensions"
+    * practice). Materializing the prefix as its own stored column is
+    * what turns the truncation into an IO lever: a stage-1 scan reads
+    * dPrefix/d of the float bytes — at 100 TB and d' = d/4, three
+    * quarters of the ANN scan IO disappears before any math runs.
+    * (Cosine is scale-invariant, so the conventional renormalization
+    * of truncated MRL vectors cannot change stage-1's ranking and is
+    * deliberately omitted.)
+    */
+  def encodePrefix(emb: DataFrame, dPrefix: Int): DataFrame =
+    emb.select(col("vec_id"), slice(col("e"), 1, dPrefix).as("ep"))
+
+  /** Matryoshka retrieve-and-refine top-k: stage 1 ranks the persisted
+    * prefix index by dPrefix-dim cosine (a quarter-width dot product
+    * per row), keeps nCand candidates, and stage 2 re-scores only
+    * those with exact full-dimension cosine — the same
+    * broadcast-candidates shape as [[binaryTopK]], so the raw corpus
+    * never shuffles. Output carries BOTH scores: the stage-1 prefix
+    * cosine (what the index saw) and the exact cosine (what the user
+    * gets).
+    *
+    * Recall is measured, not assumed: the oracled
+    * `sim_matryoshka_recall` row hash-pins per-query overlap vs exact
+    * (0.4–0.6 on the isotropic synthetic corpus, where a d/4 prefix
+    * carries exactly 1/4 of the energy by construction — MRL-TRAINED
+    * embeddings front-load information into the prefix, which is the
+    * regime this index is built for). The rerank is lossless
+    * (spec-pinned); all loss is the prefix candidate cut.
+    */
+  def matryoshkaTopK(prefixIdx: DataFrame, emb: DataFrame,
+      query: IndexedSeq[Double], dPrefix: Int, queryVecId: Long,
+      nCand: Int, k: Int): DataFrame = {
+    val qp = array(query.take(dPrefix).map(lit): _*)
+    val cand = prefixIdx.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        (dot(qp, col("ep")) / (sqrt(dot(qp, qp)) * norm(col("ep"))))
+          .as("pcos"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+      .limit(nCand)
+    val qArr = array(query.map(lit): _*)
+    emb.join(broadcast(cand), "vec_id")
+      .select(col("vec_id"), col("pcos"),
+        (dot(qArr, col("e")) / (sqrt(dot(qArr, qArr)) * norm(col("e"))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"),
+        round(col("pcos"), 6).as("prefix_cosine_6dp"),
+        round(col("cosine"), 6).as("mrl_cosine_6dp"))
+  }
+
   /** IVF query: probe the nProbe cells nearest to the query vector and
     * rank candidates only within them.
     */

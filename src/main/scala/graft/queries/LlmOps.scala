@@ -1832,6 +1832,414 @@ object LlmOps {
       |SELECT vec_id, round(cosine, 6) AS sq8_cosine_6dp
       |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  // ----------------------------------------------- binary quantization
+
+  /** The persisted binary (1-bit/dim) index: two packed BIGINT halves
+    * per vector, written once per (JVM, dataset) — 16 bytes/row where
+    * the raw table stores 64 floats (16×), queried by pure integer
+    * XOR+popcount. Shared by `sim_binary_topk` and its recall row.
+    */
+  private def binaryCodesPath(s: SparkSession, dir: String,
+      emb: DataFrame, thr: IndexedSeq[Double]): String =
+    graft.DimCache.cached(s"bq-codes:$dir") {
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val p = System.getProperty("java.io.tmpdir") + s"/graft_bqcodes_$tag"
+      graft.operators.Similarity.encodeBinary(emb, thr)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
+  /** Binary-quantization retrieve-and-refine (the vector-DB "BQ +
+    * rescoring" pipeline; FAISS IndexBinaryFlat + refine practice):
+    * stage 1 ranks the persisted 16-byte/row bit index by Hamming
+    * distance — integer XOR+popcount, no float math — and keeps 64
+    * candidates; stage 2 re-scores only those with exact cosine
+    * against the raw vectors. Thresholds are the (mn+mx)/2 midpoints
+    * of the SQ8 bounds, so the binary index shares SQ8's train pass.
+    * The oracle recomputes thresholds → bit-packing → Hamming →
+    * rerank from the raw table in identical integer/IEEE arithmetic,
+    * proving the stored bit index end to end.
+    */
+  private def simBinaryTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val (dmin, dmax) = embDims(s, dir)
+    require(dmin == dmax && dmax % 2 == 0,
+      s"binary quantization needs uniform even dims, got [$dmin,$dmax]")
+    val (mn, mx) = graft.DimCache.cached(s"sq8-bounds:$dir") {
+      graft.operators.Similarity.sq8Bounds(emb)
+    }
+    val thr = graft.operators.Similarity.binaryThresholds(mn, mx)
+    val q0 = graft.DimCache.cached(s"sq8-query:$dir:0") {
+      emb.filter(col("vec_id") === 0)
+        .select(col("e")).head().getSeq[Double](0).toIndexedSeq
+    }
+    graft.operators.Similarity.binaryTopK(
+      s.read.parquet(binaryCodesPath(s, dir, emb, thr)), emb, q0, thr,
+      queryVecId = 0L, nCand = 64, k = 10)
+  }
+
+  /** Shared CTE prefix of the binary oracles: per-dimension bounds →
+    * midpoint thresholds → packed lo/hi codes, all recomputed from the
+    * raw embeddings (the same bounds CTEs as the SQ8 oracles; the pack
+    * is the ascending-dim fold acc*2+bit, each half < 2^32).
+    */
+  private[queries] val bqCodesCte =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |d AS (SELECT CAST(min(len(e)) AS BIGINT) AS nd FROM ev),
+      |bounds AS (
+      |  SELECT ix.i AS dim, min(e[ix.i]) AS mn, max(e[ix.i]) AS mx
+      |  FROM ev, (SELECT unnest(range(1, (SELECT nd + 1 FROM d))) AS i) ix
+      |  GROUP BY ix.i),
+      |thr AS (SELECT list((mn + mx) / 2 ORDER BY dim) AS thrl FROM bounds),
+      |codes AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, (SELECT nd FROM d) // 2 + 1), i ->
+      |        CASE WHEN e[i] > thrl[i] THEN 1 ELSE 0 END)),
+      |      (a, b) -> a * 2 + b) AS lo,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range((SELECT nd FROM d) // 2 + 1,
+      |                           (SELECT nd FROM d) + 1), i ->
+      |        CASE WHEN e[i] > thrl[i] THEN 1 ELSE 0 END)),
+      |      (a, b) -> a * 2 + b) AS hi
+      |  FROM ev, thr)""".stripMargin
+
+  /** DuckDB twin of the binary pipeline: thresholds/pack CTEs above,
+    * Hamming candidate cut at 64 (ties to the lower vec_id), exact
+    * ascending-fold cosine rerank — rankings match Spark's
+    * integer-for-integer and fold-for-fold.
+    */
+  private val simBinaryTopkSql = bqCodesCte +
+    """,
+      |qc AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0),
+      |q AS (SELECT e AS qe FROM ev WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT vec_id,
+      |    CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS BIGINT)
+      |      AS hamming
+      |  FROM codes, qc WHERE vec_id <> 0
+      |  ORDER BY hamming, vec_id LIMIT 64),
+      |scored AS (
+      |  SELECT c.vec_id, c.hamming,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(e) + 1), i -> qe[i] * e[i])),
+      |      (a, v) -> a + v) /
+      |    (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(qe, x -> x * x)), (a, v) -> a + v)) *
+      |     sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(e, x -> x * x)), (a, v) -> a + v))) AS cosine
+      |  FROM cand c JOIN ev USING (vec_id) CROSS JOIN q)
+      |SELECT vec_id, hamming, round(cosine, 6) AS bq_cosine_6dp
+      |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Binary-quantization recall certification (the `sim_sq8_recall`
+    * precedent): per query vector (vec_id < 8), top-10 overlap between
+    * the two-stage binary pipeline (Hamming-64 retrieve → exact
+    * rerank) and global exact brute force over the corpus
+    * (vec_id ≥ 8) — so the number measures exactly what the 1-bit cut
+    * loses: true neighbors whose Hamming distance fell outside the
+    * 64-candidate budget. Hash-checked at the gate like every ANN
+    * family's recall row.
+    */
+  private def simBinaryRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotF64.dotf64
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val (dmin, dmax) = embDims(s, dir)
+    require(dmin == dmax && dmax % 2 == 0,
+      s"binary quantization needs uniform even dims, got [$dmin,$dmax]")
+    val (mn, mx) = graft.DimCache.cached(s"sq8-bounds:$dir") {
+      graft.operators.Similarity.sq8Bounds(emb)
+    }
+    val thr = graft.operators.Similarity.binaryThresholds(mn, mx)
+    val qcodes = recallQueryVectors(dir, emb).map { case (qid, qv) =>
+      val (lo, hi) = graft.operators.Similarity.binaryCode(qv, thr)
+      (qid, lo, hi)
+    }.toDF("qid", "qlo", "qhi")
+    val wham = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc, col("vec_id"))
+    val cand = s.read.parquet(binaryCodesPath(s, dir, emb, thr))
+      .filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(qcodes))
+      .select(col("qid"), col("vec_id"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi"))))
+          .cast(LongType).as("hamming"))
+      .withColumn("rn", row_number().over(wham))
+      .filter(col("rn") <= 64)
+      .select(col("qid"), col("vec_id"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    def top10(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    def cosQ(e: Column): Column =
+      dotf64(col("qe"), e) /
+        (sqrt(dotf64(col("qe"), col("qe"))) * sqrt(dotf64(e, e)))
+    val exact = top10(emb.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), cosQ(col("e")).as("cos")))
+    val approx = top10(emb.join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"), cosQ(col("e")).as("cos")))
+    val hits = exact.join(approx, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("nh"))
+    q.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("nh"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000) div 10"))
+  }
+
+  /** DuckDB twin: the binary pack CTEs, per-qid Hamming-64 windows,
+    * exact rerank and the overlap count — hit counts integer-exact.
+    */
+  private val simBinaryRecallSql = bqCodesCte +
+    """,
+      |q AS (SELECT vec_id AS qid, e AS qe,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(e, x -> x * x)), (a, v) -> a + v) AS qn2
+      |  FROM ev WHERE vec_id < 8),
+      |qc AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi
+      |  FROM codes WHERE vec_id < 8),
+      |cand AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qc.qid, c.vec_id,
+      |      row_number() OVER (PARTITION BY qc.qid ORDER BY
+      |        bit_count(xor(c.lo, qc.qlo)) + bit_count(xor(c.hi, qc.qhi)),
+      |        c.vec_id) AS rn
+      |    FROM codes c CROSS JOIN qc WHERE c.vec_id >= 8) t
+      |  WHERE rn <= 64),
+      |exact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, c.vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> qe[i] * e[i])),
+      |          (a, v) -> a + v) /
+      |        (sqrt(qn2) *
+      |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(e, x -> x * x)), (a, v) -> a + v)))
+      |        DESC, c.vec_id) AS rn
+      |    FROM (SELECT vec_id, e FROM ev WHERE vec_id >= 8) c CROSS JOIN q) t
+      |  WHERE rn <= 10),
+      |approx AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT q.qid, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> qe[i] * e[i])),
+      |          (a, v) -> a + v) /
+      |        (sqrt(qn2) *
+      |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(e, x -> x * x)), (a, v) -> a + v)))
+      |        DESC, c.vec_id) AS rn
+      |    FROM cand JOIN ev c USING (vec_id) JOIN q ON cand.qid = q.qid) t
+      |  WHERE rn <= 10),
+      |h AS (SELECT qid, count(*) AS nh
+      |  FROM exact JOIN approx USING (qid, vec_id) GROUP BY qid)
+      |SELECT q.qid, CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+      |  (CAST(coalesce(nh, 0) AS BIGINT) * 1000000) // 10 AS recall_ppm
+      |FROM q LEFT JOIN h ON q.qid = h.qid""".stripMargin
+
+  // ------------------------------------------------ matryoshka prefix ANN
+
+  /** The persisted matryoshka prefix index: the first d/4 dimensions
+    * as their own stored column — stage-1 scans read a quarter of the
+    * float bytes (shared by `sim_matryoshka_topk` and its recall row).
+    */
+  private def prefixIdxPath(s: SparkSession, dir: String,
+      emb: DataFrame, dPrefix: Int): String =
+    graft.DimCache.cached(s"mrl-prefix:$dir") {
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val p = System.getProperty("java.io.tmpdir") + s"/graft_mrlprefix_$tag"
+      graft.operators.Similarity.encodePrefix(emb, dPrefix)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
+  /** Matryoshka retrieve-and-refine (Kusupati et al. 2022 MRL;
+    * OpenAI text-embedding-3 "dimensions" practice): stage 1 ranks the
+    * persisted d/4-prefix index by 16-dim cosine — a quarter of the
+    * scan bytes and the dot-product flops — keeps 64 candidates, and
+    * stage 2 re-scores only those with exact full-dimension cosine.
+    * Output carries both scores (what the index saw, what the user
+    * gets). The oracle recomputes truncation → both rankings from the
+    * raw table with identical ascending IEEE folds.
+    */
+  private def simMatryoshkaTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val (dmin, dmax) = embDims(s, dir)
+    require(dmin == dmax && dmax % 4 == 0,
+      s"matryoshka prefix needs uniform dims divisible by 4, got [$dmin,$dmax]")
+    val dPrefix = dmax / 4
+    val q0 = graft.DimCache.cached(s"sq8-query:$dir:0") {
+      emb.filter(col("vec_id") === 0)
+        .select(col("e")).head().getSeq[Double](0).toIndexedSeq
+    }
+    graft.operators.Similarity.matryoshkaTopK(
+      s.read.parquet(prefixIdxPath(s, dir, emb, dPrefix)), emb, q0, dPrefix,
+      queryVecId = 0L, nCand = 64, k = 10)
+  }
+
+  /** DuckDB twin: prefix truncation in SQL, the prefix-cosine
+    * candidate cut at 64, the exact rerank — every fold ascending
+    * IEEE over identical doubles.
+    */
+  private val simMatryoshkaTopkSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |d AS (SELECT CAST(min(len(e)) AS BIGINT) AS nd FROM ev),
+      |q AS (SELECT e AS qe FROM ev WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT vec_id, pcos FROM (
+      |    SELECT vec_id,
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, (SELECT nd FROM d) // 4 + 1),
+      |            i -> qe[i] * e[i])), (a, v) -> a + v) /
+      |      (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, (SELECT nd FROM d) // 4 + 1),
+      |            i -> qe[i] * qe[i])), (a, v) -> a + v)) *
+      |       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, (SELECT nd FROM d) // 4 + 1),
+      |            i -> e[i] * e[i])), (a, v) -> a + v))) AS pcos
+      |    FROM ev CROSS JOIN q WHERE vec_id <> 0) t
+      |  ORDER BY pcos DESC, vec_id LIMIT 64),
+      |scored AS (
+      |  SELECT c.vec_id, c.pcos,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(e) + 1), i -> qe[i] * e[i])),
+      |      (a, v) -> a + v) /
+      |    (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(qe, x -> x * x)), (a, v) -> a + v)) *
+      |     sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(e, x -> x * x)), (a, v) -> a + v))) AS cosine
+      |  FROM cand c JOIN ev USING (vec_id) CROSS JOIN q)
+      |SELECT vec_id, round(pcos, 6) AS prefix_cosine_6dp,
+      |  round(cosine, 6) AS mrl_cosine_6dp
+      |FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Matryoshka recall certification: per query vector (vec_id < 8),
+    * top-10 overlap between the two-stage prefix pipeline
+    * (16-dim-cosine-64 retrieve → exact rerank) and global exact brute
+    * force (vec_id ≥ 8) — measuring exactly what the dimension
+    * truncation loses at the candidate cut.
+    */
+  private def simMatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotF64.dotf64
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val (dmin, dmax) = embDims(s, dir)
+    require(dmin == dmax && dmax % 4 == 0,
+      s"matryoshka prefix needs uniform dims divisible by 4, got [$dmin,$dmax]")
+    val dPrefix = dmax / 4
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val qp = q.select(col("qid"), slice(col("qe"), 1, dPrefix).as("qp"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val cand = s.read.parquet(prefixIdxPath(s, dir, emb, dPrefix))
+      .filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(qp))
+      .select(col("qid"), col("vec_id"),
+        (dotf64(col("qp"), col("ep")) /
+          (sqrt(dotf64(col("qp"), col("qp"))) *
+            sqrt(dotf64(col("ep"), col("ep"))))).as("pcos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 64)
+      .select(col("qid"), col("vec_id"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    def top10(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    def cosQ(e: Column): Column =
+      dotf64(col("qe"), e) /
+        (sqrt(dotf64(col("qe"), col("qe"))) * sqrt(dotf64(e, e)))
+    val exact = top10(emb.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), cosQ(col("e")).as("cos")))
+    val approx = top10(emb.join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"), cosQ(col("e")).as("cos")))
+    val hits = exact.join(approx, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("nh"))
+    q.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("nh"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000) div 10"))
+  }
+
+  /** DuckDB twin: per-qid prefix-cosine-64 windows over the truncated
+    * lists, exact rerank, overlap count — integer-exact hit counts.
+    */
+  private val simMatryoshkaRecallSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |d AS (SELECT CAST(min(len(e)) AS BIGINT) AS nd FROM ev),
+      |q AS (SELECT vec_id AS qid, e AS qe,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(e, x -> x * x)), (a, v) -> a + v) AS qn2,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, (SELECT nd FROM d) // 4 + 1),
+      |      i -> e[i] * e[i])), (a, v) -> a + v) AS qpn2
+      |  FROM ev WHERE vec_id < 8),
+      |cand AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, c.vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, (SELECT nd FROM d) // 4 + 1),
+      |            i -> qe[i] * e[i])), (a, v) -> a + v) /
+      |        (sqrt(qpn2) *
+      |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, (SELECT nd FROM d) // 4 + 1),
+      |             i -> e[i] * e[i])), (a, v) -> a + v)))
+      |        DESC, c.vec_id) AS rn
+      |    FROM (SELECT vec_id, e FROM ev WHERE vec_id >= 8) c CROSS JOIN q) t
+      |  WHERE rn <= 64),
+      |exact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, c.vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> qe[i] * e[i])),
+      |          (a, v) -> a + v) /
+      |        (sqrt(qn2) *
+      |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(e, x -> x * x)), (a, v) -> a + v)))
+      |        DESC, c.vec_id) AS rn
+      |    FROM (SELECT vec_id, e FROM ev WHERE vec_id >= 8) c CROSS JOIN q) t
+      |  WHERE rn <= 10),
+      |approx AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT q.qid, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), i -> qe[i] * e[i])),
+      |          (a, v) -> a + v) /
+      |        (sqrt(qn2) *
+      |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(e, x -> x * x)), (a, v) -> a + v)))
+      |        DESC, c.vec_id) AS rn
+      |    FROM cand JOIN ev c USING (vec_id) JOIN q ON cand.qid = q.qid) t
+      |  WHERE rn <= 10),
+      |h AS (SELECT qid, count(*) AS nh
+      |  FROM exact JOIN approx USING (qid, vec_id) GROUP BY qid)
+      |SELECT q.qid, CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+      |  (CAST(coalesce(nh, 0) AS BIGINT) * 1000000) // 10 AS recall_ppm
+      |FROM q LEFT JOIN h ON q.qid = h.qid""".stripMargin
+
   /** The persisted IVF,SQ8 composed index (cell-partitioned byte
     * codes): built once per (JVM, dataset) — one Project over the scan
     * computes the cell argmax AND the quantizer — and written
@@ -4086,6 +4494,10 @@ object LlmOps {
     "sim_ivfsq8_topk" -> Q(simIvfSq8Topk _, simIvfSq8TopkSql),
     "sim_ivfsq8_recall" -> Q(simIvfSq8Recall _, simIvfSq8RecallSql),
     "sim_ivfsq8_rerank" -> Q(simIvfSq8Rerank _, simIvfSq8RerankSql),
+    "sim_binary_topk" -> Q(simBinaryTopk _, simBinaryTopkSql),
+    "sim_binary_recall" -> Q(simBinaryRecall _, simBinaryRecallSql),
+    "sim_matryoshka_topk" -> Q(simMatryoshkaTopk _, simMatryoshkaTopkSql),
+    "sim_matryoshka_recall" -> Q(simMatryoshkaRecall _, simMatryoshkaRecallSql),
     "sim_ivf_recall" -> Q(simIvfRecall _, simIvfRecallSql),
     "sim_lsh_recall" -> Q(simLshRecall _, simLshRecallSql),
     "sim_mmr_rerank" -> Q(simMmrRerank _, simMmrRerankSql),

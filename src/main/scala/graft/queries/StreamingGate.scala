@@ -1131,6 +1131,39 @@ object StreamingGate {
       sink("gate_ivfsq8enc"), mode = "append")
   }
 
+  /** Streaming binary-quantization encode (the `stream_pq_encode` /
+    * `stream_ivfsq8_encode` family member for the r19 1-bit index):
+    * each arriving vector gains its two packed 32-bit sign-bit halves
+    * against the FROZEN midpoint thresholds — one stateless projection
+    * (no state, no shuffle, no watermark), exactly the row the binary
+    * index write appends, so a vector stream compresses to 16
+    * bytes/row at ingest speed. The oracle recomputes bounds →
+    * thresholds → pack from the raw table with identical arithmetic.
+    */
+  private def streamBinaryEncode(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val (mn, mx) = DimCache.cached(s"sq8-bounds:$dir") {
+      graft.operators.Similarity.sq8Bounds(emb)
+    }
+    val thr = graft.operators.Similarity.binaryThresholds(mn, mx)
+    val d = DimCache.cached(s"gate-stage-pq:$dir") {
+      val t = tempDir("graft-gate-pq")
+      emb.repartition(4).write.mode("overwrite").parquet(t)
+      t
+    }
+    val stream = s.readStream.schema(emb.schema).parquet(d)
+    Streams.runToCompletion(
+      s, graft.operators.Similarity.encodeBinary(stream, thr),
+      sink("gate_bqenc"), mode = "append")
+  }
+
+  /** DuckDB twin: the binary bounds/threshold/pack CTEs (shared with
+    * `sim_binary_topk`) emitted verbatim.
+    */
+  private val streamBinaryEncodeSql =
+    LlmOps.bqCodesCte + "\nSELECT vec_id, lo, hi FROM codes"
+
   /** DuckDB twin: the `sim_ivfsq8_topk` assignment CTEs + the SQ8
     * quantizer emitted as the joined INT list.
     */
@@ -1224,6 +1257,8 @@ object StreamingGate {
       Q(streamDecontaminate _, streamDecontaminateSql),
     "stream_ivfsq8_encode" ->
       Q(streamIvfSq8Encode _, streamIvfSq8EncodeSql),
+    "stream_binary_encode" ->
+      Q(streamBinaryEncode _, streamBinaryEncodeSql),
     "stream_semantic_dedup" ->
       Q(streamSemanticDedup _, streamSemanticDedupSql),
     "stream_last_n_mean" -> Q(streamLastNMean _, streamLastNMeanSql),

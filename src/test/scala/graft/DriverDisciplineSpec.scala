@@ -24,7 +24,7 @@ class DriverDisciplineSpec extends AnyFunSuite {
     "StreamParity.scala" -> 1, // parity sweep sink compare (bounded: gate sink rows at sf0.01, a diagnostic main off the query path)
     "Bench.scala" -> 3, // evidence blocks: pruned-scan results (4..k rows; r19 adds the ivfsq8 10-row top-k)
     "MicroBench.scala" -> 1, // micro-harness result row
-    "ScaleProbe.scala" -> 10, // probe harness: per-factor invariant rows + bloom_blocksize point-lookup evidence (bounded: ≤4 probe rows per sweep)
+    "ScaleProbe.scala" -> 11, // probe harness: per-factor invariant rows + bloom_blocksize point-lookup evidence (bounded: ≤4 probe rows per sweep) + the r19 binary-budget axis's 8 query vectors (the recallQueryVectors bound)
     "functions/Bpe.scala" -> 1, // merge table (<= 200 learned pairs)
     "functions/Wordpiece.scala" -> 1, // vocab page (capped broadcast)
     "operators/GlobalOrder.scala" -> 2, // offsets map (O(P+G), probed r16)

@@ -179,6 +179,164 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF,SQ8 recall $recall (got=${got.mkString(",")})")
   }
 
+  /** Binary (1-bit/dim) quantization (r19): (a) the encode plan is a
+    * pure map over the scan (thresholds ship as literals — the
+    * assignCells discipline); (b) the engine's packed lo/hi halves
+    * match the driver-side fold twin bit for bit on EVERY row, and
+    * each half stays inside 32 bits (the BIGINT-portability contract
+    * that keeps the oracle exact); (c) two-stage (Hamming-64 retrieve
+    * → exact rerank) recall vs brute force at the gate query; (d) the
+    * same at a mid-domain query id (r18 verdict task 5 pattern — no
+    * edge-of-domain luck).
+    */
+  test("binary quantization: map-only encode, exact pack twin, rerank recall") {
+    val embRaw = Tables.embeddings(spark, sf)
+    val emb = embRaw.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val (mn, mx) = Similarity.sq8Bounds(emb)
+    val thr = Similarity.binaryThresholds(mn, mx)
+    val enc = Similarity.encodeBinary(emb, thr)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encodeBinary plan shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"encodeBinary plan explodes the corpus:\n$plan")
+    val rows = emb.join(enc, "vec_id")
+      .select(col("e"), col("lo"), col("hi")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0).toIndexedSeq
+      val (lo, hi) = Similarity.binaryCode(v, thr)
+      assert(r.getLong(1) == lo && r.getLong(2) == hi,
+        s"pack twin mismatch: engine (${r.getLong(1)},${r.getLong(2)}) vs $lo,$hi")
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32) &&
+        r.getLong(2) >= 0L && r.getLong(2) < (1L << 32),
+        "packed half escaped 32 bits")
+    }
+    // rerank is LOSSLESS: the two-stage result must equal exact brute
+    // force RESTRICTED to the stage-1 candidate set — every point of
+    // recall loss is stage 1's Hamming cut, none is the rerank. The
+    // twin recomputes both stages driver-side from the collected rows.
+    val all = rows.map { r =>
+      (r.getSeq[Double](0).toIndexedSeq, r.getLong(1), r.getLong(2))
+    }
+    val byId = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    def cosD(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) { s += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def twin(qid: Long): Seq[Long] = {
+      val qv = byId(qid)
+      val (ql, qh) = Similarity.binaryCode(qv, thr)
+      val cand = byId.keys.filter(_ != qid).toSeq
+        .map { i =>
+          val (lo, hi) = Similarity.binaryCode(byId(i), thr)
+          (i, java.lang.Long.bitCount(lo ^ ql) + java.lang.Long.bitCount(hi ^ qh))
+        }
+        .sortBy { case (i, h) => (h, i) }.take(64).map(_._1)
+      cand.map(i => (i, cosD(qv, byId(i))))
+        .sortBy { case (i, c) => (-c, i) }.take(10).map(_._1)
+    }
+    val bqRows = SparkEntry.queries("sim_binary_topk")(spark, sf)
+      .orderBy(col("bq_cosine_6dp").desc, col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bqRows == twin(0L),
+      s"two-stage result drifted from the driver twin: $bqRows vs ${twin(0L)}")
+    val brute = Similarity.bruteForceTopK(embRaw, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(bqRows.toSet).size.toDouble / brute.size
+    // Observed on this ISOTROPIC synthetic corpus: 0.4 at the gate id,
+    // 0.8 mid-domain (random 64-d vectors are the adversarial case for
+    // sign-bit codes — no anisotropy for the bits to capture; trained
+    // embedding models carry far more signal per bit). Pinned AT the
+    // observed values per the r18 floor policy; the oracled
+    // `sim_binary_recall` row hash-pins the full 8-query distribution.
+    assert(recall >= 0.4, s"binary recall $recall (bq=$bqRows brute=$brute)")
+    val mid = embRaw.count() / 2
+    val qv = emb.filter(col("vec_id") === mid)
+      .select(col("e")).head().getSeq[Double](0).toIndexedSeq
+    val bruteMid = Similarity.bruteForceTopK(embRaw, mid, 10)
+      .collect().map(_.getLong(0)).toSet
+    val bqMid = Similarity.binaryTopK(enc, emb, qv, thr, mid, 64, 10)
+      .collect().map(_.getLong(0)).toSet
+    val rMid = bruteMid.intersect(bqMid).size.toDouble / bruteMid.size
+    assert(rMid >= 0.8, s"binary mid-domain recall $rMid (bq=$bqMid brute=$bruteMid)")
+    assert(bqMid == twin(mid).toSet,
+      s"mid-domain two-stage drifted from the driver twin")
+  }
+
+  /** Matryoshka prefix ANN (r19): (a) the prefix index is a pure map
+    * over the scan and stores EXACTLY the first d/4 dimensions;
+    * (b) the gate query's output is ordered by exact (full-dim) cosine
+    * — the rerank contract; (c) two-stage recall vs brute force at the
+    * gate query and at a mid-domain id.
+    */
+  test("matryoshka prefix: quarter-width index, rerank order, recall") {
+    val embRaw = Tables.embeddings(spark, sf)
+    val emb = embRaw.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val d = emb.select(size(col("e"))).head().getInt(0)
+    val dPrefix = d / 4
+    val enc = Similarity.encodePrefix(emb, dPrefix)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encodePrefix plan shuffles:\n$plan")
+    val widths = enc.select(size(col("ep")).as("w")).distinct().collect()
+    assert(widths.length == 1 && widths.head.getInt(0) == dPrefix)
+    // stored prefix equals the raw vector's first dPrefix dims verbatim
+    val mism = emb.join(enc, "vec_id")
+      .filter(expr(s"ep != slice(e, 1, $dPrefix)")).count()
+    assert(mism == 0L, s"$mism rows with drifted prefix")
+    val res = SparkEntry.queries("sim_matryoshka_topk")(spark, sf).collect()
+    assert(res.length == 10)
+    val cosOrder = res.map(_.getAs[Double]("mrl_cosine_6dp")).toSeq
+    assert(cosOrder == cosOrder.sorted.reverse,
+      s"output not in exact-cosine order: $cosOrder")
+    // rerank is LOSSLESS: two-stage == exact ranking restricted to the
+    // stage-1 prefix-cosine candidate set (driver twin, both stages)
+    val byId = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    def cosD(a: IndexedSeq[Double], b: IndexedSeq[Double], k: Int): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < k) { s += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def twin(qid: Long): Seq[Long] = {
+      val qv = byId(qid)
+      val cand = byId.keys.filter(_ != qid).toSeq
+        .map(i => (i, cosD(qv, byId(i), dPrefix)))
+        .sortBy { case (i, c) => (-c, i) }.take(64).map(_._1)
+      cand.map(i => (i, cosD(qv, byId(i), d)))
+        .sortBy { case (i, c) => (-c, i) }.take(10).map(_._1)
+    }
+    val gotSeq = res.sortBy(r =>
+      (-r.getAs[Double]("mrl_cosine_6dp"), r.getAs[Long]("vec_id")))
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(gotSeq == twin(0L),
+      s"two-stage result drifted from the driver twin: $gotSeq vs ${twin(0L)}")
+    val brute = Similarity.bruteForceTopK(embRaw, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(gotSeq.toSet).size.toDouble / brute.size
+    // Observed 0.5 at both the gate id and mid-domain on this isotropic
+    // synthetic corpus — a random vector's first 16 dims carry exactly
+    // 1/4 of its energy (MRL-trained embeddings front-load information;
+    // random ones by construction cannot). Pinned AT observed; the
+    // oracled `sim_matryoshka_recall` row hash-pins all 8 queries.
+    assert(recall >= 0.5, s"matryoshka recall $recall (got=$gotSeq brute=$brute)")
+    val mid = embRaw.count() / 2
+    val qv = emb.filter(col("vec_id") === mid)
+      .select(col("e")).head().getSeq[Double](0).toIndexedSeq
+    val bruteMid = Similarity.bruteForceTopK(embRaw, mid, 10)
+      .collect().map(_.getLong(0)).toSet
+    val gotMid = Similarity.matryoshkaTopK(enc, emb, qv, dPrefix, mid, 64, 10)
+      .collect().map(_.getLong(0)).toSet
+    val rMid = bruteMid.intersect(gotMid).size.toDouble / bruteMid.size
+    assert(rMid >= 0.5, s"matryoshka mid-domain recall $rMid (got=$gotMid brute=$bruteMid)")
+    assert(gotMid == twin(mid).toSet,
+      "mid-domain two-stage drifted from the driver twin")
+  }
+
   test("IVF top-k has high recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
