@@ -84,7 +84,9 @@ object Bench {
     // round-19: the PQ/ADC recall certification — the last tier of the
     // ANN matrix (per-query ADC tables broadcast as one 8-row frame;
     // the same two-map-pass + 8-query-window shape as the other rows)
-    "sim_pq_recall",
+    // — and its retrieve-and-refine twin (ADC-50 → exact-L2 rerank),
+    // which together price the 32× tier's raw vs refined recall
+    "sim_pq_recall", "sim_pq_rerank_recall",
     // round-9: incremental near-dedup against the persisted LSH index
     // (index build lands in the warmup pre-pass via DimCache — the
     // write-once/query-many contract — so reps time the steady-state
@@ -171,7 +173,8 @@ object Bench {
     (headline.toSet - "scan_bloom_pruned" - "sim_sq8_topk"
       - "sim_sq8_recall" - "sim_ivfsq8_topk" - "sim_ivfsq8_recall"
       - "sim_ivf_recall" - "sim_binary_topk" - "sim_binary_recall"
-      - "sim_matryoshka_topk" - "sim_matryoshka_recall" - "sim_pq_recall")
+      - "sim_matryoshka_topk" - "sim_matryoshka_recall" - "sim_pq_recall"
+      - "sim_pq_rerank_recall")
   require(sharedSet69.size == 69, s"pinned shared set drifted: ${sharedSet69.size}")
 
   private def heapUsedMb: Long = {

@@ -2936,6 +2936,144 @@ object LlmOps {
       .withColumn("recall_ppm", expr("(n_hits * 1000000) div 10"))
   }
 
+  /** PQ retrieve-and-refine recall — the quantitative answer to
+    * `sim_pq_recall`'s 0.30: the SAME persisted 8-byte codes retrieve
+    * 50 candidates by ADC (5× final k, the `sim_ivfsq8_rerank`
+    * budget), then exact squared-L2 re-scores only those 50 from the
+    * raw vectors. The overlap vs global exact top-10 measures what
+    * the refine stage RECOVERS — together the two rows give an
+    * operator the full tradeoff: raw ADC recall at 32× compression,
+    * and refined recall at 32× + 50 raw-vector reads per query.
+    */
+  private def simPqRerankRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val M = 8
+    val K = 16
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
+    val (dmin, dmax) = embDims(s, dir)
+    require(dmin == dmax && dmin % M == 0,
+      s"PQ needs uniform dims divisible by $M, got [$dmin,$dmax]")
+    val dsub = dmin / M
+    val cb = graft.DimCache.cached(s"pq-codebooks:$dir:$M:$K") {
+      graft.operators.Similarity.pqCodebooks(emb, M, K, dsub)
+    }
+    val codesPath = graft.DimCache.cached(s"pq-codes:$dir:$M:$K") {
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val p = System.getProperty("java.io.tmpdir") + s"/graft_pqcodes_$tag"
+      graft.operators.Similarity.encodePq(emb, cb, dsub)
+        .drop("e")
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val qtbl = recallQueryVectors(dir, emb).map { case (qid, qv) =>
+      (qid, graft.operators.Similarity.adcTable(qv, cb, dsub).flatten)
+    }.toDF("qid", "tbl")
+    val adcCol = (0 until M)
+      .map(m => element_at(col("tbl"), col(s"c$m") + lit(m * K) + 1))
+      .reduce(_ + _)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("a").asc, col("vec_id"))
+    def topN(scored: DataFrame, n: Int): DataFrame = scored
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= n)
+      .select(col("qid"), col("vec_id"))
+    val cand = topN(s.read.parquet(codesPath)
+      .filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(qtbl))
+      .select(col("qid"), col("vec_id"), adcCol.as("a")), 50)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    def l2Col: Column =
+      aggregate(zip_with(col("qe"), col("e"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val approx = topN(emb.join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"), l2Col.as("a")), 10)
+    val exact = topN(emb.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), l2Col.as("a")), 10)
+    val hits = exact.join(approx, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("nh"))
+    q.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("nh"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000) div 10"))
+  }
+
+  /** DuckDB twin: the `sim_pq_recall` CTEs with an ADC-50 candidate
+    * window inserted before the exact-L2 rerank window.
+    */
+  private val simPqRerankRecallSql =
+    """WITH ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |picked AS (
+      |  SELECT vec_id, e FROM ev
+      |  ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 16),
+      |cw AS (
+      |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS k, e FROM picked),
+      |ms AS (SELECT unnest(range(0, 8)) AS m),
+      |dists AS (
+      |  SELECT v.vec_id, ms.m, c.k,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, 9), j ->
+      |        (v.e[ms.m * 8 + j] - c.e[ms.m * 8 + j])
+      |          * (v.e[ms.m * 8 + j] - c.e[ms.m * 8 + j]))),
+      |      (acc, x) -> acc + x) AS d
+      |  FROM ev v CROSS JOIN cw c CROSS JOIN ms),
+      |codes AS (
+      |  SELECT vec_id, m, k FROM dists
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) = 1),
+      |qv AS (SELECT vec_id AS qid, e AS qe FROM ev WHERE vec_id < 8),
+      |terms AS (
+      |  SELECT q.qid, co.vec_id, co.m,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, 9), j ->
+      |        (q.qe[co.m * 8 + j] - c.e[co.m * 8 + j])
+      |          * (q.qe[co.m * 8 + j] - c.e[co.m * 8 + j]))),
+      |      (acc, x) -> acc + x) AS t
+      |  FROM codes co JOIN cw c ON c.k = co.k CROSS JOIN qv q
+      |  WHERE co.vec_id >= 8),
+      |adc AS (
+      |  SELECT qid, vec_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY m)),
+      |      (acc, x) -> acc + x) AS a
+      |  FROM terms GROUP BY qid, vec_id),
+      |cand AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY a, vec_id) AS rn
+      |    FROM adc) t WHERE rn <= 50),
+      |approx AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT cand.qid, c.vec_id,
+      |      row_number() OVER (PARTITION BY cand.qid ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), j ->
+      |            (qe[j] - e[j]) * (qe[j] - e[j]))),
+      |          (acc, x) -> acc + x), c.vec_id) AS rn
+      |    FROM cand JOIN ev c USING (vec_id)
+      |      JOIN qv q ON cand.qid = q.qid) t
+      |  WHERE rn <= 10),
+      |exact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT q.qid, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(range(1, len(e) + 1), j ->
+      |            (qe[j] - e[j]) * (qe[j] - e[j]))),
+      |          (acc, x) -> acc + x), c.vec_id) AS rn
+      |    FROM (SELECT vec_id, e FROM ev WHERE vec_id >= 8) c
+      |      CROSS JOIN qv q) t
+      |  WHERE rn <= 10),
+      |h AS (SELECT qid, count(*) AS nh
+      |  FROM exact JOIN approx USING (qid, vec_id) GROUP BY qid)
+      |SELECT qv.qid, CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+      |  (CAST(coalesce(nh, 0) AS BIGINT) * 1000000) // 10 AS recall_ppm
+      |FROM qv LEFT JOIN h ON qv.qid = h.qid""".stripMargin
+
   /** DuckDB twin: the PQ codebook/encode CTEs of `sim_ivfpq_topk`,
     * per-qid ADC terms (codes ⋈ codewords ⨯ the 8 queries) folded in
     * subspace order, exact squared-L2 truth with the identical
@@ -4620,6 +4758,7 @@ object LlmOps {
     "dedup_source_matrix" -> Q(dedupSourceMatrix _, dedupSourceMatrixSql),
     "sim_ivfpq_topk" -> Q(simIvfpqTopk _, simIvfpqTopkSql),
     "sim_pq_recall" -> Q(simPqRecall _, simPqRecallSql),
+    "sim_pq_rerank_recall" -> Q(simPqRerankRecall _, simPqRerankRecallSql),
     "sim_sq8_topk" -> Q(simSq8Topk _, simSq8TopkSql),
     "sim_sq8_recall" -> Q(simSq8Recall _, simSq8RecallSql),
     "sim_ivfsq8_topk" -> Q(simIvfSq8Topk _, simIvfSq8TopkSql),

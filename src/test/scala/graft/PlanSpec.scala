@@ -93,6 +93,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "expected top-k short-circuit")
   }
 
+  /** The r19 two-stage retrieve-and-refine ANN queries: stage 1 must
+    * short-circuit to TakeOrderedAndProject over the persisted index
+    * scan (never a global sort), and stage 2's rerank join must
+    * broadcast the bounded candidate set — a SortMergeJoin there would
+    * shuffle the whole raw corpus against 64 rows. Applies identically
+    * to the binary (Hamming) and matryoshka (prefix-cosine) pipelines.
+    */
+  test("binary + matryoshka two-stage ANN: TakeOrdered stages, broadcast rerank") {
+    for (q <- Seq("sim_binary_topk", "sim_matryoshka_topk")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: expected top-k short-circuit\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: candidate set must broadcast into the rerank join\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: raw corpus must not sort-merge against 64 candidates\n$p")
+      assert(!p.toLowerCase.contains("cartesianproduct"),
+        s"$q: no corpus blow-up\n$p")
+    }
+  }
+
   test("mix_token_budget: threshold set broadcast, no sort-merge join") {
     val p = plan("mix_token_budget")
     // the over-budget source set is a handful of rows — both the
