@@ -81,6 +81,13 @@ object AmplifiedBench {
       // quarter-width stage-1 scan + broadcast rerank; expect ~linear
       // in corpus with a 4× smaller byte base than the raw scan
       "sim_matryoshka_topk",
+      // r20 (r19 verdict task 5): the IVF,SQ8 two-stage
+      // retrieve-and-refine — stage 1 is sim_ivfsq8_topk's
+      // partition-pruned byte scan (expect its sublinear curve), stage
+      // 2 a 50-row broadcast-semi refine read whose cost is the raw
+      // scan of the candidate rows — so expect ~sim_ivfsq8_topk plus a
+      // near-constant rerank term
+      "sim_ivfsq8_rerank",
       // r15: streaming-gate replays — the state-store-bound trio. Each
       // gate query stages its replay dir ONCE per (JVM, dataset dir)
       // via DimCache (r15 change), so the warmup pays the staging write
@@ -292,6 +299,20 @@ object AmplifiedBench {
         for (b <- num("base_secs"); a <- num("amp_secs"); r <- num("ratio"))
           yield (b, a, r)
       }
+    }
+    // Inclusion-rule header (r20, r19 verdict task 7): the sweep covers
+    // a SELECTION, not the full bench headline — until now the rule
+    // lived in code comments, so a reader of the artifact alone could
+    // mistake partial coverage for full. The first output line names
+    // the rule and lists the headline queries NOT swept, computed at
+    // runtime so it can never drift from the actual sets.
+    if (only.isEmpty) {
+      val excluded = Bench.headline.filterNot(selection.contains)
+      println(
+        s"""{"meta":"selection_rule","swept":${selection.size},""" +
+          s""""headline_excluded_n":${excluded.size},""" +
+          s""""rule":"sweep = NDS-H 22 + grouped-scan rewires + heaviest driver-bench rows + pandas-API shapes + ANN index read paths + state-store streaming replays; excluded headline families: recall-certification rows (8-query broadcast windows, work bounded by the fixed query set), rows with their own ScaleProbe axis (pack_sequences, tfidf, incremental LSH), light fixed-overhead-dominated scan/agg/join rows, and DimCache'd bounded-result rows",""" +
+          s""""headline_excluded":[${excluded.map("\"" + _ + "\"").mkString(",")}]}""")
     }
     val pending = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val rows = selection.filter(n => only.forall(_.contains(n))).map { n =>

@@ -87,6 +87,14 @@ object Bench {
     // — and its retrieve-and-refine twin (ADC-50 → exact-L2 rerank),
     // which together price the 32× tier's raw vs refined recall
     "sim_pq_recall", "sim_pq_rerank_recall",
+    // round-20 (r19 verdict task 5): the IVF,SQ8 two-stage
+    // retrieve-and-refine — the gate row existed since r19 but had no
+    // wall record. The pruned byte scan + TakeOrdered(50) stage rides
+    // the same DimCache'd index as sim_ivfsq8_topk; reps add the
+    // 50-row broadcast-semi refine read + exact rerank on top, so the
+    // declared envelope is sim_ivfsq8_topk + a small broadcast-join
+    // constant.
+    "sim_ivfsq8_rerank",
     // round-9: incremental near-dedup against the persisted LSH index
     // (index build lands in the warmup pre-pass via DimCache — the
     // write-once/query-many contract — so reps time the steady-state
@@ -174,8 +182,48 @@ object Bench {
       - "sim_sq8_recall" - "sim_ivfsq8_topk" - "sim_ivfsq8_recall"
       - "sim_ivf_recall" - "sim_binary_topk" - "sim_binary_recall"
       - "sim_matryoshka_topk" - "sim_matryoshka_recall" - "sim_pq_recall"
-      - "sim_pq_rerank_recall")
+      - "sim_pq_rerank_recall" - "sim_ivfsq8_rerank")
   require(sharedSet69.size == 69, s"pinned shared set drifted: ${sharedSet69.size}")
+
+  /** The four NDS-H flagship walls carried on the FINAL line — a FIXED
+    * set so the line's size never grows with the headline (the full
+    * per-query map lives on the earlier telemetry line).
+    */
+  val flagships: Seq[String] = Seq("ndsh_q1", "ndsh_q5", "ndsh_q6", "ndsh_q9")
+
+  /** Growth-proof final-line renderer (r20, verdict task 1). BENCH_r17
+    * and BENCH_r19 both came back `parsed: null` for the same mechanism:
+    * the final stdout line carried EVERY per-query wall, so each
+    * headline addition grew it until it outran the driver's 2,000-byte
+    * tail-capture window (2,036 B at 81 queries in r19). The final line
+    * is now a FIXED-field record whose byte size is independent of
+    * headline growth: totals, the four flagship walls, the calibration
+    * bracket, the contention verdict (verdict task 2), and the pinned
+    * shared-set basis. Full per-query walls/gc/heap move to the earlier
+    * telemetry line — greppable, sacrificial under tail truncation.
+    * The <1,900 B contract is enforced twice: the require here (trips
+    * in every local run and spec) and BenchEmissionSpec's worst-case
+    * render.
+    */
+  def finalLine(total: Double, walls: Map[String, Double],
+      calPre: (Double, Double), calPost: (Double, Double),
+      contended: Boolean, sharedTotal: Double, retryTotal: Double,
+      sfDir: String): String = {
+    val qs = flagships
+      .map(k => "\"" + k + "\":" + f"${walls.getOrElse(k, -1.0)}%.3f")
+      .mkString("{", ",", "}")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""cal_single_s":${calPre._1}%.3f,"cal_allcores_s":${calPre._2}%.3f,""" +
+        f""""cal_post_single_s":${calPost._1}%.3f,"cal_post_allcores_s":${calPost._2}%.3f,""" +
+        f""""contended":$contended,"shared_set_total":$sharedTotal%.3f,""" +
+        f""""shared_set_n":${sharedSet69.size},"shared_set_retry_total":$retryTotal%.3f,""" +
+        f""""sf":"$sfDir"}"""
+    require(line.getBytes("UTF-8").length < 1900,
+      s"final bench line is ${line.getBytes("UTF-8").length} B >= 1900 B — " +
+        "would outrun the driver's 2,000-byte tail capture (r17/r19 failure mode)")
+    line
+  }
 
   private def heapUsedMb: Long = {
     val rt = Runtime.getRuntime
@@ -394,6 +442,41 @@ object Bench {
     val (calSingle2, calAll2) = calibrate()
     System.err.println(
       f"[bench] cpu-calibration(post) single=$calSingle2%.3fs allcores=$calAll2%.3fs")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // Round-over-round comparison basis: the pinned 69-query set's
+    // total, machine-readable so the trajectory stops recomputing it
+    // from prose (r17 verdict task 5).
+    val sharedTotal = results
+      .collect { case (k, v, _, _) if sharedSet69.contains(k) && v >= 0 => v }
+      .sum
+    // Contamination self-labeling (r20, verdict task 2): the r19 driver
+    // record read 42.1 s where the identical tree's quiet-box run read
+    // 35.95 s, and the calibration pair already flagged it (post-single
+    // 1.6× pre) — but the record didn't ACT on its own signal, so the
+    // builder's corroborating run was needed to interpret it. Now: if
+    // either calibration arm degraded >1.25× across the sweep, the
+    // record stamps `"contended": true`, and after a settle pause a
+    // third calibration probe plus ONE back-to-back pass over the
+    // shared set (single rep each — every query is JIT-warm from the
+    // sweep) lands in `shared_set_retry_total`, so the official record
+    // carries its own post-settle tiebreaker instead of borrowing one.
+    val degrade = math.max(calSingle2 / calSingle, calAll2 / calAll)
+    val contended = degrade > 1.25
+    var retryTotal = -1.0
+    var calRe = (-1.0, -1.0)
+    if (contended) {
+      System.err.println(
+        f"[bench] post-calibration degraded $degrade%.2fx vs pre (>1.25x) — " +
+          "stamping contended:true; settling 15s then re-measuring the shared set once")
+      Thread.sleep(15000)
+      calRe = calibrate()
+      System.err.println(
+        f"[bench] cpu-calibration(recheck) single=${calRe._1}%.3fs allcores=${calRe._2}%.3fs")
+      groupCleanup()
+      retryTotal = selected.filter(sharedSet69.contains)
+        .map(run).filter(_ >= 0).sum
+      System.err.println(f"[bench] shared-set settle retry total=$retryTotal%.3fs")
+    }
     val qs = results
       .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -403,31 +486,23 @@ object Bench {
     val heaps = results
       .map { case (k, _, _, h) => "\"" + k + "\":" + h }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // Round-over-round comparison basis: the pinned 69-query set's
-    // total, machine-readable so the trajectory stops recomputing it
-    // from prose (r17 verdict task 5).
-    val sharedTotal = results
-      .collect { case (k, v, _, _) if sharedSet69.contains(k) && v >= 0 => v }
-      .sum
-    // r18 (verdict task 1): BENCH_r17.json came back parsed:null because
-    // the per-query gc/heap maps pushed the single headline line past
-    // the driver's tail-capture window, truncating away the total and
-    // every wall time. Emission is now two stdout lines: the bulky
-    // telemetry maps FIRST on their own line (greppable, sacrificial),
-    // then a compact headline — per-query walls + calibration pair +
-    // shared-set total, ~2.3 KB like r16's which parsed fine — as the
-    // LAST stdout line the driver's tail capture is guaranteed to keep.
-    println(f"""{"telemetry":"per_query","gc_ms":$gcs,"heap_mb":$heaps}""")
-    // cal_single_s/cal_allcores_s keep their r15 meaning (pre-sweep) so
-    // the round-over-round tax comparison stays one column; cal_post_*
-    // is the second sample bracketing the sweep.
+    // Emission (r20, verdict task 1 — supersedes the r18 two-line
+    // split, which still let the final line GROW with the headline and
+    // regrew the parsed:null failure at 81 queries): the full per-query
+    // walls + gc/heap telemetry go FIRST on their own line (greppable,
+    // sacrificial under the driver's 2,000-byte tail capture), and the
+    // FINAL line is the fixed-field record rendered by `finalLine` —
+    // its size is independent of headline growth and byte-asserted
+    // <1,900 B. cal_single_s/cal_allcores_s keep their r15 meaning
+    // (pre-sweep) so the round-over-round tax comparison stays one
+    // column; cal_recheck_* (post-settle, only taken when contended)
+    // rides the telemetry line.
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""cal_single_s":$calSingle%.3f,"cal_allcores_s":$calAll%.3f,""" +
-        f""""cal_post_single_s":$calSingle2%.3f,"cal_post_allcores_s":$calAll2%.3f,""" +
-        f""""shared_set_total":$sharedTotal%.3f,"shared_set_n":${sharedSet69.size},""" +
-        f""""sf":"$sfDir"}""")
+      f"""{"telemetry":"per_query","walls":$qs,"gc_ms":$gcs,"heap_mb":$heaps,""" +
+        f""""cal_recheck_single_s":${calRe._1}%.3f,"cal_recheck_allcores_s":${calRe._2}%.3f}""")
+    println(finalLine(total, results.map(r => r._1 -> r._2).toMap,
+      (calSingle, calAll), (calSingle2, calAll2), contended, sharedTotal,
+      retryTotal, sfDir))
     spark.stop()
   }
 }

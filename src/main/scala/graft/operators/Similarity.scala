@@ -492,9 +492,16 @@ object Similarity {
 
   /** Driver-side twin of [[encodeBinary]] for query vectors: the same
     * ascending-dim fold in plain Scala (integer arithmetic — exactly
-    * the engines' result).
+    * the engines' result). NaN dims are UNSUPPORTED and rejected
+    * loudly: Scala's `>` packs a NaN component as bit 0 while Spark
+    * SQL's NaN-greatest ordering would pack it as bit 1, silently
+    * desyncing the query code from the persisted index codes (r19
+    * ADVICE).
     */
   def binaryCode(v: IndexedSeq[Double], thr: IndexedSeq[Double]): (Long, Long) = {
+    require(!v.exists(_.isNaN),
+      "binaryCode: NaN embedding dims are unsupported (Scala > vs Spark " +
+        "SQL NaN ordering would desync query and index codes)")
     val half = thr.size / 2
     def pack(offset: Int): Long = {
       var acc = 0L; var j = 0

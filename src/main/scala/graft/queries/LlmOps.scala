@@ -1838,6 +1838,13 @@ object LlmOps {
     * per vector, written once per (JVM, dataset) — 16 bytes/row where
     * the raw table stores 64 floats (16×), queried by pure integer
     * XOR+popcount. Shared by `sim_binary_topk` and its recall row.
+    *
+    * Like every persisted-index path here (pqcodes, ivfsq8, prefix),
+    * the tmpdir location is keyed on the dataset dir alone — the
+    * write-once-per-(JVM, dataset) convention. Concurrent JVMs against
+    * the SAME dataset are not a supported mode (one could overwrite
+    * the dir mid-read, r19 ADVICE); if that ever becomes one, add a
+    * JVM pid / session nonce to the path.
     */
   private def binaryCodesPath(s: SparkSession, dir: String,
       emb: DataFrame, thr: IndexedSeq[Double]): String =
@@ -2888,8 +2895,12 @@ object LlmOps {
     val K = 16
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
     val (dmin, dmax) = embDims(s, dir)
-    require(dmin == dmax && dmin % M == 0,
-      s"PQ needs uniform dims divisible by $M, got [$dmin,$dmax]")
+    // dmin == 64 exactly (not just divisible by M): the DuckDB twin
+    // hardcodes dsub = 8 (range(1, 9), e[m*8+j]), so any other
+    // M-divisible dim would pass a looser guard yet silently diverge
+    // from the oracle (r19 ADVICE)
+    require(dmin == dmax && dmin == 64,
+      s"PQ recall twins assume d = 64 (dsub = 8 literal in SQL), got [$dmin,$dmax]")
     val dsub = dmin / M
     val cb = graft.DimCache.cached(s"pq-codebooks:$dir:$M:$K") {
       graft.operators.Similarity.pqCodebooks(emb, M, K, dsub)
@@ -2952,8 +2963,12 @@ object LlmOps {
     val K = 16
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), embDouble.as("e"))
     val (dmin, dmax) = embDims(s, dir)
-    require(dmin == dmax && dmin % M == 0,
-      s"PQ needs uniform dims divisible by $M, got [$dmin,$dmax]")
+    // dmin == 64 exactly (not just divisible by M): the DuckDB twin
+    // hardcodes dsub = 8 (range(1, 9), e[m*8+j]), so any other
+    // M-divisible dim would pass a looser guard yet silently diverge
+    // from the oracle (r19 ADVICE)
+    require(dmin == dmax && dmin == 64,
+      s"PQ recall twins assume d = 64 (dsub = 8 literal in SQL), got [$dmin,$dmax]")
     val dsub = dmin / M
     val cb = graft.DimCache.cached(s"pq-codebooks:$dir:$M:$K") {
       graft.operators.Similarity.pqCodebooks(emb, M, K, dsub)
