@@ -207,6 +207,7 @@ object Bench {
     */
   def finalLine(total: Double, walls: Map[String, Double],
       calPre: (Double, Double), calPost: (Double, Double),
+      bwPre: (Double, Double), bwPost: (Double, Double),
       contended: Boolean, sharedTotal: Double, retryTotal: Double,
       sfDir: String): String = {
     val qs = flagships
@@ -216,6 +217,8 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""cal_single_s":${calPre._1}%.3f,"cal_allcores_s":${calPre._2}%.3f,""" +
         f""""cal_post_single_s":${calPost._1}%.3f,"cal_post_allcores_s":${calPost._2}%.3f,""" +
+        f""""cal_membw_gbps":${bwPre._1}%.1f,"cal_membw_allcores_gbps":${bwPre._2}%.1f,""" +
+        f""""cal_post_membw_gbps":${bwPost._1}%.1f,"cal_post_membw_allcores_gbps":${bwPost._2}%.1f,""" +
         f""""contended":$contended,"shared_set_total":$sharedTotal%.3f,""" +
         f""""shared_set_n":${sharedSet69.size},"shared_set_retry_total":$retryTotal%.3f,""" +
         f""""sf":"$sfDir"}"""
@@ -297,6 +300,38 @@ object Bench {
     // share this guest actually gets, so a future round-over-round
     // query drift arrives with direct evidence: calibration moved with
     // it ⇒ box context; calibration flat ⇒ code/plan regression.
+    //
+    // r20 addition — the MEMORY-BANDWIDTH arm: the r19→r20 drift
+    // adjudication found the whole string/alloc-heavy family elevated
+    // 1.1–1.5× (text_bpe_portable 0.375→0.46, text_bpe_pair_stats
+    // 0.19→0.29, text_wordpiece 0.21→0.26) at FLAT cpu calibration —
+    // the register-arithmetic spin loop never leaves L1, so it cannot
+    // see a host-level memory-path slowdown that hits exactly the
+    // allocation/shuffle-bound rows. A fixed 256 MiB shared read-only
+    // array streamed by 1 and by all threads measures what that loop
+    // is blind to; reported as aggregate GB/s next to the cpu pair.
+    val bwArr: Array[Long] = {
+      val a = new Array[Long](32 * 1024 * 1024) // 256 MiB of longs
+      var i = 0
+      while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+      a
+    }
+    def memBwGbps(threads: Int): Double = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { _ =>
+        val t = new Thread(() => {
+          var s = 0L; var i = 0
+          while (i < bwArr.length) { s += bwArr(i); i += 1 }
+          acc.addAndGet(s)
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (acc.get() == 42L) println("") // keep the loads live
+      bwArr.length.toLong * 8L * threads / secs / 1e9
+    }
     def calibrate(): (Double, Double) = {
       def spin(iters: Long): Long = {
         var h = 0x9E3779B97F4A7C15L; var i = 0L
@@ -331,10 +366,16 @@ object Bench {
     // after the sweep: a post-sweep tax above the pre-sweep tax is the
     // direct signature of contention arriving mid-run — the failure mode
     // the single-sample instrument missed in r16.
+    def calibrateBw(): (Double, Double) = {
+      memBwGbps(1) // warm (page-in + JIT)
+      (memBwGbps(1), memBwGbps(Runtime.getRuntime.availableProcessors()))
+    }
     val (calSingle, calAll) = calibrate()
+    val (bwSingle, bwAll) = calibrateBw()
     System.err.println(
       f"[bench] cpu-calibration(pre) single=$calSingle%.3fs allcores=$calAll%.3fs " +
-        f"(fixed 2e8-iter integer-mix loop; compare across rounds)")
+        f"membw single=$bwSingle%.1fGB/s allcores=$bwAll%.1fGB/s " +
+        f"(fixed 2e8-iter integer-mix loop + 256MiB stream; compare across rounds)")
 
     // One full pre-pass so global one-time costs — JVM/codegen caches,
     // parquet footer reads, DimCache'd vocab/dims dimensions — land
@@ -440,8 +481,10 @@ object Bench {
     // Post-sweep calibration arm (see the pre-sweep comment): the pair
     // brackets the whole measurement window.
     val (calSingle2, calAll2) = calibrate()
+    val (bwSingle2, bwAll2) = calibrateBw()
     System.err.println(
-      f"[bench] cpu-calibration(post) single=$calSingle2%.3fs allcores=$calAll2%.3fs")
+      f"[bench] cpu-calibration(post) single=$calSingle2%.3fs allcores=$calAll2%.3fs " +
+        f"membw single=$bwSingle2%.1fGB/s allcores=$bwAll2%.1fGB/s")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Round-over-round comparison basis: the pinned 69-query set's
     // total, machine-readable so the trajectory stops recomputing it
@@ -460,7 +503,9 @@ object Bench {
     // shared set (single rep each — every query is JIT-warm from the
     // sweep) lands in `shared_set_retry_total`, so the official record
     // carries its own post-settle tiebreaker instead of borrowing one.
-    val degrade = math.max(calSingle2 / calSingle, calAll2 / calAll)
+    // bandwidth DEGRADES downward, so its ratio is pre/post
+    val degrade = Seq(calSingle2 / calSingle, calAll2 / calAll,
+      bwSingle / bwSingle2, bwAll / bwAll2).max
     val contended = degrade > 1.25
     var retryTotal = -1.0
     var calRe = (-1.0, -1.0)
@@ -470,8 +515,10 @@ object Bench {
           "stamping contended:true; settling 15s then re-measuring the shared set once")
       Thread.sleep(15000)
       calRe = calibrate()
+      val bwRe = calibrateBw()
       System.err.println(
-        f"[bench] cpu-calibration(recheck) single=${calRe._1}%.3fs allcores=${calRe._2}%.3fs")
+        f"[bench] cpu-calibration(recheck) single=${calRe._1}%.3fs allcores=${calRe._2}%.3fs " +
+          f"membw single=${bwRe._1}%.1fGB/s allcores=${bwRe._2}%.1fGB/s")
       groupCleanup()
       retryTotal = selected.filter(sharedSet69.contains)
         .map(run).filter(_ >= 0).sum
@@ -501,7 +548,8 @@ object Bench {
       f"""{"telemetry":"per_query","walls":$qs,"gc_ms":$gcs,"heap_mb":$heaps,""" +
         f""""cal_recheck_single_s":${calRe._1}%.3f,"cal_recheck_allcores_s":${calRe._2}%.3f}""")
     println(finalLine(total, results.map(r => r._1 -> r._2).toMap,
-      (calSingle, calAll), (calSingle2, calAll2), contended, sharedTotal,
+      (calSingle, calAll), (calSingle2, calAll2),
+      (bwSingle, bwAll), (bwSingle2, bwAll2), contended, sharedTotal,
       retryTotal, sfDir))
     spark.stop()
   }

@@ -29,8 +29,13 @@ object MicroBench {
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Local-iteration hook (the Bench/ScaleProbe convention):
+    // SPARK_GRAFT_MICRO_ONLY=case1,case2 runs just those cases.
+    val onlyCases = sys.env.get("SPARK_GRAFT_MICRO_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def bench(name: String, a: => DataFrame, b: => DataFrame,
         aLabel: String, bLabel: String): Unit = {
+      if (!onlyCases.forall(_.contains(name))) return
       time(a); time(b) // warmup
       val ta = (1 to 3).map(_ => time(a)).min
       val tb = (1 to 3).map(_ => time(b)).min
@@ -124,6 +129,28 @@ object MicroBench {
         graft.queries.GraphOps.pagerank(orders, li, iters = 0),
         graft.queries.GraphOps.pagerank(orders, li, iters = 5),
         "build_only_s", "build_plus_5iter_s")
+    }
+
+    // PageRank edge-source split (r20, adjudicating the bench row's
+    // r19–r20 1.3→2.0–2.5 s elevation): the BENCH row iterates over
+    // `s.read.parquet(persisted edges)` — every one of the 6 jobs per
+    // run (rank init + 5 iterations) re-scans the parquet — while the
+    // MicroBench case above iterates over an eagerly checkpointed edge
+    // frame the block manager serves from memory. If the parquet arm
+    // alone is elevated while the checkpoint arm matches the historic
+    // per-iteration cost, the regression lives in the repeated
+    // cold-file scan path (IO/page-cache behavior), not in the Pregel
+    // loop.
+    {
+      val edges = graft.queries.GraphOps.pagerankEdges(
+        Tables.orders(spark, sfDir), li)
+      val p = System.getProperty("java.io.tmpdir") + "/graft_micro_predges"
+      edges.write.mode("overwrite").parquet(p)
+      val ckpt = spark.read.parquet(p).localCheckpoint()
+      bench("pagerank_iterate_parquet_vs_checkpoint",
+        graft.queries.GraphOps.pagerankIterate(spark.read.parquet(p), 5),
+        graft.queries.GraphOps.pagerankIterate(ckpt, 5),
+        "parquet_edges_s", "checkpointed_edges_s")
     }
 
     // Bucketed (zero-Exchange) vs plain shuffled sort-merge join: the

@@ -142,13 +142,25 @@ object Bpe {
     out.result()
   }
 
-  /** documents → (doc_id, pieces array) under a broadcast merge table. */
+  /** documents → (doc_id, pieces array) under a broadcast merge table.
+    *
+    * The merge-table broadcast is memoized per (JVM, merges) via
+    * DimCache (r20): a trained merge table is a fixed model artifact,
+    * and re-broadcasting it on every DataFrame construction made each
+    * bench rep pay broadcast setup + a dead broadcast for the cleaner
+    * to chase — pure per-call overhead on an otherwise map-only scan.
+    */
   def tokenize(
       spark: SparkSession,
       docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
-    val bc: Broadcast[Map[(String, String), Int]] = spark.sparkContext.broadcast(ranks)
+    // keyed on the applicationId so a broadcast never outlives its
+    // SparkContext (tests stop/start sessions within one JVM)
+    val bc: Broadcast[Map[(String, String), Int]] =
+      graft.DimCache.cached(
+        s"bpe-ranks-bcast:${spark.sparkContext.applicationId}:${merges.hashCode}") {
+        spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+      }
     val bpe = udf((text: String) =>
       if (text == null) Seq.empty[String]
       else text.split(" ").toSeq.filter(_.nonEmpty).flatMap(w => bpeWord(w, bc.value)))

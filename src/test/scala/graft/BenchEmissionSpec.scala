@@ -19,6 +19,7 @@ class BenchEmissionSpec extends AnyFunSuite {
     val line = Bench.finalLine(
       total = 99999.999, walls = walls,
       calPre = (99999.999, 99999.999), calPost = (99999.999, 99999.999),
+      bwPre = (99999.9, 99999.9), bwPost = (99999.9, 99999.9),
       contended = true, sharedTotal = 99999.999, retryTotal = 99999.999,
       sfDir = "/root/testdata/sf0.1/some/unusually/deep/dataset/directory")
     val n = line.getBytes("UTF-8").length
@@ -32,6 +33,7 @@ class BenchEmissionSpec extends AnyFunSuite {
     val line = Bench.finalLine(
       total = 42.112, walls = Map("ndsh_q1" -> 0.385, "ndsh_q6" -> 0.156),
       calPre = (0.418, 0.509), calPost = (0.667, 0.749),
+      bwPre = (21.3, 48.7), bwPost = (14.2, 31.9),
       contended = true, sharedTotal = 42.112, retryTotal = 36.001,
       sfDir = "/root/testdata/sf0.1")
     val node = mapper.readTree(line)
@@ -47,6 +49,8 @@ class BenchEmissionSpec extends AnyFunSuite {
     // never a missing key (fixed schema)
     assert(node.get("queries").get("ndsh_q9").asDouble() == -1.0)
     assert(node.get("cal_post_single_s").asDouble() == 0.667)
+    assert(node.get("cal_membw_allcores_gbps").asDouble() == 48.7)
+    assert(node.get("cal_post_membw_allcores_gbps").asDouble() == 31.9)
   }
 
   test("flagship set is fixed, small, and inside the headline") {
