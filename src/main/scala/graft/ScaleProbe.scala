@@ -679,6 +679,80 @@ object ScaleProbe {
         f"""{"probe":"stream_semdedup","factor":$f,"n_vecs":$nOut,"k":$k,"kept":$kept,"state_cells":$stateCells,"state_mem_kb":${stateMem / 1024},"state_mem_bytes_per_vec":${stateMem / math.max(nOut, 1L)},"secs":$secs%.2f,"us_per_event":$usPerEvent%.1f}""")
     }
 
+    // stream_ohlc state axis (r20, r19 verdict task 6): the r19
+    // amplified sweep read this row 3.13× fresh at 10× — the only >3×
+    // row without a scale story. The claim under test: OHLC window
+    // state is bounded by DISTINCT (day, user) KEYS, never by rows.
+    // Two arms per factor, both staged in 4 files and replayed 2 per
+    // micro-batch (the gate's cross-batch merge shape):
+    //   - same_keys: f× replicas with fresh event_ids and IDENTICAL
+    //     users/timestamps — state rows, bar count, and every bar
+    //     value must be EXACTLY invariant (min/max/min_by/max_by
+    //     absorb duplicates; open/close tie-break to the same minimal
+    //     (ts, event_id) whose x is identical across replicas) while
+    //     Σn scales exactly f× and wall tracks replayed volume;
+    //   - fresh_keys: per-replica user_id shift (the AmplifiedBench
+    //     regime) — state rows and bars scale exactly f×. This arm IS
+    //     the amplified row's super-linear mechanism made visible:
+    //     complete-mode replay re-emits the ENTIRE bar table every
+    //     micro-batch, so sink work grows with keys × batches on top
+    //     of the linear input scan — a replay-harness artifact, not an
+    //     operator defect (production uses append/update + watermark
+    //     eviction, where per-batch emission is the delta).
+    val ohlcBase = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
+    def probeStreamOhlc(f: Int): Unit = {
+      import graft.streaming.Streams
+      val ev = Tables.events(spark, sfDir)
+        .select(Streams.eventSchema.fieldNames.map(col).toSeq: _*)
+      def arm(name: String, shiftUsers: Boolean): Unit = {
+        val big = (0 until f).map { i =>
+          val u =
+            if (shiftUsers && i > 0) col("user_id") + lit(i.toLong * 1000000000L)
+            else col("user_id")
+          ev.select(
+            (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+            col("ts"), u.as("user_id"), col("event_type"), col("value"),
+            col("props"))
+        }.reduce(_ union _)
+        val d = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-ohlc-$name-$f").toString
+        big.repartition(4).write.mode("overwrite").parquet(d)
+        val tag = s"probe_ohlc_${name}_$f"
+        val stream = spark.readStream.schema(Streams.eventSchema)
+          .option("maxFilesPerTrigger", "2").parquet(d)
+        val t0 = System.nanoTime()
+        val q = Streams.ohlcWindows(stream).writeStream
+          .outputMode("complete").format("memory").queryName(tag)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val sp = q.recentProgress.flatMap(_.stateOperators)
+        val stateRows = sp.map(_.numRowsTotal).lastOption.getOrElse(-1L)
+        val a = spark.table(tag).agg(count(lit(1)).as("bars"),
+          sum(col("n")).as("n_sum"),
+          sum(col("open_cents") + col("high_cents") + col("low_cents") +
+            col("close_cents")).as("fp")).head()
+        val (bars, nSum, fp) = (a.getLong(0), a.getLong(1), a.getLong(2))
+        if (f == factors.min) ohlcBase(name) = (stateRows, bars, nSum / f, fp)
+        val (bs, bb, bn, bfp) = ohlcBase.getOrElse(name, (-1L, -1L, -1L, -1L))
+        // per-arm law: same_keys ⇒ state/bars/fp flat, Σn = f·base;
+        // fresh_keys ⇒ state/bars/fp = f·base, Σn = f·base
+        val keyScale = if (shiftUsers) f.toLong else 1L
+        val dev =
+          if (bs < 0) -1L
+          else Seq(math.abs(stateRows - bs * keyScale),
+            math.abs(bars - bb * keyScale),
+            math.abs(nSum - bn * f),
+            math.abs(fp - bfp * keyScale)).max
+        spark.catalog.dropTempView(tag)
+        println(
+          f"""{"probe":"stream_ohlc_state","arm":"$name","factor":$f,"events":${big.count()},"state_rows":$stateRows,"bars":$bars,"n_sum":$nSum,"fingerprint":$fp,"max_dev":$dev,"secs":$secs%.2f}""")
+      }
+      arm("same_keys", shiftUsers = false)
+      arm("fresh_keys", shiftUsers = true)
+    }
+
     // Eviction arm (factor-independent): plant LATE stragglers past the
     // 10-minute watermark horizon and replay in three checkpointed
     // AvailableNow batches. Batch 1 = the full base corpus at T0.
@@ -840,6 +914,7 @@ object ScaleProbe {
       axis("semdedup_k_prop_n") { probeSemDedup(f) }
       axis("semdedup_planted_recall") { probeSemDedupPlanted(f) }
       axis("stream_semdedup") { probeStreamSemDedup(f) }
+      axis("stream_ohlc_state") { probeStreamOhlc(f) }
       axis("funnel") { probeFunnel(f) }
       axis("weighted_median_skew") { probeWeightedMedianSkew(f) }
       axis("stream_sketch") { probeStreamSketch(f) }
