@@ -310,13 +310,7 @@ object Bench {
     // allocation/shuffle-bound rows. A fixed 256 MiB shared read-only
     // array streamed by 1 and by all threads measures what that loop
     // is blind to; reported as aggregate GB/s next to the cpu pair.
-    val bwArr: Array[Long] = {
-      val a = new Array[Long](32 * 1024 * 1024) // 256 MiB of longs
-      var i = 0
-      while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
-      a
-    }
-    def memBwGbps(threads: Int): Double = {
+    def memBwGbps(threads: Int, bwArr: Array[Long]): Double = {
       val acc = new java.util.concurrent.atomic.AtomicLong(0L)
       val t0 = System.nanoTime()
       val ts = (1 to threads).map { _ =>
@@ -366,9 +360,15 @@ object Bench {
     // after the sweep: a post-sweep tax above the pre-sweep tax is the
     // direct signature of contention arriving mid-run — the failure mode
     // the single-sample instrument missed in r16.
+    // the 256 MiB array is allocated per call and released right after,
+    // so it never sits in the old-gen while a query group is measured
     def calibrateBw(): (Double, Double) = {
-      memBwGbps(1) // warm (page-in + JIT)
-      (memBwGbps(1), memBwGbps(Runtime.getRuntime.availableProcessors()))
+      val a = new Array[Long](32 * 1024 * 1024) // 256 MiB of longs
+      var i = 0
+      while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+      memBwGbps(1, a) // warm (page-in + JIT)
+      val r = (memBwGbps(1, a), memBwGbps(Runtime.getRuntime.availableProcessors(), a))
+      r
     }
     val (calSingle, calAll) = calibrate()
     val (bwSingle, bwAll) = calibrateBw()
