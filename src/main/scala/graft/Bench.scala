@@ -503,9 +503,19 @@ object Bench {
     // shared set (single rep each — every query is JIT-warm from the
     // sweep) lands in `shared_set_retry_total`, so the official record
     // carries its own post-settle tiebreaker instead of borrowing one.
-    // bandwidth DEGRADES downward, so its ratio is pre/post
-    val degrade = Seq(calSingle2 / calSingle, calAll2 / calAll,
-      bwSingle / bwSingle2, bwAll / bwAll2).max
+    // SYMMETRIC imbalance (r20, second iteration): the first full r20
+    // run degraded post-vs-pre and was stamped; the very next run had
+    // the mirror image — contention PRESENT at the pre probe (all-cores
+    // 1.78 s, membw 16 GB/s) that cleared by the post probe — and a
+    // one-directional check called it clean. Contention at EITHER end
+    // of the bracket means part of the measurement window was dirty,
+    // so the stamp fires on imbalance in either direction. (A box that
+    // is equally slow at both ends is invisible to any relative pair —
+    // that case is caught round-over-round against the absolute
+    // cal_membw baseline recorded in SCALING.md, ~200 GB/s all-cores.)
+    def imb(a: Double, b: Double): Double = math.max(a / b, b / a)
+    val degrade = Seq(imb(calSingle2, calSingle), imb(calAll2, calAll),
+      imb(bwSingle, bwSingle2), imb(bwAll, bwAll2)).max
     val contended = degrade > 1.25
     var retryTotal = -1.0
     var calRe = (-1.0, -1.0)
