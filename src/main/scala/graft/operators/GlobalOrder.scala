@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.graftbridge.InternalRows
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scalable global row numbering (cudf `sorted_order` — a total-order
@@ -65,10 +68,25 @@ object GlobalOrder {
       .sortWithinPartitions(order: _*)
     val outSchema = StructType(
       sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    val numbered = sorted.rdd
+    // InternalRow end to end (r21): `sorted.rdd` deserialized every row
+    // to an external Row and `createDataFrame` converted each back —
+    // two full per-row materializations around a pass that only APPENDS
+    // one long. zipWithIndex's two jobs (counts + data) run over the
+    // same Tungsten rows now; the appended column rides a JoinedRow
+    // through one UnsafeProjection per partition.
+    val outTypes = outSchema.fields.map(_.dataType)
+    val numbered = InternalRows.toRdd(sorted)
       .zipWithIndex()
-      .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    df.sparkSession.createDataFrame(numbered, outSchema)
+      .mapPartitions { it =>
+        val proj = UnsafeProjection.create(outTypes)
+        val joined = new JoinedRow
+        val extra = new GenericInternalRow(1)
+        it.map { case (r, i) =>
+          extra.update(0, i + 1L)
+          proj(joined(r, extra)): InternalRow
+        }
+      }
+    InternalRows.fromRdd(df.sparkSession, numbered, outSchema)
   }
 
   /** Guard on the grouped-scan contract: the offsets map collected to
@@ -108,7 +126,7 @@ object GlobalOrder {
       out: String,
       maxGroups: Int,
       totOut: Option[String] = None)(
-      mkValue: StructType => Row => Long): DataFrame = {
+      mkValue: StructType => InternalRow => Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(!df.columns.contains(out),
       s"groupedScan: output column '$out' already exists in the input")
@@ -117,10 +135,31 @@ object GlobalOrder {
     val sorted = df
       .repartitionByRange((group.map(col) ++ order): _*)
       .sortWithinPartitions((group.map(col) ++ order): _*)
-    val gIdx = group.map(sorted.schema.fieldIndex)
-    val valueAt = mkValue(sorted.schema)
-    val rdd = sorted.rdd
+    val schema = sorted.schema
+    val gIdx = group.map(schema.fieldIndex).toArray
+    val gTypes = gIdx.map(i => schema.fields(i).dataType)
+    val valueAt = mkValue(schema)
+    // InternalRow end to end (r21): both jobs previously deserialized
+    // every row to an external Row (`sorted.rdd`) and the data pass
+    // re-converted each output via `createDataFrame` — per-row
+    // materializations that dominated the operator's wall next to the
+    // one range exchange. Same RDD instance for both jobs (the
+    // determinism contract above is unchanged); group-key values are
+    // COPIED out of the reused UnsafeRow buffer before being held
+    // across rows (map keys, curK).
+    val rdd = InternalRows.toRdd(sorted)
     val groupDesc = group.mkString("(", ",", ")")
+    // Extract the (copied) group key of the current row — buffer-backed
+    // values (UTF8String) must not be retained across next() calls.
+    def keyAt(r: InternalRow): Seq[Any] = {
+      val a = new Array[Any](gIdx.length)
+      var j = 0
+      while (j < gIdx.length) {
+        a(j) = InternalRow.copyValue(r.get(gIdx(j), gTypes(j)))
+        j += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    }
     // The cap is enforced INSIDE the task, before anything reaches the
     // driver: a partition that sees > maxGroups distinct keys throws in
     // the executor, so a mistakenly SF-scaled group key fails the job
@@ -134,7 +173,7 @@ object GlobalOrder {
       .mapPartitionsWithIndex { (pi, it) =>
         val sums = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
         it.foreach { r =>
-          val k = gIdx.map(r.get)
+          val k = keyAt(r)
           if (!sums.contains(k) && sums.size >= maxGroups)
             throw new IllegalArgumentException(
               s"groupedScan: $groupDesc exceeds maxGroups=$maxGroups " +
@@ -171,16 +210,21 @@ object GlobalOrder {
         byGroup.map { case (k, ps) => (k, ps.iterator.map(_._3).sum) })
     }
     val outSchema = StructType(
-      sorted.schema.fields ++ (
+      schema.fields ++ (
         StructField(out, LongType, nullable = false) +:
           totOut.map(StructField(_, LongType, nullable = false)).toSeq))
+    val outTypes = outSchema.fields.map(_.dataType)
+    val nExtra = if (totOut.isDefined) 2 else 1
     val scanned = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val proj = UnsafeProjection.create(outTypes)
+      val joined = new JoinedRow
+      val extra = new GenericInternalRow(nExtra)
       var curK: Seq[Any] = null
       var seen = false
       var run = 0L
       var tot = 0L
       it.map { r =>
-        val k = gIdx.map(r.get)
+        val k = keyAt(r)
         if (!seen || k != curK) {
           seen = true
           curK = k
@@ -188,11 +232,12 @@ object GlobalOrder {
           bcTot.foreach(b => tot = b.value.getOrElse(k, 0L))
         }
         run += valueAt(r)
-        Row.fromSeq(r.toSeq ++ (
-          if (bcTot.isDefined) Seq(run, tot) else Seq(run)))
+        extra.update(0, run)
+        if (nExtra == 2) extra.update(1, tot)
+        proj(joined(r, extra)): InternalRow
       }
     }
-    df.sparkSession.createDataFrame(scanned, outSchema)
+    InternalRows.fromRdd(df.sparkSession, scanned, outSchema)
   }
 
   /** Appends `out` = 1-based row number (LongType) WITHIN each `group`
