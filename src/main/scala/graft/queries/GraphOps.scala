@@ -124,18 +124,50 @@ object GraphOps {
     * 1.27 s build vs 0.36 s/iteration — `pagerank_build_vs_5iter` in
     * MicroBench).
     */
-  private def pagerankEdgesDir(s: SparkSession, dir: String): String =
-    graft.DimCache.cached(s"pagerank-edges:$dir") {
+  /** r21: the artifact is now a BUCKETED table on `src` (the key every
+    * iteration joins on) instead of a plain parquet directory. The loop
+    * doc above always said "at cluster scale edges are hash-partitioned
+    * by src ONCE and every iteration reuses that partitioning" — plain
+    * parquet never delivered that: each of the 5 message joins paid its
+    * own full edge-list Exchange. A bucketed scan reports
+    * hashpartitioning(src, buckets), so the per-iteration shuffle-hash
+    * join moves ONLY the compact node-cardinality rank frame; the edge
+    * list is never exchanged after the one-time write (5 Exchange → 0 on
+    * the edge side — the guide's bucketBy persist-a-partitioning move).
+    *
+    * Bucket count is SCALE-ADAPTIVE, derived from the measured edge
+    * count (~256k edge rows ≈ 8 MB per bucket), not from a session
+    * constant: a fixed count tuned for either end is wrong at the other
+    * — measured at sf0.1, 32 buckets ran the five 1.2M-row joins as
+    * 160 tiny tasks (2.4 s, slower than the exchange it replaced) while
+    * size-derived 5 buckets runs them at 0.28 s/step vs 0.47 exchanged;
+    * at 100 TB the same rule yields thousands of buckets. The clamp
+    * floor keeps a small dataset from collapsing to one file.
+    */
+  private def pagerankEdgesTable(s: SparkSession, dir: String): String =
+    graft.DimCache.cached(s"pagerank-edges-bkt:$dir") {
       val tag = java.security.MessageDigest.getInstance("SHA-256")
         .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-      val p = System.getProperty("java.io.tmpdir") + s"/graft_predges_$tag"
-      pagerankEdges(Tables.orders(s, dir), Tables.lineitem(s, dir))
-        .write.mode("overwrite").parquet(p)
-      p
+      val tbl = s"graft_predges_bkt_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + "/" + tbl)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      // One materialization feeds both the row count (bucket sizing)
+      // and the write; unpersisted right after — build-time state only.
+      val edges = pagerankEdges(Tables.orders(s, dir), Tables.lineitem(s, dir))
+        .localCheckpoint()
+      val buckets = math.min(4096L,
+        math.max(4L, edges.count() / 256000L)).toInt
+      graft.sources.Bucketed.writeBucketed(
+        edges.repartition(buckets, col("src")), tbl, "src", buckets)
+      edges.unpersist()
+      tbl
     }
 
   private def graphPagerank(s: SparkSession, dir: String): DataFrame =
-    pagerankIterate(s.read.parquet(pagerankEdgesDir(s, dir)), iters = 5)
+    pagerankIterate(s.table(pagerankEdgesTable(s, dir)), iters = 5)
 
   private val graphPagerankSql = {
     // five unrolled iterations: DuckDB forbids aggregates in the
