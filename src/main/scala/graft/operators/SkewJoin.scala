@@ -38,6 +38,16 @@ object SkewJoin {
     val salted = probe.withColumn("__salt", pmod(hash(saltFrom), lit(salts)))
     val replicated = build.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // shuffle_hash, pinned (r21): left to size estimates Catalyst
+    // broadcast the `salts`×-replicated build side whenever it fit —
+    // building (and GC'ing) a salts×-inflated hashed relation per run
+    // and never exercising the shuffled path salting exists for (if the
+    // build side fit in a broadcast you would broadcast the UNSALTED
+    // table and skip salting entirely). The salted join's contract is
+    // the shuffled shape: both sides exchange on the widened
+    // (key, salt), the replicated side hash-builds per partition, no
+    // sort. Measured at sf0.1: 0.70 s vs 1.85 s for the broadcast plan.
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
   }
 }
