@@ -857,13 +857,16 @@ object LlmOps {
     */
   private[graft] def substringSpans(docs: DataFrame, W: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Window hashes via the fused one-pass expression (r21) — value-
+    // identical to the transform/slice/array_join/xxhash64 chain it
+    // replaces (same bytes, same seed; see WindowHash64), minus that
+    // chain's per-window array + string allocations, which both corpus
+    // passes of this query were paying.
     val occ = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= W)
       .select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, size(tk) - $W),
-             |  i -> xxhash64(array_join(slice(tk, i + 1, $W), ' ')))""".stripMargin))
+        posexplode(graft.functions.WindowHash64.windowHash64(col("tk"), W))
           .as(Seq("p", "h")))
     val dup = occ.groupBy(col("h"))
       .agg(count(lit(1)).as("n"))
@@ -936,13 +939,12 @@ object LlmOps {
   /** See [[dedupSubstringCut]]. Factored on (docs, W) for specs. */
   private[graft] def substringCut(docs: DataFrame, W: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Same fused window-hash expression as substringSpans (r21).
     val occ = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= W)
       .select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, size(tk) - $W),
-             |  i -> xxhash64(array_join(slice(tk, i + 1, $W), ' ')))""".stripMargin))
+        posexplode(graft.functions.WindowHash64.windowHash64(col("tk"), W))
           .as(Seq("p", "h")))
     val wh = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("p"))
     val removals = occ

@@ -279,4 +279,37 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(math.abs(out(1)._3 - 25.0 / 1.5) < 1e-12)
     assert(math.abs(out(2)._3 - 5.0) < 1e-12)
   }
+
+  test("windowHash64 is byte-identical to the composed xxhash64 chain") {
+    // The fused sliding-window hash replaced the interpreted
+    // transform/slice/array_join/xxhash64 chain in the ExactSubstr
+    // queries (r21); the substitution is only sound if every window
+    // hash is EXACTLY the chain's value — same join bytes, same seed.
+    import graft.functions.WindowHash64.windowHash64
+    val texts = Seq(
+      "a b c d e f g h i j",              // plain ascii
+      "x x x x x x x x",                  // exactly W tokens, repeats
+      "α β γ δ ε ζ η θ ι κ λ",            // multi-byte UTF-8
+      "one  two", // double space -> empty token from split
+      "t1 t2 t3 t4 t5 t6 t7 t8 t9 longertoken_here then more and more")
+    for (w <- Seq(2, 3, 8); t <- texts) {
+      val df = spark.createDataFrame(Seq(Tuple1(t))).toDF("text")
+        .select(split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= w)
+      val fused = df.select(windowHash64(col("tk"), w).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      val chain = df.select(expr(
+        s"""transform(sequence(0, size(tk) - $w),
+           |  i -> xxhash64(array_join(slice(tk, i + 1, $w), ' ')))""".stripMargin).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      assert(fused.toSeq == chain.toSeq, s"w=$w text='$t'")
+    }
+    // short input: no windows, empty array (the callers filter first,
+    // but the expression must not throw)
+    val short = spark.createDataFrame(Seq(Tuple1("a b"))).toDF("text")
+      .select(split(col("text"), " ").as("tk"))
+      .select(windowHash64(col("tk"), 8).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(short.head.isEmpty)
+  }
 }
