@@ -53,9 +53,16 @@ object Explain {
       // result is a LocalRelation by construction (sim_mmr_rerank's
       // pattern); the distributed word aggregate it consumes is the
       // oracled text_bpe_pair_stats plan.
+      // emb_pca_power / emb_pca_two (r21): the power loop's direction
+      // vector is a bounded d-long dimension iterated driver-side (the
+      // deflation-literal pattern two-components always used), so the
+      // returned frame is that dimension as a LocalRelation; the
+      // distributed per-iteration scan+vector-aggregate plans execute
+      // eagerly inside the builder and are spec-audited
+      // (PlanSpec "pca power iteration", ScaleOpsSpec).
       val intended =
         Set("reshape_transpose", "pack_sequences", "sim_mmr_rerank",
-          "text_bpe_trainer_steps") ++
+          "text_bpe_trainer_steps", "emb_pca_power", "emb_pca_two") ++
           (if (name.startsWith("stream_")) Set(name) else Set.empty)
       // Window smells (detectors shared with SmellFuzzSpec — see
       // PlanSmells for the rules: unpartitioned window; bounded-key

@@ -775,29 +775,47 @@ object Similarity {
     // overhead even though execution was already linear). Values are
     // unchanged: checkpointing only truncates lineage.
     val xqc = xq.localCheckpoint(false)
-    var v: DataFrame = xqc.sparkSession.range(1).select(
-      expr(s"transform(sequence(1, $d0), i -> CAST(1000000 AS BIGINT))").as("v"))
+    // r21 iteration shape. Two changes, values bit-identical throughout:
+    //   1. the projection `ds` is the fused codegen dot (DotI64 — the
+    //      same long multiply-add the interpreted zip_with fold
+    //      performed) and the mat-vec step u = Σ xq·ds is ONE
+    //      element-wise vector aggregate (VecDotSumAgg): each task
+    //      folds its rows into a d-long buffer, partials merge
+    //      element-wise — the previous shape exploded n·d (dim, x)
+    //      rows through Generate + HashAggregate + a d-row exchange
+    //      per iteration (long addition is order-free, so the sums are
+    //      exactly the grouped sums);
+    //   2. the direction vector v lives on the DRIVER between
+    //      iterations — a bounded d-long dimension (the class
+    //      pcaPowerTwoComponents already collects for its deflation
+    //      literals), injected as literals into the next scan. One
+    //      aggregate job per iteration replaces the
+    //      crossJoin(broadcast(v)) + lazy-checkpoint chain, whose
+    //      per-iteration broadcast + checkpoint materialization — not
+    //      the 2000-row arithmetic — dominated the wall at bench SF.
+    //      The normalization arithmetic (m = max(|u|) ∨ 1;
+    //      vⱼ = uⱼ div (m div 10⁶ ∨ 1)) is the same exact long math,
+    //      now in plain Scala.
+    val vecDotSum = org.apache.spark.sql.functions.udaf(new graft.agg.VecDotSumAgg)
+    var v: Array[Long] = Array.fill(d0)(1000000L)
     for (_ <- 1 to iters) {
-      val ds = xqc.crossJoin(broadcast(v)).select(
-        col("xq"),
-        expr("""aggregate(zip_with(xq, v, (x, w) -> x * w),
-               |  CAST(0 AS BIGINT), (a, t) -> a + t) div 10000000""".stripMargin)
-          .as("ds"))
-      val u = ds
-        .select(col("ds"), posexplode(col("xq")).as(Seq("dim", "x")))
-        .groupBy(col("dim"))
-        .agg(sum(col("x") * col("ds")).as("u"))
-      v = u
-        .agg(
-          expr("transform(array_sort(collect_list(struct(dim, u))), p -> p.u)")
-            .as("uarr"),
-          greatest(max(abs(col("u"))), lit(1L)).as("m"))
-        .select(
-          expr("transform(uarr, x -> x div greatest(m div 1000000, 1))").as("v"))
-        .localCheckpoint(false)
+      // one array Literal, not a d-element CreateArray — a d-ary
+      // expression tree costs analyzer/codegen time on every iteration
+      val vLit = typedlit[Seq[Long]](v.toIndexedSeq)
+      val u = xqc
+        .select(col("xq"),
+          graft.functions.DotI64.doti64(col("xq"), vLit).as("raw"))
+        .select(col("xq"), expr("raw div 10000000").as("ds"))
+        .agg(vecDotSum(col("xq"), col("ds")).as("uarr"))
+        .head().getSeq[Long](0).toArray
+      val m = math.max(u.iterator.map(math.abs).max, 1L)
+      val den = math.max(m / 1000000L, 1L)
+      v = u.map(_ / den)
     }
-    v.select(posexplode(col("v")).as(Seq("dim", "v_micro")))
-      .select(col("dim").cast(LongType).as("dim"), col("v_micro"))
+    val spark = xq.sparkSession
+    import spark.implicits._
+    v.toIndexedSeq.zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("dim", "v_micro")
   }
 
   /** Top TWO principal directions by deflation: v₁ from the power loop,
@@ -830,9 +848,9 @@ object Similarity {
     val den = math.max(n1sq / 1000000L, 1L)
     val x2 = xq
       .withColumn("v1a", array(v1.map(lit(_)).toIndexedSeq: _*))
-      .withColumn("c", expr(
-        """aggregate(zip_with(xq, v1a, (x, w) -> x * w),
-          |  CAST(0 AS BIGINT), (a, t) -> a + t) div 1000000""".stripMargin))
+      .withColumn("c",
+        graft.functions.DotI64.doti64(col("xq"), col("v1a")))
+      .withColumn("c", expr("c div 1000000"))
       .select(expr(
         s"transform(sequence(1, size(xq)), j -> xq[j - 1] - (c * v1a[j - 1]) div ${den}L)")
         .as("xq"))
