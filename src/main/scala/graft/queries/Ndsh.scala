@@ -939,13 +939,22 @@ object Ndsh {
         broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"))
-    lo.withColumn("n_supps", size(collect_set(col("l_suppkey")).over(w)))
-      .withColumn("n_late_supps",
-        size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)))
+    // Both supplier sets in ONE select (r21): the withColumn chain put
+    // a Project between two same-spec Window ops, defeating
+    // CollapseWindow — two Window passes over the one sorted exchange
+    // where one suffices. And broadcast(supEur) explicitly: the
+    // region-filtered supplier dim joins after the window filter, where
+    // Catalyst has no estimate and fell back to a SortMergeJoin — two
+    // Exchange + two Sort for a dimension-sized build (the same frame
+    // q11 already broadcasts from raw estimates).
+    lo.select(col("*"),
+        size(collect_set(col("l_suppkey")).over(w)).as("n_supps"),
+        size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w))
+          .as("n_late_supps"))
       .filter(col("is_late") && col("n_supps") >= 2 &&
         col("n_late_supps") === 1)
       .select(col("l_orderkey"), col("l_suppkey"))
-      .join(supEur, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(supEur), col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

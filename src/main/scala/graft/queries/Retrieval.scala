@@ -255,9 +255,14 @@ object Retrieval {
     val tf = tfOver(documents)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val qterms = corpusQueryTerms(tf)
-    val scalars = tf.agg(
-      countDistinct(col("doc_id")).as("n_docs"),
-      sum(col("tf")).as("sl"))
+    // Corpus scalars from the doc-level rollup, not token-level tf
+    // (r21): countDistinct(doc_id) over tf expanded every (doc, tok)
+    // row through a two-phase distinct; dl already holds one row per
+    // distinct doc_id with its exact token sum, so n_docs = count(dl)
+    // and sl = Σ dl — identical long values, doc-cardinality input.
+    val scalars = dl.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sl"))
     tf.join(broadcast(qterms), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(scalars))
@@ -426,17 +431,27 @@ object Retrieval {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val qterms = tf
+    // Document frequencies only for doc 0's candidate terms (r21): dfq
+    // fed nothing but the qterms join, so count the full-corpus df for
+    // the one query document's ≥4-char tokens instead of the whole
+    // vocabulary — a broadcast semi-filter ahead of the tok shuffle.
+    // Per-token counts are unchanged (filtering WHICH toks are counted
+    // never changes a surviving tok's count), so qterms is identical.
+    val q0 = tf
       .filter(col("doc_id") === 0 && length(col("tok")) >= 4)
+      .select(col("tok"))
+    val dfq = tf.join(broadcast(q0), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qterms = q0
       .join(dfq, Seq("tok"))
       .filter(col("df") >= 5)
       .orderBy(col("df").asc, col("tok"))
       .limit(16)
       .select(col("tok"), col("df"))
-    val scalars = tf.agg(
-      countDistinct(col("doc_id")).as("n_docs"),
-      sum(col("tf")).as("sl"))
+    // scalars from the doc-level rollup — see bm25ScoresOver (r21).
+    val scalars = dl.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sl"))
     tf.filter(col("doc_id") =!= 0)
       .join(broadcast(qterms), Seq("tok"))
       .join(dl, Seq("doc_id"))
@@ -509,14 +524,19 @@ object Retrieval {
       .agg(count(lit(1)).as("lex_rank"))
     val emb = Tables.embeddings(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-    val qv = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    // query norm hoisted into the 1-row broadcast (r21): sqrt(qe·qe) is
+    // constant per query but was re-evaluated for every corpus row; the
+    // product sqrt(e·e) * qn multiplies the same two doubles in the
+    // same order, so every score double is bit-identical.
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"),
+        sqrt(dotf64(col("e"), col("e"))).as("qn"))
     val denseTop = emb
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"),
         floor((dotf64(col("e"), col("qe")) /
-            (sqrt(dotf64(col("e"), col("e"))) *
-              sqrt(dotf64(col("qe"), col("qe"))))) * lit(1e6))
+            (sqrt(dotf64(col("e"), col("e"))) * col("qn"))) * lit(1e6))
           .cast(LongType).as("fp"))
       .orderBy(col("fp").desc, col("doc_id"))
       .limit(50)
