@@ -524,12 +524,23 @@ object LlmOps {
     */
   private def candidatePairSets(docs: DataFrame, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val prehashed = prehashedShingles(docs)
+    // Lineage cuts (r21): without them the char-fold shingle hashing ran
+    // THREE times per run — column pruning specializes the self-join's
+    // two banded branches into different subtrees (the a side keeps hs,
+    // the b side doesn't), so neither the exchange nor the scan is
+    // reused, and the hb re-attach recomputes the fold a third time.
+    // Checkpointing prehashed (1× corpus hash sets) and the capped
+    // banded frame (≤ 4 band replicas) makes every consumer read the
+    // one materialization — the same localCheckpoint lineage-cut the
+    // label-prop loop and the PageRank edge frame already use; values
+    // unchanged.
+    val prehashed = prehashedShingles(docs).localCheckpoint(false)
     val capped = bandedBuckets(prehashed)
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
+      .localCheckpoint(false)
     val a = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("hs").as("ha"))
     val b = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
