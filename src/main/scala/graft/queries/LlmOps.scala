@@ -146,8 +146,14 @@ object LlmOps {
     */
   private[graft] def lshCandidatePairs(docs: DataFrame, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Lineage cuts on sigs/capped (r21) — same rationale as
+    // candidatePairSets: column pruning specializes the self-join's two
+    // banded branches into different subtrees, so without the cuts the
+    // corpus is shingled+minhashed once per branch plus once for the
+    // mh_b attach. Values unchanged.
     val sigs = withShingles(docs)
       .select(col("doc_id"), minhashSig(16).as("mh"))
+      .localCheckpoint(false)
     // The signature array rides the LEFT side of the self-join only (a
     // map-side projection; the right side is compact (band, bucket, id)
     // rows), and the per-pair reduction takes first(mh_a) while grouping
@@ -168,6 +174,7 @@ object LlmOps {
         count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
+      .localCheckpoint(false)
     val l = capped
       .select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))
     val r = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
@@ -205,6 +212,7 @@ object LlmOps {
     */
   private[queries] def lshPortablePairs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // sigs/capped lineage cuts — see lshCandidatePairs (r21).
     val sigs = withShingles(docs)
       .select(col("doc_id"),
         graft.functions.PolyHash31.polyhash31(col("tk")).as("ph"))
@@ -214,6 +222,7 @@ object LlmOps {
           |  array_min(zip_with(pp, ww,
           |    (h, w) -> (CAST(p AS BIGINT) * w + h) % 1000000007)))""".stripMargin)
         .as("mh"))
+      .localCheckpoint(false)
     val banded = sigs
       .select(col("doc_id"), col("mh"),
         posexplode(expr(
@@ -227,6 +236,7 @@ object LlmOps {
         count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bucket_n") <= 1000)
       .drop("bucket_n")
+      .localCheckpoint(false)
     val l = capped
       .select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("mh").as("mh_a"))
     val r = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
