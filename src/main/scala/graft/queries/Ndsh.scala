@@ -678,17 +678,22 @@ object Ndsh {
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
     val base = cost
-      .join(pf, col("p_partkey") === col("l_partkey"))
-      .join(sup, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(pf), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_brand"), col("supply_cost"))
-    val mc = base
-      .groupBy(col("p_partkey").as("mc_pk"))
-      .agg(min(col("supply_cost")).as("min_cost"))
+    // Per-part minimum as a window over the SF-scaled partkey (r21):
+    // the aggregate-then-self-join form re-joined base with its own
+    // rollup — one more exchange + join than the same filter expressed
+    // as min() OVER (PARTITION BY p_partkey), whose per-key frames are
+    // bounded by suppliers-per-part. Identical rows survive (same min,
+    // same equality). Dimension attaches are broadcast explicitly: both
+    // sides are filter-shrunk dims Catalyst was sort-merging mid-plan
+    // where it has no estimates.
     base
-      .join(mc,
-        col("p_partkey") === col("mc_pk") &&
-          col("supply_cost") === col("min_cost"))
+      .withColumn("min_cost", min(col("supply_cost")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))))
+      .filter(col("supply_cost") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_brand"), col("supply_cost"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
