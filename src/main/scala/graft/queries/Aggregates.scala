@@ -635,12 +635,23 @@ object Aggregates {
     * invariance.
     */
   def weightedMedianOver(lineitem: DataFrame): DataFrame = {
-    val ord = Seq(col("l_extendedprice"), col("l_orderkey"),
-      col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    // Price-only scan order (r21): the 4-column unique tiebreaker
+    // existed to pin WHICH tied row gets which cum value, but this
+    // query's output is tie-order-invariant — the filter keeps rows
+    // with cum·2 ≥ tot and min_by picks the crossing row, whose PRICE
+    // is the same under any ordering of equal prices (the crossing
+    // falls inside the same equal-price run; cum is strictly
+    // increasing since weights are positive, so min_by never ties).
+    // Dropping the tiebreak columns removes three longs + an int from
+    // every row of the range exchange and from the sort comparisons —
+    // the operator's dominant cost (guide: shuffle fewer bytes).
+    // Output equality vs the full-tiebreak form is cross-checked in
+    // AnalyticsSpec and by the unchanged oracle (which still orders by
+    // the full key).
+    val ord = Seq(col("l_extendedprice"))
     val base = lineitem
       .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("l_quantity").cast(LongType).as("wt"))
+        col("l_quantity").cast(LongType).as("wt"))
     // Group totals ride the scan itself (r15): they are the column sums
     // of the per-(partition, group) partials the prefix scan already
     // collects, so the separate whole-input tots aggregate (a second

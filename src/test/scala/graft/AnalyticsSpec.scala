@@ -343,4 +343,27 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(rows.exists(_._1 == med), s"group $rf: $med not an element")
     }
   }
+
+  test("weighted median is tie-order-invariant (price-only scan order)") {
+    // r21 dropped the 4-column unique tiebreaker from the prefix-scan
+    // order: the crossing row's PRICE is the same under any ordering of
+    // equal prices. Pin that on a constructed tie-heavy frame where the
+    // half-weight crossing lands INSIDE a run of equal prices, and on
+    // one where it lands exactly at a run boundary.
+    val rows = Seq(
+      // group A: prices 1.0(w1), 5.0(w2), 5.0(w2), 5.0(w2), 9.0(w1)
+      // tot=8, crossing at cum 4 -> inside the 5.0 run
+      ("A", 1.0, 1L), ("A", 5.0, 2L), ("A", 5.0, 2L), ("A", 5.0, 2L),
+      ("A", 9.0, 1L),
+      // group B: 2.0(w2), 2.0(w2), 7.0(w4) tot=8, crossing at cum 4 ->
+      // exactly at the 2.0/7.0 boundary (lower median = 2.0)
+      ("B", 2.0, 2L), ("B", 2.0, 2L), ("B", 7.0, 4L))
+    val df = spark.createDataFrame(rows)
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val got = queries.Aggregates.weightedMedianOver(df).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("total_weight"), r.getAs[Double]("wmedian_price")))
+      .toMap
+    assert(got == Map("A" -> ((8L, 5.0)), "B" -> ((8L, 2.0))), got.toString)
+  }
 }
