@@ -155,10 +155,23 @@ object Bpe {
       docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     // keyed on the applicationId so a broadcast never outlives its
-    // SparkContext (tests stop/start sessions within one JVM)
+    // SparkContext (tests stop/start sessions within one JVM), and on a
+    // CONTENT digest of the merge sequence (r21, ADVICE fix): the r20
+    // key used merges.hashCode — 32 bits, so two different trained
+    // tables colliding would silently reuse the wrong broadcast and
+    // mistokenize with no error. SHA-256 over the escaped pair list
+    // makes key equality imply content equality.
+    val digest = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      merges.foreach { case (a, b) =>
+        md.update(a.getBytes("UTF-8")); md.update(0.toByte)
+        md.update(b.getBytes("UTF-8")); md.update(1.toByte)
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
     val bc: Broadcast[Map[(String, String), Int]] =
       graft.DimCache.cached(
-        s"bpe-ranks-bcast:${spark.sparkContext.applicationId}:${merges.hashCode}") {
+        s"bpe-ranks-bcast:${spark.sparkContext.applicationId}:$digest") {
         spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
       }
     val bpe = udf((text: String) =>
