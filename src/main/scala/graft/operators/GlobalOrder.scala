@@ -338,4 +338,185 @@ object GlobalOrder {
         else r.getLong(vIdx)
     }.drop(vTmp)
   }
+
+  /** One-pass grouped RANK FAMILY (r21): appends, WITHIN each `group`
+    * under the total order `tieKeys ++ tiebreak`,
+    *
+    *   - `rowOut`   = row_number() (1-based, LongType),
+    *   - `rankOut`  = rank()       (the tie run's head row number),
+    *   - `denseOut` = dense_rank() (1-based tie-run index),
+    *
+    * where a "tie run" is a maximal run of equal `tieKeys` values —
+    * exactly `rank()/dense_rank() OVER (PARTITION BY group ORDER BY
+    * tieKeys)` with `tiebreak` making the scan order total.
+    *
+    * Why it exists: building the family from [[groupedRowNumber]] took a
+    * second numbering pass over `distinct(group ++ tieKeys)`, a
+    * tie-group Window (its own exchange) and a null-safe join back.
+    * This computes all three columns in the SAME two jobs the plain
+    * numbering pays, with boundary-aware partials: each partition
+    * reports, per group, its row count, naive run count, first/last tie
+    * key and tail-run length; the driver stitches runs that straddle a
+    * range boundary (possible — only `group ++ tieKeys ++ tiebreak` is
+    * total, so equal tie keys may split) by walking partitions in order
+    * per group: a partition whose first tie key equals its predecessor's
+    * last merges its first run (dense −1) and inherits the run-head row
+    * number through the accumulated carry length.
+    *
+    * Same determinism/maxGroups/null-key contracts as [[scanCore]].
+    */
+  def groupedRankFamily(
+      df: DataFrame,
+      group: Seq[String],
+      tieKeys: Seq[Column],
+      tiebreak: Seq[Column],
+      rowOut: String,
+      rankOut: String,
+      denseOut: String,
+      maxGroups: Int = defaultMaxGroups): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Seq(rowOut, rankOut, denseOut).foreach(o => require(
+      !df.columns.contains(o), s"groupedRankFamily: output column '$o' " +
+        "already exists in the input"))
+    require(Seq(rowOut, rankOut, denseOut).distinct.size == 3,
+      "groupedRankFamily: output column names must be distinct")
+    // Tie keys must be plain input columns so the partials can read them
+    // by index; project computed ones first.
+    val tieTmp = tieKeys.zipWithIndex.map { case (_, i) => fresh(df, s"__tie_$i") }
+    val keyed = tieKeys.zip(tieTmp).foldLeft(df) {
+      case (d, (c, n)) => d.withColumn(n, c)
+    }
+    val order = tieTmp.map(col) ++ tiebreak
+    val sorted = keyed
+      .repartitionByRange((group.map(col) ++ order): _*)
+      .sortWithinPartitions((group.map(col) ++ order): _*)
+    val schema = sorted.schema
+    val gIdx = group.map(schema.fieldIndex).toArray
+    val gTypes = gIdx.map(i => schema.fields(i).dataType)
+    val tIdx = tieTmp.map(schema.fieldIndex).toArray
+    val tTypes = tIdx.map(i => schema.fields(i).dataType)
+    val rdd = InternalRows.toRdd(sorted)
+    val groupDesc = group.mkString("(", ",", ")")
+    def keyOf(r: InternalRow, idx: Array[Int], dts: Array[org.apache.spark.sql.types.DataType]): Seq[Any] = {
+      val a = new Array[Any](idx.length)
+      var j = 0
+      while (j < idx.length) {
+        a(j) = InternalRow.copyValue(r.get(idx(j), dts(j)))
+        j += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    }
+    // Per-(partition, group) partials: rows, naive run count, first/last
+    // tie key, and the tail run's length (rows of the partition's final
+    // run). LinkedHashMap keeps group-arrival order (not required, but
+    // deterministic).
+    final case class Part(pi: Int, g: Seq[Any], rows: Long, runs: Long,
+        firstTie: Seq[Any], lastTie: Seq[Any], tailRunLen: Long)
+    val partials: Array[Part] = rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[Seq[Any], (Long, Long, Seq[Any], Seq[Any], Long)]
+        var curG: Seq[Any] = null
+        var curT: Seq[Any] = null
+        var rows = 0L; var runs = 0L; var firstT: Seq[Any] = null
+        var tail = 0L
+        def flush(): Unit = if (curG != null) {
+          acc.update(curG, (rows, runs, firstT, curT, tail))
+        }
+        it.foreach { r =>
+          val g = keyOf(r, gIdx, gTypes)
+          val t = keyOf(r, tIdx, tTypes)
+          if (curG == null || g != curG) {
+            flush()
+            if (!acc.contains(g) && acc.size >= maxGroups)
+              throw new IllegalArgumentException(
+                s"groupedRankFamily: $groupDesc exceeds maxGroups=" +
+                  s"$maxGroups distinct values within one range " +
+                  "partition; this operator is for bounded-cardinality " +
+                  "keys — use a plain PARTITION BY Window for keys that " +
+                  "scale with the data")
+            curG = g; curT = t; rows = 0L; runs = 1L; firstT = t; tail = 0L
+          } else if (t != curT) {
+            curT = t; runs += 1L; tail = 0L
+          }
+          rows += 1L; tail += 1L
+        }
+        flush()
+        acc.iterator.map { case (g, (rw, rn, ft, lt, tl)) =>
+          Part(pi, g, rw, rn, ft, lt, tl)
+        }
+      }
+      .collect()
+    val nGroups = partials.iterator.map(_.g).toSet.size
+    require(nGroups <= maxGroups,
+      s"groupedRankFamily: $groupDesc has $nGroups distinct values " +
+        s"(> maxGroups=$maxGroups)")
+    // Driver stitch, per group in partition order: row offsets, dense
+    // offsets (naive run sums minus boundary merges), and the first
+    // run's carried-in length (for the run-head row number).
+    final case class Off(rowOff: Long, denseBase: Long, cont: Boolean,
+        carryIn: Long)
+    val offsets = scala.collection.mutable.Map.empty[(Int, Seq[Any]), Off]
+    partials.groupBy(_.g).foreach { case (g, ps) =>
+      val inOrder = ps.sortBy(_.pi)
+      var rowOff = 0L; var denseSum = 0L; var merges = 0L
+      var prevLast: Seq[Any] = null; var carry = 0L
+      inOrder.foreach { p =>
+        val cont = prevLast != null && p.firstTie == prevLast
+        if (cont) merges += 1L
+        offsets.update((p.pi, g),
+          Off(rowOff, denseSum - merges, cont, if (cont) carry else 0L))
+        // carry for the NEXT partition: length of the run that ends at
+        // this partition's tail, accumulated across partitions when the
+        // whole partition is one continuing run.
+        carry =
+          if (p.runs == 1L && cont) carry + p.rows
+          else p.tailRunLen
+        rowOff += p.rows
+        denseSum += p.runs
+        prevLast = p.lastTie
+      }
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(offsets.toMap)
+    val outSchema = StructType(
+      schema.fields ++ Seq(
+        StructField(rowOut, LongType, nullable = false),
+        StructField(rankOut, LongType, nullable = false),
+        StructField(denseOut, LongType, nullable = false)))
+    val outTypes = outSchema.fields.map(_.dataType)
+    val scanned = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val proj = UnsafeProjection.create(outTypes)
+      val joined = new JoinedRow
+      val extra = new GenericInternalRow(3)
+      var curG: Seq[Any] = null
+      var curT: Seq[Any] = null
+      var rowNum = 0L   // global row number of the previous row
+      var dense = 0L    // global dense rank of the current run
+      var headRow = 0L  // global row number of the current run's head
+      it.map { r =>
+        val g = keyOf(r, gIdx, gTypes)
+        val t = keyOf(r, tIdx, tTypes)
+        if (curG == null || g != curG) {
+          val off = bc.value((pi, g))
+          curG = g; curT = t
+          rowNum = off.rowOff
+          dense = off.denseBase + 1L
+          headRow = off.rowOff - off.carryIn + 1L
+          // a non-continuing first run heads at this very row
+          if (!off.cont) headRow = off.rowOff + 1L
+        } else if (t != curT) {
+          curT = t
+          dense += 1L
+          headRow = rowNum + 1L
+        }
+        rowNum += 1L
+        extra.update(0, rowNum)
+        extra.update(1, headRow)
+        extra.update(2, dense)
+        proj(joined(r, extra)): InternalRow
+      }
+    }
+    InternalRows.fromRdd(df.sparkSession, scanned, outSchema)
+      .drop(tieTmp: _*)
+  }
 }

@@ -263,27 +263,19 @@ object Windows {
     val base = Tables
       .customer(s, dir)
       .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
-    val numbered = GlobalOrder.groupedRowNumber(
-      base, Seq("c_mktsegment"), Seq(col("c_acctbal"), col("c_custkey")),
-      "row_num64")
+    // One grouped scan for the whole family (r21): row_number, rank and
+    // dense_rank all come out of GlobalOrder.groupedRankFamily's single
+    // range-partitioned pass (tie runs stitched across partition
+    // boundaries by the operator), where the previous build paid a
+    // second numbering pass over distinct (segment, acctbal), a
+    // tie-group Window with its own exchange, and a null-safe join
+    // back. Values identical — rank() IS the tie head's row number and
+    // dense_rank() the tie-run index, which is what the two-pass build
+    // was assembling.
     val nSeg = base.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_seg"))
-    val dense = GlobalOrder.groupedRowNumber(
-      base.select(col("c_mktsegment"), col("c_acctbal")).distinct(),
-      Seq("c_mktsegment"), Seq(col("c_acctbal")), "dense_rnk64")
-    val wTies = Window.partitionBy(col("c_mktsegment"), col("c_acctbal"))
-    // Null-safe (<=>) join keys: customer.c_acctbal happens to be
-    // non-null, but dense_rank window semantics rank a null key like any
-    // other value — an equi-join here would silently drop such rows
-    // (null != null), diverging from the window it replaces.
-    val denseR = dense
-      .withColumnRenamed("c_mktsegment", "seg_d")
-      .withColumnRenamed("c_acctbal", "bal_d")
-    numbered
-      .withColumn("rnk64", min(col("row_num64")).over(wTies))
-      .join(denseR,
-        col("c_mktsegment") <=> col("seg_d") &&
-          col("c_acctbal") <=> col("bal_d"))
-      .drop("seg_d", "bal_d")
+    GlobalOrder.groupedRankFamily(
+        base, Seq("c_mktsegment"), Seq(col("c_acctbal")),
+        Seq(col("c_custkey")), "row_num64", "rnk64", "dense_rnk64")
       .join(broadcast(nSeg), Seq("c_mktsegment"))
       .select(
         col("c_mktsegment"),

@@ -203,4 +203,50 @@ class GlobalOrderSpec extends AnyFunSuite {
         s"ref mismatch n=$n k=$k")
     }
   }
+
+  test("groupedRankFamily equals Window rank/dense_rank/row_number, boundary-straddling runs included") {
+    // Adversarial frame: few tie values with LONG runs over several
+    // groups, so the range partitioner must split tie runs across
+    // partition boundaries (only group ++ tie ++ tiebreak is total) -
+    // the stitch logic (dense merge, carried run-head) is exactly what
+    // a plain Window computes trivially on one partition.
+    import spark.implicits._
+    val n = 5000
+    val df = spark.range(n).select(
+      (col("id") % 3).cast("string").as("g"),
+      // 4 tie values per group, long runs, interleaved insert order
+      expr("(id div 3) % 4").as("tie"),
+      col("id").as("tb"))
+    val got = GlobalOrder.groupedRankFamily(
+        df, Seq("g"), Seq(col("tie")), Seq(col("tb")),
+        "rn", "rk", "dr")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("tie"))
+    val wt = Window.partitionBy(col("g")).orderBy(col("tie"), col("tb"))
+    val want = df.select(col("g"), col("tie"), col("tb"),
+        row_number().over(wt).cast(LongType).as("rn"),
+        rank().over(w).cast(LongType).as("rk"),
+        dense_rank().over(w).cast(LongType).as("dr"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.size == n && got == want)
+    // and a null tie value ranks like any other value
+    val df2 = spark.createDataFrame(Seq(
+      ("a", Option(1L), 1L), ("a", Option(1L), 2L), ("a", None, 3L),
+      ("a", None, 4L), ("a", Option(2L), 5L), ("b", None, 6L)))
+      .toDF("g", "tie", "tb")
+    val got2 = GlobalOrder.groupedRankFamily(
+        df2, Seq("g"), Seq(col("tie")), Seq(col("tb")), "rn", "rk", "dr")
+      .collect().map(r => (r.getString(0), r.getLong(5)) -> r.getLong(3)).toSet
+    val want2 = df2.select(col("g"),
+        row_number().over(Window.partitionBy(col("g"))
+          .orderBy(col("tie"), col("tb"))).cast(LongType).as("rn"),
+        dense_rank().over(Window.partitionBy(col("g")).orderBy(col("tie")))
+          .cast(LongType).as("dr"))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(1)).toSet
+    assert(got2 == want2)
+  }
 }
