@@ -264,6 +264,21 @@ object GlobalOrder {
       maxGroups: Int = defaultMaxGroups): DataFrame =
     scanCore(df, group, order, out, maxGroups)(_ => _ => 1L)
 
+  /** [[groupedRowNumber]] that ALSO appends `nOut` = the group's total
+    * row count, riding the partials the scan already collects (r21, the
+    * [[groupedCumSumWithTotal]] free-total mechanism with value = 1):
+    * every `ntile`/percentile consumer previously paid a separate
+    * whole-input count aggregate plus a broadcast join to get n.
+    */
+  def groupedRowNumberWithCount(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[Column],
+      out: String,
+      nOut: String,
+      maxGroups: Int = defaultMaxGroups): DataFrame =
+    scanCore(df, group, order, out, maxGroups, Some(nOut))(_ => _ => 1L)
+
   /** Appends `out` = running sum (LongType) of `value` WITHIN each
     * `group` under `order` — the scalable replacement for
     * `sum(v) OVER (PARTITION BY boundedKey ORDER BY … ROWS UNBOUNDED

@@ -361,11 +361,11 @@ object Extras {
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("xc"),
         col("o_orderkey"))
     val li = li0.drop("o_orderkey")
-    val counts = li.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    // n rides the numbering scan's partials (r21) — no separate count
+    // aggregate + broadcast join.
     val ranked = graft.operators.GlobalOrder
-      .groupedRowNumber(li0, Seq("grp"), Seq(col("xc"), col("o_orderkey")),
-        "rn")
-      .join(broadcast(counts), Seq("grp"))
+      .groupedRowNumberWithCount(li0, Seq("grp"),
+        Seq(col("xc"), col("o_orderkey")), "rn", "n")
     val bounds = ranked
       .groupBy(col("grp"))
       .agg(

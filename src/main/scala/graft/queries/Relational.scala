@@ -926,12 +926,11 @@ object Relational {
     val base = Tables
       .orders(s, dir)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-    val counts =
-      base.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    // n rides the numbering scan's partials (r21) — the separate count
+    // aggregate + broadcast join this used to pay are gone.
     GlobalOrder
-      .groupedRowNumber(base, Seq("o_orderpriority"),
-        Seq(col("o_totalprice"), col("o_orderkey")), "rn")
-      .join(broadcast(counts), Seq("o_orderpriority"))
+      .groupedRowNumberWithCount(base, Seq("o_orderpriority"),
+        Seq(col("o_totalprice"), col("o_orderkey")), "rn", "n")
       .select(
         col("o_orderkey"),
         col("o_orderpriority"),
