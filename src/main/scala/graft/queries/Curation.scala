@@ -145,9 +145,16 @@ object Curation {
     * per-pair comparisons cannot.
     */
   private def dsirImportance(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
+    // The hashed-gram frame feeds BOTH the distribution build and the
+    // scoring join; neither branch has an exchange below it, so without
+    // a lineage cut the per-token polyhash ran twice per run (r21, the
+    // candidatePairSets pattern). Checkpoint the compact pre-explode
+    // frame (doc-cardinality rows carrying the hash arrays).
+    val hashed = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         graft.functions.PolyHash31.polyhash31(toks).getField("pp").as("hs"))
+      .localCheckpoint(false)
+    val grams = hashed
       .select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
       .withColumn("b", col("h") % 1024)
     // ONE pass builds BOTH distributions (conditional count for the
