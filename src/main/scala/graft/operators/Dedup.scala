@@ -19,8 +19,12 @@ object Dedup {
     * doc id in the connected near-dup cluster. Singleton docs are their
     * own keeper (absent from the output; join with a default).
     */
-  /** Persistent-RDD ids reachable from `r`'s lineage (r included). */
-  private def persistedAncestors(r: org.apache.spark.rdd.RDD[_]): Set[Int] = {
+  /** Persistent-RDD ids reachable from `r`'s lineage (r included).
+    * private[graft]: the training pipeline's near-dedup stage uses the
+    * same walker to release the LSH candidate stage's lineage-cut
+    * caches (r21) once resolveKeepers has consumed them.
+    */
+  private[graft] def persistedAncestors(r: org.apache.spark.rdd.RDD[_]): Set[Int] = {
     val seen = scala.collection.mutable.Set.empty[Int]
     def walk(x: org.apache.spark.rdd.RDD[_]): Unit =
       if (seen.add(x.id)) x.dependencies.foreach(d => walk(d.rdd))
