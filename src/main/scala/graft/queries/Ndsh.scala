@@ -671,9 +671,9 @@ object Ndsh {
     // attributes re-attach by broadcast after the aggregate.
     val cost = Tables
       .lineitem(spark, dir)
-      .join(pf.select(col("p_partkey")),
+      .join(broadcast(pf.select(col("p_partkey"))),
         col("p_partkey") === col("l_partkey"), "left_semi")
-      .join(sup.select(col("s_suppkey")),
+      .join(broadcast(sup.select(col("s_suppkey"))),
         col("s_suppkey") === col("l_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
