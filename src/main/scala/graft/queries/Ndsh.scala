@@ -671,15 +671,15 @@ object Ndsh {
     // attributes re-attach by broadcast after the aggregate.
     val cost = Tables
       .lineitem(spark, dir)
-      .join(broadcast(pf.select(col("p_partkey"))),
+      .join(pf.select(col("p_partkey")),
         col("p_partkey") === col("l_partkey"), "left_semi")
-      .join(broadcast(sup.select(col("s_suppkey"))),
+      .join(sup.select(col("s_suppkey")),
         col("s_suppkey") === col("l_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
     val base = cost
-      .join(broadcast(pf), col("p_partkey") === col("l_partkey"))
-      .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+      .join(pf, col("p_partkey") === col("l_partkey"))
+      .join(sup, col("s_suppkey") === col("l_suppkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_brand"), col("supply_cost"))
     // Per-part minimum as a window over the SF-scaled partkey (r21):
@@ -687,9 +687,9 @@ object Ndsh {
     // rollup — one more exchange + join than the same filter expressed
     // as min() OVER (PARTITION BY p_partkey), whose per-key frames are
     // bounded by suppliers-per-part. Identical rows survive (same min,
-    // same equality). Dimension attaches are broadcast explicitly: both
-    // sides are filter-shrunk dims Catalyst was sort-merging mid-plan
-    // where it has no estimates.
+    // same equality). The part/supplier dim attaches stay UNHINTED per
+    // the SCALING.md policy — they are SF-scaled, so AQE broadcasts
+    // them below the threshold and shuffle-joins beyond it.
     base
       .withColumn("min_cost", min(col("supply_cost")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))))
@@ -947,11 +947,10 @@ object Ndsh {
     // Both supplier sets in ONE select (r21): the withColumn chain put
     // a Project between two same-spec Window ops, defeating
     // CollapseWindow — two Window passes over the one sorted exchange
-    // where one suffices. And broadcast(supEur) explicitly: the
-    // region-filtered supplier dim joins after the window filter, where
-    // Catalyst has no estimate and fell back to a SortMergeJoin — two
-    // Exchange + two Sort for a dimension-sized build (the same frame
-    // q11 already broadcasts from raw estimates).
+    // where one suffices. supEur stays UNHINTED (SCALING.md policy:
+    // supplier is SF-scaled, so AQE broadcasts it below the threshold
+    // and shuffle-joins beyond — at bench SF the runtime plan is the
+    // broadcast join either way).
     lo.select(col("*"),
         size(collect_set(col("l_suppkey")).over(w)).as("n_supps"),
         size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w))
@@ -959,7 +958,7 @@ object Ndsh {
       .filter(col("is_late") && col("n_supps") >= 2 &&
         col("n_late_supps") === 1)
       .select(col("l_orderkey"), col("l_suppkey"))
-      .join(broadcast(supEur), col("s_suppkey") === col("l_suppkey"))
+      .join(supEur, col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
