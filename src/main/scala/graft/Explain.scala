@@ -60,9 +60,16 @@ object Explain {
       // distributed per-iteration scan+vector-aggregate plans execute
       // eagerly inside the builder and are spec-audited
       // (PlanSpec "pca power iteration", ScaleOpsSpec).
+      // agg_weighted_median (r22): the crossing-partition lookup returns
+      // a bounded ≤maxGroups LocalRelation assembled from the pruned
+      // second job (the emb_pca pattern); the distributed range-exchange
+      // + partials + pruned-walk jobs execute eagerly inside
+      // GlobalOrder.groupedOrderStats and are spec-audited
+      // (GlobalOrderSpec "Window crossing formulation").
       val intended =
         Set("reshape_transpose", "pack_sequences", "sim_mmr_rerank",
-          "text_bpe_trainer_steps", "emb_pca_power", "emb_pca_two") ++
+          "text_bpe_trainer_steps", "emb_pca_power", "emb_pca_two",
+          "agg_weighted_median") ++
           (if (name.startsWith("stream_")) Set(name) else Set.empty)
       // Window smells (detectors shared with SmellFuzzSpec — see
       // PlanSmells for the rules: unpartitioned window; bounded-key

@@ -354,6 +354,235 @@ object GlobalOrder {
     }.drop(vTmp)
   }
 
+  /** Crossing-partition order-statistic lookup (r22): per bounded group,
+    * the `order`-column VALUE at each requested cumulative-weight target —
+    * `stat_i(g)` = the value of the first row (in ascending `order` within
+    * the group) whose running `weight` sum reaches `targets(tot_g)(i)`.
+    * With `weight = 1` this is the nearest-rank order statistic (p01/p99
+    * winsorize bounds); with a real weight it is the weighted-quantile
+    * crossing row (weighted median at target ceil(tot/2)).
+    *
+    * Why it exists: every consumer of [[groupedCumSum]]-style scans that
+    * only needs K VALUES per group (not a per-row output) still paid the
+    * full machinery — a per-partition sort of every range partition in
+    * BOTH RDD jobs, a second full streaming pass appending columns, and a
+    * downstream filter+aggregate over the whole frame. The partials the
+    * first job collects already tell the driver WHICH range partition
+    * holds each group's crossing, so:
+    *
+    *   1. range-exchange on (group, order) with NO per-partition sort —
+    *      the first job only sums weights per (partition, group), which
+    *      is order-free;
+    *   2. the driver locates, per group and target, the one partition
+    *      whose weight span contains the target, with the exact prefix
+    *      carried in;
+    *   3. a [[org.apache.spark.rdd.PartitionPruningRDD]] second job
+    *      touches ONLY those partitions (≤ #groups × #targets of them,
+    *      usually far fewer), sorts each pruned partition's (value,
+    *      weight) pairs in-task — Spark's interpreted ordering for the
+    *      column's type, so the order matches `sortWithinPartitions`
+    *      exactly — and walks to the crossing values.
+    *
+    * The full partitions never sort and never re-stream; the result is a
+    * driver-assembled bounded frame (≤ maxGroups rows — the same bound
+    * the offsets collect always had), computed from the parquet input on
+    * every invocation.
+    *
+    * Contracts: `weight` must be integral, non-null and strictly positive
+    * (a zero weight could make the crossing row ambiguous under ties);
+    * `order` values must be non-null; each target must lie in
+    * [1, tot_g]. Output value equality with the sorted-scan formulation
+    * is tie-invariant by construction: rows with equal `order` values
+    * form one run, and any crossing inside the run reports the run's
+    * value regardless of intra-run order. Same determinism (both jobs
+    * over ONE RDD instance) and maxGroups contracts as [[scanCore]].
+    */
+  def groupedOrderStats(
+      df: DataFrame,
+      group: Seq[String],
+      order: Column,
+      weight: Column,
+      statNames: Seq[String],
+      targets: Long => Seq[Long],
+      totOut: String,
+      maxGroups: Int = defaultMaxGroups): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    require(statNames.nonEmpty, "groupedOrderStats: statNames must be non-empty")
+    require((group :+ totOut).intersect(statNames).isEmpty &&
+      statNames.distinct.size == statNames.size && !group.contains(totOut),
+      "groupedOrderStats: output column names must be distinct from each " +
+        "other and from the group columns")
+    val vTmp = fresh(df, "__os_v")
+    val wTmp = fresh(df.withColumn(vTmp, order), "__os_w")
+    val keyed = df
+      .select(group.map(col) :+ order.as(vTmp) :+ weight.as(wTmp): _*)
+    val wType = keyed.schema(wTmp).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(wType),
+      s"groupedOrderStats: weight must be integral (got $wType)")
+    val projected = keyed
+      .select(group.map(col) :+ col(vTmp) :+ col(wTmp).cast(LongType): _*)
+    // Range exchange WITHOUT sortWithinPartitions: the partials job sums
+    // weights (order-free), and only the pruned crossing partitions ever
+    // sort — in-task, below.
+    val parted = projected.repartitionByRange(group.map(col) :+ col(vTmp): _*)
+    val schema = parted.schema
+    val gIdx = group.map(schema.fieldIndex).toArray
+    val gTypes = gIdx.map(i => schema.fields(i).dataType)
+    val vIdx = schema.fieldIndex(vTmp)
+    val vType = schema.fields(vIdx).dataType
+    val wIdx = schema.fieldIndex(wTmp)
+    val rdd = InternalRows.toRdd(parted)
+    val groupDesc = group.mkString("(", ",", ")")
+    def keyAt(r: InternalRow): Seq[Any] = {
+      val a = new Array[Any](gIdx.length)
+      var j = 0
+      while (j < gIdx.length) {
+        a(j) = InternalRow.copyValue(r.get(gIdx(j), gTypes(j)))
+        j += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    }
+    // Job 1: per-(partition, group) weight sums — identical cap/validate
+    // discipline to scanCore (executor-side cap first, global check after).
+    val partials: Array[(Int, Seq[Any], Long)] = rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        val sums = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+        it.foreach { r =>
+          if (r.isNullAt(wIdx) || r.getLong(wIdx) <= 0L)
+            throw new IllegalArgumentException(
+              "groupedOrderStats: weight must be non-null and > 0 on every row")
+          if (r.isNullAt(vIdx))
+            throw new IllegalArgumentException(
+              "groupedOrderStats: order value must be non-null on every row")
+          val k = keyAt(r)
+          if (!sums.contains(k) && sums.size >= maxGroups)
+            throw new IllegalArgumentException(
+              s"groupedOrderStats: $groupDesc exceeds maxGroups=$maxGroups " +
+                "distinct values within one range partition; this operator " +
+                "is for bounded-cardinality keys")
+          sums.update(k, sums.getOrElse(k, 0L) + r.getLong(wIdx))
+        }
+        sums.iterator.map { case (k, s) => (pi, k, s) }
+      }
+      .collect()
+    val byGroup = partials.groupBy(_._2)
+    require(byGroup.size <= maxGroups,
+      s"groupedOrderStats: $groupDesc has ${byGroup.size} distinct values " +
+        s"(> maxGroups=$maxGroups)")
+    // Driver: locate each (group, target)'s crossing partition + the
+    // exact weight prefix carried into it.
+    val k = statNames.size
+    // lookups(pi) = list of (group, targetIdx, target, prefixIntoPartition)
+    val lookups = scala.collection.mutable.Map
+      .empty[Int, List[(Seq[Any], Int, Long, Long)]]
+    val totals = scala.collection.mutable.Map.empty[Seq[Any], Long]
+    byGroup.foreach { case (g, ps) =>
+      val inOrder = ps.sortBy(_._1)
+      val tot = inOrder.iterator.map(_._3).sum
+      totals.update(g, tot)
+      val ts = targets(tot)
+      require(ts.size == k,
+        s"groupedOrderStats: targets returned ${ts.size} values, expected $k")
+      ts.zipWithIndex.foreach { case (t, ti) =>
+        require(t >= 1L && t <= tot,
+          s"groupedOrderStats: target $t outside [1, $tot] for group $g")
+        var prefix = 0L
+        var placed = false
+        inOrder.iterator.takeWhile(_ => !placed).foreach { case (pi, _, s) =>
+          if (prefix + s >= t) {
+            lookups.update(pi, (g, ti, t, prefix) :: lookups.getOrElse(pi, Nil))
+            placed = true
+          } else prefix += s
+        }
+        assert(placed, s"groupedOrderStats: target $t not placed (bug)")
+      }
+    }
+    val needed = lookups.keySet.toSet
+    val bcLookups = df.sparkSession.sparkContext.broadcast(lookups.toMap)
+    // Job 2: pruned to the crossing partitions only; each task buffers
+    // the (value, weight) pairs of the groups it owes answers for, sorts
+    // them with Spark's interpreted ordering for the column type (the
+    // exact `sortWithinPartitions` order), and walks to the crossings.
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(vType)
+    // PartitionPruningRDD RENUMBERS partitions (0..m-1 over the kept
+    // set), so the lookup keys — PARENT partition indices — must ride
+    // with the rows: a narrow per-row tag evaluated only on the kept
+    // partitions (pruning a narrow child prunes the parent).
+    val tagged = rdd.mapPartitionsWithIndex(
+      (pi, it) => it.map(r => (pi, r)), preservesPartitioning = true)
+    val pruned = org.apache.spark.rdd.PartitionPruningRDD
+      .create(tagged, needed.contains)
+    // (group, targetIdx, value) — ≤ #groups × k rows total
+    val found: Array[(Seq[Any], Int, Any)] = pruned
+      .mapPartitions { it0 =>
+        if (!it0.hasNext) Iterator.empty
+        else {
+          val buffered = it0.buffered
+          val pi = buffered.head._1
+          val it = buffered.map(_._2)
+          val mine = bcLookups.value.getOrElse(pi, Nil)
+          if (mine.isEmpty) Iterator.empty
+          else {
+          val wanted = mine.map(_._1).toSet
+          val buf = scala.collection.mutable
+            .Map.empty[Seq[Any], scala.collection.mutable.ArrayBuffer[(Any, Long)]]
+          it.foreach { r =>
+            val g = keyAt(r)
+            if (wanted.contains(g))
+              buf.getOrElseUpdate(g,
+                scala.collection.mutable.ArrayBuffer.empty[(Any, Long)])
+                .append((InternalRow.copyValue(r.get(vIdx, vType)), r.getLong(wIdx)))
+          }
+          mine.groupBy(_._1).iterator.flatMap { case (g, reqs) =>
+            val rows = buf(g).sortBy(_._1)(ord)
+            // targets ascending; one walk answers all of this group's
+            // requests that landed in this partition
+            val asc = reqs.sortBy(_._3)
+            var cum = 0L
+            var i = 0
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Int, Any)]
+            var ri = 0
+            while (ri < asc.length) {
+              val (_, ti, t, prefix) = asc(ri)
+              val rel = t - prefix // target within this partition's span
+              while (cum < rel && i < rows.length) {
+                cum += rows(i)._2
+                i += 1
+              }
+              assert(i > 0 && cum >= rel,
+                "groupedOrderStats: crossing row not found (bug)")
+              out.append((g, ti, rows(i - 1)._1))
+              ri += 1
+            }
+            out.iterator
+          }
+          }
+        }
+      }
+      .collect()
+    // Assemble the bounded result frame on the driver (external values —
+    // this frame is ≤ maxGroups rows by construction).
+    val statsByGroup = found.groupBy(_._1)
+      .map { case (g, rs) => (g, rs.map(r => r._2 -> r._3).toMap) }
+    val outSchema = StructType(
+      gIdx.zipWithIndex.map { case (fi, j) =>
+        StructField(group(j), schema.fields(fi).dataType,
+          schema.fields(fi).nullable) } ++
+        (StructField(totOut, LongType, nullable = false) +:
+          statNames.map(n => StructField(n, vType, nullable = false))))
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(outSchema)
+    val rows: Seq[org.apache.spark.sql.Row] = byGroup.keys.toSeq.map { g =>
+      val stats = statsByGroup(g)
+      val vals: Seq[Any] = g ++ (totals(g) +: (0 until k).map(stats))
+      conv(InternalRow.fromSeq(vals)).asInstanceOf[org.apache.spark.sql.Row]
+    }
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(rows.asJava, outSchema)
+  }
+
   /** One-pass grouped RANK FAMILY (r21): appends, WITHIN each `group`
     * under the total order `tieKeys ++ tiebreak`,
     *

@@ -635,36 +635,28 @@ object Aggregates {
     * invariance.
     */
   def weightedMedianOver(lineitem: DataFrame): DataFrame = {
-    // Price-only scan order (r21): the 4-column unique tiebreaker
-    // existed to pin WHICH tied row gets which cum value, but this
-    // query's output is tie-order-invariant — the filter keeps rows
-    // with cum·2 ≥ tot and min_by picks the crossing row, whose PRICE
-    // is the same under any ordering of equal prices (the crossing
-    // falls inside the same equal-price run; cum is strictly
-    // increasing since weights are positive, so min_by never ties).
-    // Dropping the tiebreak columns removes three longs + an int from
-    // every row of the range exchange and from the sort comparisons —
-    // the operator's dominant cost (guide: shuffle fewer bytes).
-    // Output equality vs the full-tiebreak form is cross-checked in
-    // AnalyticsSpec and by the unchanged oracle (which still orders by
-    // the full key).
-    val ord = Seq(col("l_extendedprice"))
+    // Crossing-partition lookup (r22, on top of r21's price-only order):
+    // the full prefix scan appended cum/tot to EVERY row, then filtered
+    // and re-aggregated the whole frame just to keep one row per group.
+    // The crossing row — the first in price order with 2·cum ≥ tot,
+    // i.e. cum ≥ ceil(tot/2) — is located from the scan's own partials
+    // instead: groupedOrderStats range-exchanges (flag, price) with NO
+    // per-partition sort, reads the per-(partition, group) weight sums,
+    // and a partition-pruned second job touches ONLY the ≤ 3 partitions
+    // that contain a crossing (in-task sort of just those), so the full
+    // partitions never sort, never re-stream, and the downstream
+    // filter + hash aggregate disappear outright. Tie-invariance is
+    // unchanged from r21 (equal prices form one run; any crossing in
+    // the run reports the run's price) — pinned by AnalyticsSpec and
+    // the full-key-ordered oracle.
     val base = lineitem
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_quantity").cast(LongType).as("wt"))
-    // Group totals ride the scan itself (r15): they are the column sums
-    // of the per-(partition, group) partials the prefix scan already
-    // collects, so the separate whole-input tots aggregate (a second
-    // parquet scan) and the broadcast join of the FULL scanned frame
-    // both disappear — the 10× amplified wall was dominated by exactly
-    // those two extra passes.
     graft.operators.GlobalOrder
-      .groupedCumSumWithTotal(
-        base, Seq("l_returnflag"), ord, col("wt"), "cum", "tot")
-      .filter(col("cum") * 2 >= col("tot"))
-      .groupBy(col("l_returnflag"))
-      .agg(max(col("tot")).as("total_weight"),
-        min_by(col("l_extendedprice"), col("cum")).as("wmedian_price"))
+      .groupedOrderStats(base, Seq("l_returnflag"),
+        col("l_extendedprice"), col("wt"),
+        Seq("wmedian_price"), tot => Seq((tot + 1L) / 2L), "total_weight")
+      .select(col("l_returnflag"), col("total_weight"), col("wmedian_price"))
   }
 
   private val weightedMedianSql =

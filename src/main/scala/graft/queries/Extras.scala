@@ -361,17 +361,23 @@ object Extras {
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("xc"),
         col("o_orderkey"))
     val li = li0.drop("o_orderkey")
-    // n rides the numbering scan's partials (r21) — no separate count
-    // aggregate + broadcast join.
-    val ranked = graft.operators.GlobalOrder
-      .groupedRowNumberWithCount(li0, Seq("grp"),
-        Seq(col("xc"), col("o_orderkey")), "rn", "n")
-    val bounds = ranked
-      .groupBy(col("grp"))
-      .agg(
-        min(when(col("rn") === expr("(n + 99) div 100"), col("xc"))).as("lo"),
-        min(when(col("rn") === expr("(99 * n + 99) div 100"), col("xc")))
-          .as("hi"))
+    // Crossing-partition lookup (r22, replacing the r21 full numbering
+    // scan + bounds aggregate): the winsorize bounds are TWO order
+    // statistics per group — the xc values at nearest ranks
+    // ceil(n/100) and ceil(99n/100) — so ranking every row and then
+    // aggregating the whole ranked frame down to 5 rows paid a full
+    // per-partition sort twice, a full streaming pass, and a
+    // whole-input aggregate for 10 values. groupedOrderStats locates
+    // the two ranks per group from the numbering scan's own partials
+    // and reads only the ≤ 2×5 crossing partitions (rank selection is
+    // tie-invariant: the value at a target rank is the same under any
+    // ordering of equal values, which is why the o_orderkey tiebreak
+    // could already be dropped from the semantics).
+    val bounds = graft.operators.GlobalOrder
+      .groupedOrderStats(li, Seq("grp"), col("xc"), lit(1),
+        Seq("lo", "hi"),
+        n => Seq((n + 99L) / 100L, (99L * n + 99L) / 100L), "n_tot")
+      .select(col("grp"), col("lo"), col("hi"))
     li.join(broadcast(bounds), "grp")
       .select(col("grp"), col("xc"), col("lo"), col("hi"),
         least(greatest(col("xc"), col("lo")), col("hi")).as("cl"))

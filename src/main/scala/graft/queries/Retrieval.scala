@@ -510,7 +510,11 @@ object Retrieval {
     * 0 = not retrieved by that arm) BEFORE the final top-10 — shared by
     * the fusion query and the nDCG audit of the fused ranking.
     */
-  private def rrfFused(s: SparkSession, dir: String): DataFrame = {
+  /** The two LAZY arm frames (lexRanked, denseRanked) — split out so the
+    * plan audit (RetrievalSpec) can still see the arm shapes now that
+    * [[rrfFused]] materializes them behind checkpoints.
+    */
+  private[graft] def rrfArms(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.functions.DotF64.dotf64
     val lexTop = doc0Bm25Scores(Tables.documents(s, dir))
       .orderBy(col("bm25_micro").desc, col("doc_id"))
@@ -546,8 +550,30 @@ object Retrieval {
           (col("f2") === col("fp") && col("d2") <= col("doc_id")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dense_rank"))
-    lexRanked
-      .join(denseRanked, Seq("doc_id"), "full")
+    (lexRanked, denseRanked)
+  }
+
+  private def rrfFused(s: SparkSession, dir: String): DataFrame = {
+    val (lexRanked, denseRanked) = rrfArms(s, dir)
+    // Overlap the arms (r22, guide §2.6): the lexical arm is the full
+    // BM25 pipeline and the dense arm a corpus cosine scan — independent
+    // until the fuse, yet one action ran them back to back (the fuse
+    // stage only materializes both subtrees sequentially). Submit each
+    // arm's ≤50-row materialization from its own driver thread so the
+    // dense arm's stages back-fill the lexical arm's idle tail; the fuse
+    // then joins two tiny checkpointed frames. Values unchanged — the
+    // arms never shared a subtree (tf is the lexical arm's own exchange).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val (lexCk, denseCk) =
+      try {
+        val lexF = scala.concurrent.Future(lexRanked.localCheckpoint())(ec)
+        val denseF = scala.concurrent.Future(denseRanked.localCheckpoint())(ec)
+        (scala.concurrent.Await.result(lexF, scala.concurrent.duration.Duration.Inf),
+          scala.concurrent.Await.result(denseF, scala.concurrent.duration.Duration.Inf))
+      } finally ec.shutdown()
+    lexCk
+      .join(denseCk, Seq("doc_id"), "full")
       .select(col("doc_id"),
         coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
         coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))

@@ -27,7 +27,7 @@ class DriverDisciplineSpec extends AnyFunSuite {
     "ScaleProbe.scala" -> 11, // probe harness: per-factor invariant rows + bloom_blocksize point-lookup evidence (bounded: ≤4 probe rows per sweep) + the r19 binary-budget axis's 8 query vectors (the recallQueryVectors bound)
     "functions/Bpe.scala" -> 1, // merge table (<= 200 learned pairs)
     "functions/Wordpiece.scala" -> 1, // vocab page (capped broadcast)
-    "operators/GlobalOrder.scala" -> 3, // offsets maps (O(P+G), probed r16; r21 adds groupedRankFamily's partials — same #partitions × #groups bound, executor-capped like the others)
+    "operators/GlobalOrder.scala" -> 5, // offsets maps (O(P+G), probed r16; r21 adds groupedRankFamily's partials — same #partitions × #groups bound, executor-capped like the others; r22 adds groupedOrderStats' partials (same bound) and its crossing results (≤ #groups × #targets rows))
     "operators/Similarity.scala" -> 5, // centroids/codebooks (k x dim) + sq8Bounds (d min/max pairs)
     "queries/Conversions.scala" -> 1, // bloom probe ids (4)
     "queries/LlmOps.scala" -> 4, // vocab/threshold/probe dims + the r19 ivfsq8 recall-audit query vectors (8 rows x d, the sim_sq8_recall query-sample bound)

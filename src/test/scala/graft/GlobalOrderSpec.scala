@@ -176,6 +176,113 @@ class GlobalOrderSpec extends AnyFunSuite {
       .count() === grouped.count())
   }
 
+  test("groupedOrderStats equals the Window crossing formulation " +
+      "(weighted median, rank bounds, extremes), null group keys kept") {
+    // Tie-heavy order values over many input partitions so groups and
+    // equal-value runs straddle range boundaries, plus a null group.
+    val fx = Tables
+      .customer(spark, sf)
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, null)
+          .otherwise(col("c_mktsegment")).as("seg"),
+        (col("c_custkey") % 53).cast("double").as("x"),
+        ((col("c_custkey") % 5) + 1).cast(LongType).as("wt"))
+      .repartition(13)
+    val w = Window.partitionBy(col("seg"))
+    val ranked = fx
+      .withColumn("cum", sum(col("wt")).over(
+        w.orderBy(col("x"), col("c_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("wt")).over(w))
+    // weighted median + both extremes in ONE call: targets 1 (min),
+    // ceil(tot/2) (the 2·cum ≥ tot crossing), tot (max)
+    val got = GlobalOrder.groupedOrderStats(
+      fx.drop("c_custkey"), Seq("seg"), col("x"), col("wt"),
+      Seq("xmin", "med", "xmax"),
+      tot => Seq(1L, (tot + 1L) / 2L, tot), "tot")
+    // window-carried extremes (a plain equi-join reference would DROP
+    // the null group — the exact hazard the operator's null-keeps
+    // semantics exist to avoid)
+    val want = ranked
+      .withColumn("xmin", min(col("x")).over(w))
+      .withColumn("xmax", max(col("x")).over(w))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("seg"))
+      .agg(max(col("tot")).as("tot"), max(col("xmin")).as("xmin"),
+        min_by(col("x"), col("cum")).as("med"), max(col("xmax")).as("xmax"))
+      .select(col("seg"), col("tot"), col("xmin"), col("med"), col("xmax"))
+    assert(got.count() === fx.select(col("seg")).distinct().count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // unweighted rank lookup: nearest-rank p01/p99 equal the value at
+    // row_number() = ceil(q·n) under any tie order
+    val gotR = GlobalOrder.groupedOrderStats(
+      fx.drop("c_custkey"), Seq("seg"), col("x"), lit(1),
+      Seq("lo", "hi"),
+      n => Seq((n + 99L) / 100L, (99L * n + 99L) / 100L), "n")
+    val rankedN = fx
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("x"), col("c_custkey"))).cast(LongType))
+      .withColumn("n", count(lit(1)).over(w))
+    val wantR = rankedN
+      .groupBy(col("seg"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rn") === expr("(n + 99) div 100"), col("x"))).as("lo"),
+        min(when(col("rn") === expr("(99 * n + 99) div 100"), col("x")))
+          .as("hi"))
+      .select(col("seg"), col("n"), col("lo"), col("hi"))
+    assert(gotR.exceptAll(wantR).isEmpty && wantR.exceptAll(gotR).isEmpty)
+    // repeated invocation is stable (one RDD instance per call; no
+    // boundary re-sampling inside a call)
+    val again = GlobalOrder.groupedOrderStats(
+      fx.drop("c_custkey"), Seq("seg"), col("x"), col("wt"),
+      Seq("xmin", "med", "xmax"),
+      tot => Seq(1L, (tot + 1L) / 2L, tot), "tot")
+    assert(got.collect().toSet == again.collect().toSet)
+  }
+
+  test("groupedOrderStats enforces its fail-fast contracts") {
+    val fx = grouped.withColumn("x", (col("c_custkey") % 53).cast("double"))
+    // zero weight
+    val exW = intercept[Throwable] {
+      GlobalOrder.groupedOrderStats(
+        fx, Seq("seg"), col("x"), col("v") - col("v"),
+        Seq("m"), tot => Seq((tot + 1L) / 2L), "tot")
+    }
+    def messages(t: Throwable): Iterator[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse(""))
+    assert(messages(exW).exists(_.contains("weight must be non-null and > 0")))
+    // null order value
+    val exV = intercept[Throwable] {
+      GlobalOrder.groupedOrderStats(
+        fx, Seq("seg"), when(col("c_custkey") % 11 === 0, null)
+          .otherwise(col("x")), lit(1),
+        Seq("m"), tot => Seq((tot + 1L) / 2L), "tot")
+    }
+    assert(messages(exV).exists(_.contains("order value must be non-null")))
+    // non-integral weight
+    intercept[IllegalArgumentException] {
+      GlobalOrder.groupedOrderStats(
+        fx, Seq("seg"), col("x"), lit(0.5),
+        Seq("m"), tot => Seq(1L), "tot")
+    }
+    // target outside [1, tot]
+    val exT = intercept[Throwable] {
+      GlobalOrder.groupedOrderStats(
+        fx, Seq("seg"), col("x"), lit(1),
+        Seq("m"), tot => Seq(tot + 1L), "tot")
+    }
+    assert(messages(exT).exists(_.contains("outside [1,")))
+    // SF-scaled group key trips the cap
+    val exCard = intercept[Throwable] {
+      GlobalOrder.groupedOrderStats(
+        fx, Seq("c_custkey"), col("x"), lit(1),
+        Seq("m"), tot => Seq(1L), "tot", maxGroups = 16)
+    }
+    assert(messages(exCard).exists(_.contains("maxGroups=16")))
+  }
+
   test("ntileFromRowNumber equals SQL ntile for every frame size and k") {
     // The formula (first n mod k tiles take n/k + 1 rows) must agree
     // with the engine's ntile on EVERY (n, k), including the n < k edge

@@ -126,15 +126,26 @@ class RetrievalSpec extends AnyFunSuite {
   }
 
   test("rrf fusion plan: per-arm TakeOrdered, broadcast fuse, no shuffle sort") {
+    // r22: the fused query materializes the arms behind concurrent
+    // checkpoints, so the arm shapes are audited on the LAZY arm frames
+    // (rrfArms) and the returned plan on the final fuse.
+    val (lex, dense) = queries.Retrieval.rrfArms(spark, sf)
+    Seq("lex" -> lex, "dense" -> dense).foreach { case (arm, df) =>
+      val p = df.queryExecution.explainString(FormattedMode)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$arm arm top-50 must be TakeOrdered, not a global sort")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$arm arm: query terms / query vector / rank self-join must broadcast")
+      assert(!p.contains("CartesianProduct"), s"$arm arm: no cartesian products")
+      // no unpartitioned windows: ranking inside the 50-row frames is the
+      // broadcast self-join count, not a window
+      assert(!p.contains("windowspecdefinition"), s"$arm arm must not use windows")
+    }
     val p = SparkEntry.queries("retrieval_rrf_fusion")(spark, sf)
       .queryExecution.explainString(FormattedMode)
     assert(p.contains("TakeOrderedAndProject"),
-      "arm top-50 and final top-10 must be TakeOrdered, not global sorts")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      "query terms / query vector / rank self-joins must broadcast")
+      "final top-10 must be TakeOrdered, not a global sort")
     assert(!p.contains("CartesianProduct"), "no cartesian products")
-    // no unpartitioned windows: ranking inside the 50-row frames is the
-    // broadcast self-join count, not a window
     assert(!p.contains("windowspecdefinition"), "rrf must not use windows")
   }
 }
