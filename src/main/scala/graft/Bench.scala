@@ -388,6 +388,24 @@ object Bench {
     // Median-of-5 is robust to one-sided GC outliers; the group shape
     // keeps cross-query heap pollution out of the number entirely.
     val reps = 5
+    // Per-GROUP membw stamp (r22, verdict task 2): the endpoint-only
+    // calibration bracket cannot see minute-scale bandwidth episodes
+    // INSIDE the sweep, so both r20 and r21 adjudications had to argue
+    // per-query drift from forensics. A light all-cores stream probe
+    // (64 MiB/thread, ~10 ms clean / ~100 ms during an episode) sampled
+    // right after each group's timed reps stamps the conditions that
+    // group actually measured under; `clean` derives from the absolute
+    // quiet-box baseline (~200 GB/s all-cores, SCALING.md) so episode
+    // readings can be discarded mechanically. Probe cost sits between
+    // groups — never inside any query's number; the array is allocated
+    // per call and released before the next group's warmup GC.
+    val groupBwCleanGbps = 140.0 // 0.7 × the ~200 GB/s quiet-box baseline
+    def groupBwGbps(): Double = {
+      val a = new Array[Long](8 * 1024 * 1024) // 64 MiB of longs
+      var i = 0
+      while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+      memBwGbps(Runtime.getRuntime.availableProcessors(), a)
+    }
     // Per-query ORGANIC gc/heap deltas (r17, mirroring the r16
     // AmplifiedBench telemetry): gc_ms spans only the five timed reps —
     // after the group warmup, before groupCleanup's deliberate
@@ -401,11 +419,13 @@ object Bench {
       val gcDelta = gcMillis - gc0
       val heap = heapUsedMb
       val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
+      val bw = groupBwGbps()
       System.err.println(
         f"[bench] $n%-22s median=$med%7.3fs heap=$heap%5dMB " +
-          f"gc_delta=$gcDelta%5dms gc_cum=${gcMillis}%6dms codecache=${codeCacheMb}%4dMB")
+          f"gc_delta=$gcDelta%5dms gc_cum=${gcMillis}%6dms codecache=${codeCacheMb}%4dMB " +
+          f"membw=$bw%.1fGB/s")
       groupCleanup()
-      (n, med, gcDelta, heap)
+      (n, med, gcDelta, heap, bw)
     }
     // Layout-pruning evidence for the z-order scan: rows the parquet
     // scan actually READ (post row-group min/max skipping) vs the full
@@ -490,7 +510,7 @@ object Bench {
     // total, machine-readable so the trajectory stops recomputing it
     // from prose (r17 verdict task 5).
     val sharedTotal = results
-      .collect { case (k, v, _, _) if sharedSet69.contains(k) && v >= 0 => v }
+      .collect { case (k, v, _, _, _) if sharedSet69.contains(k) && v >= 0 => v }
       .sum
     // Contamination self-labeling (r20, verdict task 2): the r19 driver
     // record read 42.1 s where the identical tree's quiet-box run read
@@ -535,13 +555,23 @@ object Bench {
       System.err.println(f"[bench] shared-set settle retry total=$retryTotal%.3fs")
     }
     val qs = results
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val gcs = results
-      .map { case (k, _, g, _) => "\"" + k + "\":" + g }
+      .map { case (k, _, g, _, _) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val heaps = results
-      .map { case (k, _, _, h) => "\"" + k + "\":" + h }
+      .map { case (k, _, _, h, _) => "\"" + k + "\":" + h }
+      .mkString("{", ",", "}")
+    // r22 (verdict task 2): per-group membw + a mechanical clean flag on
+    // the sacrificial telemetry line (additions-only; the byte-bounded
+    // final line is unchanged).
+    val bws = results
+      .map { case (k, _, _, _, b) => "\"" + k + "\":" + f"$b%.1f" }
+      .mkString("{", ",", "}")
+    val bwClean = results
+      .map { case (k, _, _, _, b) =>
+        "\"" + k + "\":" + (b >= groupBwCleanGbps) }
       .mkString("{", ",", "}")
     // Emission (r20, verdict task 1 — supersedes the r18 two-line
     // split, which still let the final line GROW with the headline and
@@ -556,6 +586,7 @@ object Bench {
     // rides the telemetry line.
     println(
       f"""{"telemetry":"per_query","walls":$qs,"gc_ms":$gcs,"heap_mb":$heaps,""" +
+        f""""membw_group_gbps":$bws,"membw_group_clean":$bwClean,""" +
         f""""cal_recheck_single_s":${calRe._1}%.3f,"cal_recheck_allcores_s":${calRe._2}%.3f}""")
     println(finalLine(total, results.map(r => r._1 -> r._2).toMap,
       (calSingle, calAll), (calSingle2, calAll2),
