@@ -401,7 +401,11 @@ object Bench {
     // per call and released before the next group's warmup GC.
     val groupBwCleanGbps = 140.0 // 0.7 × the ~200 GB/s quiet-box baseline
     def groupBwGbps(): Double = {
-      val a = new Array[Long](8 * 1024 * 1024) // 64 MiB of longs
+      // Same 256 MiB footprint as the endpoint calibration: a smaller
+      // array partially fits in L3, which made the reading
+      // cache-sensitive to whatever the group left resident (93–100
+      // GB/s right after array-heavy groups on a verified-clean box).
+      val a = new Array[Long](32 * 1024 * 1024)
       var i = 0
       while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
       memBwGbps(Runtime.getRuntime.availableProcessors(), a)
@@ -419,12 +423,17 @@ object Bench {
       val gcDelta = gcMillis - gc0
       val heap = heapUsedMb
       val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
+      // Probe AFTER groupCleanup's GC: sampled directly against the
+      // group's just-freed heap the probe reads the JVM's own reclaim
+      // aftermath (58 GB/s right after an allocation-heavy group on a
+      // verified-clean box), not host conditions — the thing the stamp
+      // exists to measure.
+      groupCleanup()
       val bw = groupBwGbps()
       System.err.println(
         f"[bench] $n%-22s median=$med%7.3fs heap=$heap%5dMB " +
           f"gc_delta=$gcDelta%5dms gc_cum=${gcMillis}%6dms codecache=${codeCacheMb}%4dMB " +
           f"membw=$bw%.1fGB/s")
-      groupCleanup()
       (n, med, gcDelta, heap, bw)
     }
     // Layout-pruning evidence for the z-order scan: rows the parquet
