@@ -116,6 +116,30 @@ object ArrCanon {
     s"list_transform(($e), x -> CAST(floor(x * 1e$scale) AS BIGINT))"
 }
 
+/** Scan-shape helpers (r22). */
+object Scans {
+  /** Fan a NARROW scan out to the session's parallelism before an
+    * expensive per-row map (shingle/minhash folds, tokenization): the
+    * sf-scale parquet inputs hold ONE row group per file, so every
+    * first-pass map otherwise runs in a single task (StageProfile:
+    * 600 ms of shingle hashing on 1 of 32 cores). Scale-adaptive, not a
+    * constant: a scan that already splits into at least half the
+    * default parallelism is returned untouched, so at production scale
+    * (thousands of input splits) this is a no-op and no exchange is
+    * added. Round-robin repartition is deterministic under retry
+    * (sortBeforeRepartition, SPARK-23207) and the downstream consumers
+    * are per-row maps + key aggregates, so values are unchanged.
+    * r21 measured this LOSING on kernels whose map work was cheap or
+    * whose subtree computed multiple times (each copy re-paying the
+    * exchange); it pays exactly where a heavy map feeds ONE (usually
+    * checkpointed) materialization — the r22 call sites.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+}
+
 object Tables {
   // Per-(session, dir, table) READER memo (r22, the harness-floor item):
   // every `spark.read.parquet(path)` builds a fresh InMemoryFileIndex

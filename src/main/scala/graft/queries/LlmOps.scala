@@ -151,7 +151,7 @@ object LlmOps {
     // banded branches into different subtrees, so without the cuts the
     // corpus is shingled+minhashed once per branch plus once for the
     // mh_b attach. Values unchanged.
-    val sigs = withShingles(docs)
+    val sigs = withShingles(graft.Scans.fanOut(docs))
       .select(col("doc_id"), minhashSig(16).as("mh"))
       .localCheckpoint(false)
     // The signature array rides the LEFT side of the self-join only (a
@@ -213,7 +213,7 @@ object LlmOps {
   private[queries] def lshPortablePairs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // sigs/capped lineage cuts — see lshCandidatePairs (r21).
-    val sigs = withShingles(docs)
+    val sigs = withShingles(graft.Scans.fanOut(docs))
       .select(col("doc_id"),
         graft.functions.PolyHash31.polyhash31(col("tk")).as("ph"))
       .select(col("doc_id"), col("ph.pp").as("pp"), col("ph.ww").as("ww"))
@@ -544,7 +544,8 @@ object LlmOps {
     // one materialization — the same localCheckpoint lineage-cut the
     // label-prop loop and the PageRank edge frame already use; values
     // unchanged.
-    val prehashed = prehashedShingles(docs).localCheckpoint(false)
+    val prehashed = prehashedShingles(graft.Scans.fanOut(docs))
+      .localCheckpoint(false)
     val capped = bandedBuckets(prehashed)
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))

@@ -250,9 +250,25 @@ object Retrieval {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
 
-  def bm25ScoresOver(documents: DataFrame): DataFrame = {
+  /** One SHARED tf materialization (r22): StageProfile caught the
+    * tokenize+aggregate subtree executing FOUR times inside
+    * text_bm25_topk — corpusQueryTerms' `length(tok) >= 4` filter pushes
+    * below the tf aggregate and SPECIALIZES that branch's subtree (no
+    * exchange to reuse against the unfiltered branches), and even the
+    * two unfiltered branches planned as separate exchanges. The lineage
+    * cut makes every consumer (dl, dfq, the scoring join, the snippet's
+    * query-term pick) read one materialization — the same r21 cut the
+    * LSH family uses; values unchanged (the filter now applies above
+    * the read, same rows survive).
+    */
+  private def tfOverShared(documents: DataFrame): DataFrame =
+    tfOver(documents).localCheckpoint(false)
+
+  def bm25ScoresOver(documents: DataFrame): DataFrame =
+    bm25ScoresOverTf(tfOverShared(documents))
+
+  private def bm25ScoresOverTf(tf: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val tf = tfOver(documents)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val qterms = corpusQueryTerms(tf)
     // Corpus scalars from the doc-level rollup, not token-level tf
@@ -338,11 +354,14 @@ object Retrieval {
   private def textSnippetExtract(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val topDocs = bm25ScoresOver(docs)
+    // one tf materialization feeds the ranking AND the query-term pick
+    // (r22 — see tfOverShared)
+    val tfShared = tfOverShared(docs)
+    val topDocs = bm25ScoresOverTf(tfShared)
       .orderBy(col("bm25_micro").desc, col("doc_id"))
       .limit(10)
       .select(col("doc_id"))
-    val qts = corpusQueryTerms(tfOver(docs))
+    val qts = corpusQueryTerms(tfShared)
       .agg(sort_array(collect_list(col("tok"))).as("qts"))
     docs
       .join(topDocs, Seq("doc_id"), "leftsemi")
@@ -426,10 +445,9 @@ object Retrieval {
     */
   private def doc0Bm25Scores(documents: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val tf = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    // one tf materialization for the four consumers below (q0, dfq, dl,
+    // the scoring join) — r22, see tfOverShared
+    val tf = tfOverShared(documents)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // Document frequencies only for doc 0's candidate terms (r21): dfq
     // fed nothing but the qterms join, so count the full-corpus df for
@@ -646,8 +664,10 @@ object Retrieval {
     */
   private def textQueryExpansion(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tf = tfOver(docs)
-    val topDocs = bm25ScoresOver(docs)
+    // one tf materialization feeds ranking, df and the feedback slice
+    // (r22 — see tfOverShared)
+    val tf = tfOverShared(docs)
+    val topDocs = bm25ScoresOverTf(tf)
       .orderBy(col("bm25_micro").desc, col("doc_id"))
       .limit(10)
       .select(col("doc_id"))
