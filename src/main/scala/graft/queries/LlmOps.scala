@@ -884,12 +884,18 @@ object LlmOps {
     // replaces (same bytes, same seed; see WindowHash64), minus that
     // chain's per-window array + string allocations, which both corpus
     // passes of this query were paying.
-    val occ = docs
+    // r22: fan the char-heavy window-hash pass out of its single-task
+    // scan (Scans.fanOut — no-op at production split counts) and cut
+    // lineage at occ: it feeds BOTH the dup count and the flag join, so
+    // the hash pass otherwise executed twice per run (StageProfile:
+    // 215 + 132 ms single-task stages).
+    val occ = graft.Scans.fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= W)
       .select(col("doc_id"),
         posexplode(graft.functions.WindowHash64.windowHash64(col("tk"), W))
           .as(Seq("p", "h")))
+      .localCheckpoint(false)
     val dup = occ.groupBy(col("h"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
@@ -962,7 +968,7 @@ object LlmOps {
   private[graft] def substringCut(docs: DataFrame, W: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Same fused window-hash expression as substringSpans (r21).
-    val occ = docs
+    val occ = graft.Scans.fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= W)
       .select(col("doc_id"),
