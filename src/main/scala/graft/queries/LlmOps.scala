@@ -2964,11 +2964,13 @@ object LlmOps {
       .select(col("qid"), col("vec_id"), adcCol.as("a")))
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
+    // fused codegen L2 (r22): bit-identical fold to the composed
+    // aggregate(zip_with) chain it replaces (ExpressionsSpec) — the
+    // exact arm scores every (query, vector) pair per rep
     val exact = top10(emb.filter(col("vec_id") >= 8)
       .crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id"),
-        aggregate(zip_with(col("qe"), col("e"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v).as("a")))
+        graft.functions.L2SqF64.l2sqf64(col("qe"), col("e")).as("a")))
     val hits = exact.join(approx, Seq("qid", "vec_id"))
       .groupBy(col("qid")).agg(count(lit(1)).as("nh"))
     q.select(col("qid"))
@@ -3030,9 +3032,9 @@ object LlmOps {
       .select(col("qid"), col("vec_id"), adcCol.as("a")), 50)
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
+    // fused codegen L2 (r22) — see simPqRecall
     def l2Col: Column =
-      aggregate(zip_with(col("qe"), col("e"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.L2SqF64.l2sqf64(col("qe"), col("e"))
     val approx = topN(emb.join(broadcast(cand), "vec_id")
       .join(broadcast(q), "qid")
       .select(col("qid"), col("vec_id"), l2Col.as("a")), 10)

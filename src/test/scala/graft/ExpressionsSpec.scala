@@ -312,4 +312,27 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect().map(_.getSeq[Long](0))
     assert(short.head.isEmpty)
   }
+
+  test("l2sqf64 is bit-identical to the composed aggregate(zip_with) fold") {
+    // The fused squared-L2 replaced the interpreted HOF chain in the PQ
+    // recall certifications (r22); the substitution is only sound if
+    // every distance double is EXACTLY the fold's value — same per-
+    // element rounding sequence (subtract, multiply, add), ascending.
+    import graft.functions.L2SqF64.l2sqf64
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 64).map { i =>
+      val n = 1 + rnd.nextInt(96)
+      (Seq.fill(n)(rnd.nextDouble() * 2e3 - 1e3),
+        Seq.fill(n)(rnd.nextDouble() * 2e3 - 1e3))
+    } :+ ((Seq(0.1, -0.2, 1e-300), Seq(0.1, -0.2, 1e-300))) // exact zeros
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+    val fused = df.select(l2sqf64(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val chain = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)).collect().map(_.getDouble(0))
+    fused.zip(chain).foreach { case (f, c) =>
+      assert(java.lang.Double.doubleToRawLongBits(f) ==
+        java.lang.Double.doubleToRawLongBits(c), s"$f != $c bitwise")
+    }
+  }
 }
